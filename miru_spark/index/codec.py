@@ -1,0 +1,108 @@
+"""Delta + varbyte posting-block codec (numpy-vectorized).
+
+The reference engine stores each posting list as Roaring bitmap containers
+"atomized" per 64Ki-docId chunk so merges only rewrite dirty blocks
+(reference: miru-service ``.../index/lab/LabInvertedIndex.java:268-292,
+335-399`` — container split/serialize; ``MiruBitmaps.java:161-187``).
+
+Our analogue: fixed doc-range blocks of postings. Within a block, docIds
+are strictly increasing; we store them delta-encoded from the block base
+then varbyte (LEB128) compressed. tf and doclen streams are varbyte
+without deltas. Both encode and decode are numpy-vectorized (no per-row
+Python): encode loops over byte *positions* (<=10), decode reconstructs
+values from continuation-bit group ids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VB_BYTES = 10  # 64-bit value -> at most ceil(64/7) = 10 varbyte bytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int64/uint64 array as LEB128 varbytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: max(1, ceil(bits/7))
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    nz = v > 0
+    # bit_length via log2 is unsafe near 2^53; use a shift loop (<=10 iters)
+    tmp = v.copy()
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp >>= np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    del nbits, nz
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    # start offset of each value's byte run
+    starts = np.zeros(v.shape, dtype=np.int64)
+    starts[1:] = np.cumsum(nbytes)[:-1]
+    rem = v.copy()
+    active = np.ones(v.shape, dtype=bool)
+    for pos in range(_MAX_VB_BYTES):
+        if not active.any():
+            break
+        idx = starts[active] + pos
+        payload = (rem[active] & np.uint64(0x7F)).astype(np.uint8)
+        more = (pos + 1) < nbytes[active]
+        out[idx] = payload | (more.astype(np.uint8) << 7)
+        rem[active] >>= np.uint64(7)
+        still = np.zeros(v.shape, dtype=bool)
+        still[np.flatnonzero(active)[more]] = True
+        active = still
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 varbytes back to a uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0  # last byte of each value
+    # group id per byte: 0-based index of the value it belongs to
+    gid = np.zeros(b.shape, dtype=np.int64)
+    gid[1:] = np.cumsum(is_end)[:-1]
+    n_values = int(is_end.sum())
+    # position of byte within its value
+    starts_mask = np.ones(b.shape, dtype=bool)
+    starts_mask[1:] = is_end[:-1]
+    start_idx = np.flatnonzero(starts_mask)
+    pos = np.arange(b.size, dtype=np.int64) - start_idx[gid]
+    payload = (b & 0x7F).astype(np.uint64)
+    vals = np.zeros(n_values, dtype=np.uint64)
+    np.bitwise_or.at(vals, gid, payload << (np.uint64(7) * pos.astype(np.uint64)))
+    return vals
+
+
+def encode_block_docids(doc_ids: np.ndarray, base: int) -> bytes:
+    """Delta-encode sorted docIds against the block base, then varbyte.
+
+    First value stores (doc_ids[0] - base); subsequent store gaps-1 is NOT
+    used (gaps may be 0 only if duplicated, which postings forbid) — we
+    store raw gaps to keep the codec total.
+    """
+    d = np.asarray(doc_ids, dtype=np.int64)
+    deltas = np.empty_like(d)
+    deltas[0] = d[0] - base
+    deltas[1:] = np.diff(d)
+    return varbyte_encode(deltas.astype(np.uint64))
+
+
+def decode_block_docids(buf: bytes, base: int) -> np.ndarray:
+    deltas = varbyte_decode(buf).astype(np.int64)
+    if deltas.size == 0:
+        return deltas
+    return np.cumsum(deltas) + base
+
+
+def encode_counts(counts: np.ndarray) -> bytes:
+    """Varbyte-encode a small-int stream (tf / doclen)."""
+    return varbyte_encode(np.asarray(counts, dtype=np.uint64))
+
+
+def decode_counts(buf: bytes) -> np.ndarray:
+    return varbyte_decode(buf).astype(np.int64)

@@ -1,0 +1,126 @@
+"""Read side of the index: dictionary, doc store, posting blocks, decode.
+
+The posting-block parquet is laid out so term lookups prune hard:
+files are sorted by (term, block_key) -> parquet row-group min/max stats
+skip non-matching row groups, and ``term IN (...)`` / ``term LIKE 'p%'``
+predicates push down to the scan (the reference's analogue is the LAB
+key-range scan over ``prefix|fieldId|term|containerKey`` keys,
+``LabFieldIndex.java:163-171``).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from miru_spark.index import codec
+
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("doclen", T.IntegerType()),
+    ]
+)
+
+
+class IndexReader:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.n_docs: int = self.stats["n_docs"]
+        self.avgdl: float = self.stats["avgdl"]
+        self.block_bits: int = self.stats["block_bits"]
+
+    # ---- raw tables -------------------------------------------------
+    def dictionary(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "dictionary"))
+
+    def doc_store(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+
+    def blocks(self, terms: list[str] | None = None, prefixes: list[str] | None = None) -> DataFrame:
+        """Posting blocks, filtered by exact terms and/or prefixes (pushed down)."""
+        df = self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        conds = []
+        if terms:
+            conds.append(F.col("term").isin(list(terms)))
+        for p in prefixes or []:
+            conds.append(F.col("term").startswith(p))
+        if conds:
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond | c
+            df = df.filter(cond)
+        return df
+
+    # ---- decode ------------------------------------------------------
+    def decode(self, blocks_df: DataFrame) -> DataFrame:
+        """Expand compressed blocks to (term, doc_id, tf, doclen) rows.
+
+        numpy-vectorized per block inside an Arrow batch iterator; the
+        per-posting fan-out never touches per-row Python.
+        """
+        block_bits = self.block_bits
+
+        def _decode(pdf_iter):
+            for pdf in pdf_iter:
+                terms, ids, tfs, dls = [], [], [], []
+                for term, block_key, n, id_buf, tf_buf, dl_buf in zip(
+                    pdf["term"], pdf["block_key"], pdf["n"],
+                    pdf["doc_ids"], pdf["tfs"], pdf["doclens"],
+                ):
+                    base = int(block_key) << block_bits
+                    ids.append(codec.decode_block_docids(id_buf, base))
+                    tfs.append(codec.decode_counts(tf_buf))
+                    dls.append(codec.decode_counts(dl_buf))
+                    terms.append(np.full(int(n), term, dtype=object))
+                if not terms:
+                    yield pd.DataFrame({c: [] for c in _DECODED_SCHEMA.fieldNames()})
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms),
+                        "doc_id": np.concatenate(ids),
+                        "tf": np.concatenate(tfs).astype(np.int32),
+                        "doclen": np.concatenate(dls).astype(np.int32),
+                    }
+                )
+
+        cols = ["term", "block_key", "n", "doc_ids", "tfs", "doclens"]
+        return blocks_df.select(*cols).mapInPandas(_decode, schema=_DECODED_SCHEMA)
+
+    def postings(self, terms: list[str] | None = None, prefixes: list[str] | None = None) -> DataFrame:
+        return self.decode(self.blocks(terms, prefixes))
+
+    # ---- stats -------------------------------------------------------
+    def term_stats(self, terms: list[str]) -> dict[str, dict]:
+        """Collect df/cf for a small term set (query-side broadcast)."""
+        rows = self.dictionary().filter(F.col("term").isin(list(terms))).collect()
+        return {r["term"]: {"df": r["df"], "cf": r["cf"]} for r in rows}
+
+    def expand_prefix(self, prefix: str, max_expansion: int = 100) -> list[str]:
+        """Dictionary range scan for wildcard expansion, capped like the
+        reference's ``maxWildcardExpansion`` (``MiruAggregateUtil.java:826-839``)."""
+        rows = (
+            self.dictionary()
+            .filter(F.col("term").startswith(prefix))
+            .orderBy(F.col("df").desc(), F.col("term"))
+            .limit(max_expansion)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def idf(self, df_count: int) -> float:
+        """BM25 idf (Lucene-style, non-negative)."""
+        return math.log(1.0 + (self.n_docs - df_count + 0.5) / (df_count + 0.5))

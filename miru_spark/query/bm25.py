@@ -1,0 +1,257 @@
+"""BM25 top-k search over the block-max posting index.
+
+The reference scores fulltext matches with a linear tf model
+(multiplier = queryTermCount / global Σtf; score += multiplier * tf) over
+a bounded top-k heap with (score desc, id desc) tie-break (reference:
+miru-stream-plugins ``.../fulltext/FullText.java:99-219`` — multiplier
+118-127, batched tf lookups 172-219, heap 129-135; tie-break
+``RawBitScore.compareTo`` 295-303). Per SURVEY §2.11 / the north rule we
+upgrade the scorer to real BM25 (k1=1.2, b=0.75, Lucene-style idf) while
+keeping the same candidate-set semantics and total ordering.
+
+Two physical strategies:
+
+- ``search`` (exact): candidate set from boolean algebra over decoded
+  posting doc-sets (AND -> inner join, OR -> union distinct, NOT ->
+  left_anti — the or/and/andNot bitmap family, ``MiruBitmaps.java:87-131``),
+  then score = sum of per-term BM25 contributions grouped by doc_id, then
+  Spark's distributed TakeOrderedAndProject (``orderBy().limit(k)``) —
+  a per-partition bounded heap merged on the driver, exactly the
+  reference's heap + sorted answer merge (``FullTextAnswerMerger.java``).
+- ``search_wand`` (scale path, flat-AND queries): blocks of all query
+  terms are co-grouped by ``block_key`` (only doc ranges where *every*
+  term has postings survive — posting-list intersection at block
+  granularity), then a ``mapInPandas`` pass keeps a per-partition bounded
+  heap and skips decoding any block group whose block-max BM25 upper
+  bound cannot beat the current heap threshold (block-max WAND).
+  Per-partition top-k is safe: the global top-k is contained in the
+  union of per-partition top-k's.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from miru_spark.index.reader import IndexReader
+from miru_spark.query import parser as qp
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+def _bm25_score_col(idf_col, k1: float, b: float, avgdl: float):
+    tf = F.col("tf").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen") / F.lit(avgdl))
+    return idf_col * tf * F.lit(k1 + 1.0) / (tf + norm)
+
+
+class SearchError(ValueError):
+    pass
+
+
+def _expand(reader: IndexReader, node, max_expansion: int) -> dict:
+    """Map each Prefix leaf to its dictionary expansion (cached per query)."""
+    out = {}
+    for leaf in qp._all_leaves(node):
+        if isinstance(leaf, qp.Prefix) and leaf.prefix not in out:
+            out[leaf.prefix] = reader.expand_prefix(leaf.prefix, max_expansion)
+    return out
+
+
+def _leaf_terms(leaf, expansions) -> list[str]:
+    if isinstance(leaf, qp.Term):
+        return [leaf.term]
+    return expansions.get(leaf.prefix, [])
+
+
+def _eval_candidates(reader: IndexReader, node, expansions) -> DataFrame:
+    """Boolean evaluation -> DataFrame of distinct candidate doc_ids."""
+    if isinstance(node, (qp.Term, qp.Prefix)):
+        terms = _leaf_terms(node, expansions)
+        if not terms:
+            # unmatched prefix -> empty set
+            return reader.spark.range(0).select(F.col("id").alias("doc_id"))
+        df = reader.postings(terms=terms).select("doc_id")
+        return df.distinct() if (isinstance(node, qp.Prefix) and len(terms) > 1) else df
+    if isinstance(node, qp.And):
+        positives = [c for c in node.children if not isinstance(c, qp.Not)]
+        negatives = [c.child for c in node.children if isinstance(c, qp.Not)]
+        if not positives:
+            raise SearchError("pure-negation query not supported (as in Lucene)")
+        acc = _eval_candidates(reader, positives[0], expansions)
+        for c in positives[1:]:
+            acc = acc.join(_eval_candidates(reader, c, expansions), "doc_id", "inner")
+        for c in negatives:
+            acc = acc.join(_eval_candidates(reader, c, expansions), "doc_id", "left_anti")
+        return acc
+    if isinstance(node, qp.Or):
+        if any(isinstance(c, qp.Not) for c in node.children):
+            raise SearchError("NOT directly under OR not supported")
+        acc = _eval_candidates(reader, node.children[0], expansions)
+        for c in node.children[1:]:
+            acc = acc.union(_eval_candidates(reader, c, expansions))
+        return acc.distinct()
+    raise SearchError(f"cannot evaluate node {node!r}")
+
+
+def search(
+    reader: IndexReader,
+    query: str,
+    k: int = 10,
+    *,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    max_expansion: int = 100,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Top-k BM25: returns DataFrame(doc_id long, score double), ordered
+    (score desc, doc_id desc), limited to k."""
+    ast = qp.parse_query(query) if isinstance(query, str) else query
+    expansions = _expand(reader, ast, max_expansion)
+
+    pos_terms: list[str] = []
+    for leaf in qp.positive_leaves(ast):
+        for t in _leaf_terms(leaf, expansions):
+            if t not in pos_terms:
+                pos_terms.append(t)
+    if not pos_terms:
+        return reader.spark.createDataFrame(
+            [], T.StructType([T.StructField("doc_id", T.LongType()),
+                              T.StructField("score", T.DoubleType())])
+        )
+
+    stats = reader.term_stats(pos_terms)
+    idf_rows = [(t, reader.idf(stats[t]["df"])) for t in pos_terms if t in stats]
+    idf_df = reader.spark.createDataFrame(idf_rows, "term string, idf double")
+
+    candidates = _eval_candidates(reader, ast, expansions)
+
+    scored = (
+        reader.postings(terms=[t for t, _ in idf_rows])
+        .join(F.broadcast(idf_df), "term")
+        .withColumn("contrib", _bm25_score_col(F.col("idf"), k1, b, reader.avgdl))
+        .join(candidates, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to))
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").desc()).limit(k)
+
+
+def search_time_newest(
+    reader: IndexReader, query: str, k: int = 10, *, max_expansion: int = 100
+) -> DataFrame:
+    """TIME strategy: newest-k matching docs, score = 0 (reference:
+    ``FullText.java:222-251`` — descending docId, zero scores)."""
+    ast = qp.parse_query(query) if isinstance(query, str) else query
+    expansions = _expand(reader, ast, max_expansion)
+    cands = _eval_candidates(reader, ast, expansions)
+    return (
+        cands.withColumn("score", F.lit(0.0))
+        .orderBy(F.col("doc_id").desc())
+        .limit(k)
+    )
+
+
+# ----------------------------------------------------------------------
+# Block-max WAND scale path (flat AND conjunctions)
+# ----------------------------------------------------------------------
+
+def search_wand(
+    reader: IndexReader,
+    terms: list[str],
+    k: int = 10,
+    *,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Top-k BM25 for an AND-of-terms query with block-max pruning.
+
+    Physical plan: blocks of the query terms -> groupBy(block_key) keeping
+    only groups that contain all |terms| (block-granular posting-list
+    intersection; work is proportional to co-occurring doc ranges, not to
+    the head term's full posting list) -> per-partition WAND heap.
+    """
+    terms = list(dict.fromkeys(terms))
+    n_terms = len(terms)
+    stats = reader.term_stats(terms)
+    if len(stats) < n_terms:
+        return reader.spark.createDataFrame(
+            [], "doc_id long, score double"
+        )  # a term is missing -> empty AND
+    idf = {t: reader.idf(stats[t]["df"]) for t in terms}
+    avgdl, block_bits = reader.avgdl, reader.block_bits
+
+    grouped = (
+        reader.blocks(terms=terms)
+        .groupBy("block_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_present"),
+            F.collect_list(
+                F.struct("term", "n", "max_tf", "min_doclen", "doc_ids", "tfs", "doclens")
+            ).alias("blocks"),
+        )
+        .filter(F.col("n_terms_present") == n_terms)
+        .repartition(reader.spark.sparkContext.defaultParallelism, "block_key")
+    )
+
+    def _ub(idf_t: float, max_tf: int, min_doclen: int) -> float:
+        norm = k1 * (1.0 - b + b * min_doclen / avgdl)
+        return idf_t * max_tf * (k1 + 1.0) / (max_tf + norm)
+
+    from miru_spark.index import codec
+
+    def _wand(pdf_iter):
+        heap: list[tuple[float, int]] = []  # min-heap of (score, doc_id), size <= k
+
+        def theta():
+            return heap[0][0] if len(heap) >= k else -math.inf
+
+        for pdf in pdf_iter:
+            for block_key, blocks in zip(pdf["block_key"], pdf["blocks"]):
+                ub = sum(_ub(idf[blk["term"]], blk["max_tf"], blk["min_doclen"]) for blk in blocks)
+                if ub <= theta():
+                    continue  # block-max skip: cannot beat current top-k
+                base = int(block_key) << block_bits
+                decoded = {}
+                for blk in blocks:
+                    ids = codec.decode_block_docids(blk["doc_ids"], base)
+                    tfs = codec.decode_counts(blk["tfs"])
+                    dls = codec.decode_counts(blk["doclens"])
+                    decoded[blk["term"]] = (ids, tfs, dls)
+                # intersect doc ids across terms (AND)
+                inter = decoded[terms[0]][0]
+                for t in terms[1:]:
+                    inter = np.intersect1d(inter, decoded[t][0], assume_unique=True)
+                    if inter.size == 0:
+                        break
+                if inter.size == 0:
+                    continue
+                scores = np.zeros(inter.size, dtype=np.float64)
+                doclen = None
+                for t in terms:
+                    ids, tfs, dls = decoded[t]
+                    pos = np.searchsorted(ids, inter)
+                    tf = tfs[pos].astype(np.float64)
+                    dl = dls[pos].astype(np.float64)
+                    scores += idf[t] * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                for s, d in zip(scores, inter):
+                    item = (float(s), int(d))
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+        yield pd.DataFrame(
+            {"doc_id": [d for _, d in heap], "score": [s for s, _ in heap]}
+        ).astype({"doc_id": "int64", "score": "float64"})
+
+    local = grouped.mapInPandas(_wand, schema="doc_id long, score double")
+    return local.orderBy(F.col("score").desc(), F.col("doc_id").desc()).limit(k)

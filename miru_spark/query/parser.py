@@ -1,0 +1,169 @@
+"""Query-string parser: Lucene-classic-style boolean grammar -> AST.
+
+Mirrors the reference's parser semantics (reference: miru-stream-plugins
+``.../fulltext/LuceneBackedQueryParser.java:47-53, 76-144``): default
+operator is AND (47-53); TermQuery -> term leaf, PrefixQuery -> ``value*``
+leaf, BooleanQuery MUST/SHOULD/MUST_NOT -> And/Or/Not nodes (76-144).
+Terms are run through the same analyzer as indexing so query tokens match
+index tokens byte-for-byte.
+
+Grammar::
+
+    query  := orExpr
+    orExpr := andExpr ('OR' andExpr)*
+    andExpr:= unary (('AND')? unary)*          # adjacency = AND
+    unary  := ('NOT' | '-') unary | atom
+    atom   := '(' orExpr ')' | WORD'*' | WORD
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from miru_spark.analysis.tokenizer import tokenize
+
+
+class Node:
+    pass
+
+
+@dataclass(frozen=True)
+class Term(Node):
+    term: str
+
+
+@dataclass(frozen=True)
+class Prefix(Node):
+    prefix: str
+
+
+@dataclass
+class And(Node):
+    children: list = field(default_factory=list)
+
+
+@dataclass
+class Or(Node):
+    children: list = field(default_factory=list)
+
+
+@dataclass
+class Not(Node):
+    child: Node = None
+
+
+_LEX = re.compile(r"\(|\)|[A-Za-z0-9_]+\*?|-")
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse(self) -> Node:
+        node = self.or_expr()
+        if self.peek() is not None:
+            raise QueryParseError(f"trailing input at token {self.i}: {self.peek()!r}")
+        return node
+
+    def or_expr(self) -> Node:
+        parts = [self.and_expr()]
+        while self.peek() is not None and self.peek().upper() == "OR":
+            self.next()
+            parts.append(self.and_expr())
+        return parts[0] if len(parts) == 1 else Or(parts)
+
+    def and_expr(self) -> Node:
+        parts = [self.unary()]
+        while True:
+            t = self.peek()
+            if t is None or t == ")" or t.upper() == "OR":
+                break
+            if t.upper() == "AND":
+                self.next()
+                continue
+            parts.append(self.unary())
+        return parts[0] if len(parts) == 1 else And(parts)
+
+    def unary(self) -> Node:
+        t = self.peek()
+        if t is not None and (t.upper() == "NOT" or t == "-"):
+            self.next()
+            return Not(self.unary())
+        return self.atom()
+
+    def atom(self) -> Node:
+        t = self.next()
+        if t is None:
+            raise QueryParseError("unexpected end of query")
+        if t == "(":
+            node = self.or_expr()
+            if self.next() != ")":
+                raise QueryParseError("unbalanced parenthesis")
+            return node
+        if t == ")":
+            raise QueryParseError("unexpected ')'")
+        if t.endswith("*"):
+            body = t[:-1]
+            toks = tokenize(body)
+            if len(toks) != 1:
+                raise QueryParseError(f"bad prefix term {t!r}")
+            return Prefix(toks[0])
+        toks = tokenize(t)
+        if len(toks) != 1:
+            raise QueryParseError(f"bad term {t!r}")
+        return Term(toks[0])
+
+
+def parse_query(q: str) -> Node:
+    toks = _LEX.findall(q)
+    if not toks:
+        raise QueryParseError("empty query")
+    return _Parser(toks).parse()
+
+
+def positive_leaves(node: Node) -> list[Node]:
+    """All Term/Prefix leaves not under a NOT — the scoring terms."""
+    if isinstance(node, (Term, Prefix)):
+        return [node]
+    if isinstance(node, Not):
+        return []
+    out = []
+    for c in node.children:
+        out.extend(positive_leaves(c))
+    return out
+
+
+def negative_leaves(node: Node) -> list[Node]:
+    if isinstance(node, (Term, Prefix)):
+        return []
+    if isinstance(node, Not):
+        return [leaf for leaf in _all_leaves(node.child)]
+    out = []
+    for c in node.children:
+        out.extend(negative_leaves(c))
+    return out
+
+
+def _all_leaves(node: Node) -> list[Node]:
+    if isinstance(node, (Term, Prefix)):
+        return [node]
+    if isinstance(node, Not):
+        return _all_leaves(node.child)
+    out = []
+    for c in node.children:
+        out.extend(_all_leaves(c))
+    return out

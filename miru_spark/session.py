@@ -1,0 +1,54 @@
+"""SparkSession bootstrap tuned for the index-build workload.
+
+Local-mode testing uses ``local[N]``; the same settings are what we would
+submit with ``spark-submit --py-files`` on a real multi-executor cluster
+(shuffle partitions and maxPartitionBytes would be sized to the cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "miru_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores`` accepts an int (-> ``local[n]``), "*" or a full master URL.
+    Defaults come from ``$SPARK_GRAFT_CPUS`` when set.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = str(cores) if str(cores).startswith(("local", "spark://", "yarn")) else f"local[{cores}]"
+    n_threads = 32 if str(cores) in ("*",) else None
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = int(cores)  # type: ignore[arg-type]
+        except (TypeError, ValueError):
+            shuffle_partitions = n_threads or 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("MIRU_SPARK_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

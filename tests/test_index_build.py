@@ -1,0 +1,101 @@
+import json
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_stats_match_oracle(spark, corpus, built_index):
+    from tests.oracle import OracleIndex
+
+    docs = {r["doc_id"]: r["text"] for r in corpus.select("doc_id", "text").collect()}
+    oracle = OracleIndex(docs)
+
+    assert built_index.n_docs == oracle.n_docs
+    assert built_index.total_tokens == sum(oracle.doclen.values())
+    assert abs(built_index.avgdl - oracle.avgdl) < 1e-9
+    assert built_index.n_terms == len(oracle.df)
+
+
+def test_dictionary_df_cf(spark, corpus, built_index):
+    from miru_spark.index.reader import IndexReader
+    from tests.oracle import OracleIndex
+
+    docs = {r["doc_id"]: r["text"] for r in corpus.select("doc_id", "text").collect()}
+    oracle = OracleIndex(docs)
+    reader = IndexReader(spark, built_index.index_dir)
+    rows = reader.dictionary().collect()
+    assert len(rows) == len(oracle.df)
+    cf_oracle = {}
+    for d, c in oracle.tf.items():
+        for t, n in c.items():
+            cf_oracle[t] = cf_oracle.get(t, 0) + n
+    for r in rows:
+        assert r["df"] == oracle.df[r["term"]], r["term"]
+        assert r["cf"] == cf_oracle[r["term"]], r["term"]
+
+
+def test_postings_roundtrip_exact(spark, corpus, built_index):
+    """Decoded postings == exploded tf table, byte-for-byte."""
+    from miru_spark.index.reader import IndexReader
+
+    reader = IndexReader(spark, built_index.index_dir)
+    decoded = reader.postings().orderBy("term", "doc_id").collect()
+
+    from tests.oracle import OracleIndex
+
+    docs = {r["doc_id"]: r["text"] for r in corpus.select("doc_id", "text").collect()}
+    oracle = OracleIndex(docs)
+    expected = []
+    for d in sorted(oracle.tf):
+        for t, n in oracle.tf[d].items():
+            expected.append((t, d, n, oracle.doclen[d]))
+    expected.sort()
+    got = [(r["term"], r["doc_id"], r["tf"], r["doclen"]) for r in decoded]
+    assert got == expected
+
+
+def test_block_headers(spark, built_index):
+    from miru_spark.index.reader import IndexReader
+
+    reader = IndexReader(spark, built_index.index_dir)
+    blocks = reader.blocks().collect()
+    assert blocks
+    block_size = 1 << built_index.block_bits
+    for blk in blocks:
+        assert blk["n"] >= 1
+        lo = blk["block_key"] * block_size
+        assert lo <= blk["max_doc_id"] < lo + block_size
+
+
+def test_manifests_and_stats_file(built_index):
+    stats = json.load(open(os.path.join(built_index.index_dir, "stats.json")))
+    assert stats["n_docs"] == built_index.n_docs
+    mdir = os.path.join(built_index.index_dir, "manifests")
+    manifests = sorted(os.listdir(mdir))
+    assert len(manifests) == built_index.n_shards
+    for name in manifests:
+        m = json.load(open(os.path.join(mdir, name)))
+        assert m["status"] == "done"
+        assert m["input_fingerprint"] == built_index.input_fingerprint
+
+
+def test_term_filter_pushdown(spark, built_index):
+    """The term predicate must reach the parquet scan (PushedFilters)."""
+    from miru_spark.index.reader import IndexReader
+
+    reader = IndexReader(spark, built_index.index_dir)
+    plan = reader.blocks(terms=["w00001"])._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "w00001" in plan
+
+
+def test_assign_doc_ids_deterministic(spark, corpus):
+    from miru_spark.index.builder import assign_doc_ids
+
+    df = corpus.drop("doc_id")
+    a = assign_doc_ids(df, "url", partitions=5).select("url", "doc_id").collect()
+    b = assign_doc_ids(df, "url", partitions=5).select("url", "doc_id").collect()
+    assert sorted(a) == sorted(b)
+    by_url = sorted((r["url"], r["doc_id"]) for r in a)
+    ids = [d for _, d in by_url]
+    assert ids == list(range(len(ids)))  # dense, in url order
