@@ -1,0 +1,99 @@
+"""miru's gather/distinct/count query family as DataFrame recipes.
+
+Reference operators re-expressed (SURVEY §2.5):
+- Distincts: distinct values of a field among matching docs, optional
+  prefix filter (reference: miru-reco-plugins
+  ``.../distincts/Distincts.java:41-157``, dictionary fast path 85-97).
+- DistinctCount / Uniques: number of distinct values
+  (``DistinctCount.java:30-113``, ``UniquesInjectable.java:34-58``).
+- AggregateCounts: stream-view rollup — per distinct pivot value the
+  number of collapsed docs, newest/oldest timestamps, newest doc
+  (``AggregateCounts.java:90-376``: dedup loop 260-373). The reference
+  walks the answer bitmap newest-first collapsing repeats; the Spark
+  recipe is a window ``row_number()==1`` + per-group aggregates — same
+  result, one shuffle.
+- gather: distinct terms of a pivot field over matching docs, optionally
+  with counts (``MiruAggregateUtil.java:654-768``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from miru_spark.query.filters import Filter, apply_filter
+
+
+def distincts(
+    df: DataFrame, fld: str, *, flt: Filter | None = None, prefix: str | None = None
+) -> DataFrame:
+    """Distinct values of ``fld`` among matching rows, sorted. Columns: value."""
+    out = apply_filter(df, flt).select(F.col(fld).alias("value"))
+    if prefix:
+        out = out.filter(F.col("value").startswith(prefix))
+    return out.distinct().orderBy("value")
+
+
+def distinct_count(df: DataFrame, fld: str, *, flt: Filter | None = None, approx: bool = False) -> DataFrame:
+    """Exact (or HLL-approx) distinct count. Columns: n_distinct."""
+    src = apply_filter(df, flt)
+    agg = F.approx_count_distinct(fld) if approx else F.countDistinct(fld)
+    return src.select(agg.alias("n_distinct"))
+
+
+def uniques(df: DataFrame, fld: str, by: str, *, flt: Filter | None = None) -> DataFrame:
+    """Distinct count of ``fld`` per ``by`` group. Columns: by, n_distinct."""
+    return (
+        apply_filter(df, flt)
+        .groupBy(by)
+        .agg(F.countDistinct(fld).alias("n_distinct"))
+        .orderBy(by)
+    )
+
+
+def gather(
+    df: DataFrame, pivot: str, *, flt: Filter | None = None, with_counts: bool = True
+) -> DataFrame:
+    """Distinct pivot terms over matching rows (+counts, min/max doc ids).
+
+    For multi-valued pivots pass an exploded column upstream."""
+    src = apply_filter(df, flt)
+    if with_counts:
+        return (
+            src.groupBy(F.col(pivot).alias("term"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("term")
+        )
+    return src.select(F.col(pivot).alias("term")).distinct().orderBy("term")
+
+
+def aggregate_counts(
+    df: DataFrame,
+    pivot: str,
+    time_col: str,
+    id_col: str,
+    *,
+    flt: Filter | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Stream-view rollup: newest doc per distinct pivot value + collapse
+    stats, newest-first — one window + one aggregate, vs the reference's
+    descending bitmap walk with a dedup set (AggregateCounts.java:260-373).
+
+    Columns: <pivot>, n_collapsed, latest_time, oldest_time, latest_id.
+    ``k`` = desiredNumberOfDistincts (pagination cap).
+    """
+    src = apply_filter(df, flt)
+    w = Window.partitionBy(pivot).orderBy(F.col(time_col).desc(), F.col(id_col).desc())
+    rolled = (
+        src.withColumn("_rn", F.row_number().over(w))
+        .groupBy(pivot)
+        .agg(
+            F.count(F.lit(1)).alias("n_collapsed"),
+            F.max(time_col).alias("latest_time"),
+            F.min(time_col).alias("oldest_time"),
+            F.max(F.when(F.col("_rn") == 1, F.col(id_col))).alias("latest_id"),
+        )
+        .orderBy(F.col("latest_time").desc(), F.col(pivot))
+    )
+    return rolled.limit(k) if k else rolled

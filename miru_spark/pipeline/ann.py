@@ -1,0 +1,215 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+Part of the training-pipeline operator set (no reference analogue; the
+reference's nearest relative is its bloom candidate pruning). Two paths:
+
+- ``cosine_topk`` — exact brute-force baseline: query vectors broadcast,
+  dot products computed JVM-side with ``zip_with``/``aggregate`` (no
+  Python in the scan), per-query top-k via window rank. At cluster scale
+  this is one full scan per query batch — correct-first baseline and
+  verification oracle for the bucketed path.
+- ``lsh_topk`` — sign-random-projection LSH: deterministic hyperplanes
+  (seeded numpy), per-vector bit signature -> bucket; candidates probe
+  only matching buckets (optionally multi-probe by flipping bits), then
+  exact re-rank within candidates. The scan is pruned by the bucket
+  equi-join; work scales with bucket occupancy, not corpus size.
+
+Also ``cosine_pairs`` — embedding near-duplicate pairs above a cosine
+threshold (the embedding leg of the dedup suite).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_col(vec_col: str):
+    return F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k per query. Columns: query_id, vec_id, cos, rank.
+
+    ``queries``: (query_id, embedding). Broadcast-joined against the
+    corpus so the big side never shuffles; tie-break (cos desc, vec_id asc).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v_vec"),
+    )
+    joined = v.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        (
+            _dot(F.col("q_vec"), F.col("v_vec"))
+            / (_norm_col("q_vec") * _norm_col("v_vec"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).astype(np.float64)
+
+
+def srp_signatures(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_bits: int = 16,
+    seed: int = 11,
+) -> DataFrame:
+    """Sign-random-projection signature per vector. Columns: id, bucket."""
+    planes = _hyperplanes(dim, n_bits, seed)
+
+    def _sig(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "bucket": []}).astype(
+                    {"id": "int64", "bucket": "int64"}
+                )
+                continue
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            bits = (mat @ planes.T) > 0
+            weights = (1 << np.arange(n_bits, dtype=np.int64))
+            buckets = (bits.astype(np.int64) * weights[None, :]).sum(axis=1)
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "bucket": buckets})
+
+    src = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return src.mapInPandas(_sig, schema="id long, bucket long")
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    seed: int = 11,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """LSH-bucketed cosine top-k: candidates = vectors sharing any of the
+    query's ``n_tables`` SRP buckets, exact re-rank within candidates.
+
+    Recall < 1 by design; verified in tests against ``cosine_topk``.
+    Columns: query_id, vec_id, cos, rank.
+    """
+    from pyspark.sql import Window
+
+    cand_frames = []
+    for t in range(n_tables):
+        vs = srp_signatures(vectors, id_col=id_col, vec_col=vec_col, dim=dim,
+                            n_bits=n_bits, seed=seed + t).withColumnRenamed("id", "vec_id")
+        qs = srp_signatures(queries, id_col=query_id_col, vec_col=vec_col, dim=dim,
+                            n_bits=n_bits, seed=seed + t).withColumnRenamed("id", "query_id")
+        cand_frames.append(vs.join(F.broadcast(qs), "bucket").select("query_id", "vec_id"))
+    cands = cand_frames[0]
+    for c in cand_frames[1:]:
+        cands = cands.union(c)
+    cands = cands.distinct()
+    if exclude_self:
+        cands = cands.filter(F.col("vec_id") != F.col("query_id"))
+
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        cands.join(v, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("q_vec"), F.col("v_vec"))
+                / (_norm_col("q_vec") * _norm_col("v_vec"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    n_tables: int = 6,
+    seed: int = 23,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cos >= threshold), LSH-blocked.
+
+    Columns: id_a, id_b, cos. High-cosine pairs collide in at least one
+    low-bit SRP table with high probability; exact cosine verifies."""
+    cand_frames = []
+    for t in range(n_tables):
+        sig = srp_signatures(vectors, id_col=id_col, vec_col=vec_col, dim=dim,
+                             n_bits=n_bits, seed=seed + t)
+        a = sig.alias("a")
+        b = sig.alias("b")
+        cand_frames.append(
+            a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+    cands = cand_frames[0]
+    for c in cand_frames[1:]:
+        cands = cands.union(c)
+    cands = cands.distinct()
+    v_a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    v_b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        cands.join(v_a, "id_a")
+        .join(v_b, "id_b")
+        .withColumn(
+            "cos",
+            _dot(F.col("vec_a"), F.col("vec_b")) / (_norm_col("vec_a") * _norm_col("vec_b")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )

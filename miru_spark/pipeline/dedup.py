@@ -1,0 +1,309 @@
+"""Document deduplication at corpus scale: exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+These extend the engine beyond the reference's query families into the
+operations a web-scale training-data pipeline needs (the reference's
+closest machinery is its bloom pre-join index, miru-service
+``.../stream/MiruIndexBloom.java`` + ``BloomIndex.java:34-131``, used to
+prune candidate term pairs — the same candidate-pruning role LSH bands
+play here).
+
+Scale notes:
+- exact dedup = hash-groupBy, one shuffle on the digest.
+- n-gram Jaccard pairs use a shingle inverted index self-join. Shingles
+  are hashed to 64-bit ints JVM-side (xxhash64) before the join so the
+  shuffle carries 8-byte keys, not strings; hot shingles (appearing in
+  > ``max_shingle_df`` docs) are dropped like stopwords — standard
+  candidate-pruning, bounded skew.
+- MinHash signatures are computed in one vectorized pandas UDF per doc;
+  LSH bands -> groupBy(band, band_hash) -> within-bucket pairs. Bucket
+  sizes are bounded by banding; verification joins are exact Jaccard.
+- SimHash: 64-bit weighted bit votes; candidate pairs via 4x16-bit band
+  blocking, verified by popcount(xor) <= max_hamming.
+
+All hashes derive from md5 (stable across Python/JVM/DuckDB) — no
+Python ``hash()`` (salted per process) anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from miru_spark.analysis.tokenizer import tokenize
+
+# Mersenne-31: a, h(s) < 2^31 so a*h fits int64 — the whole signature is
+# one numpy broadcast, no bignum path. Hash space 2^31 is ample for
+# shingle-level MinHash estimation.
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts. Columns: digest, n, ids (sorted)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col).alias("id"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.col("n") > 1)
+        .orderBy("digest")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id row per distinct text (deterministic winner)."""
+    keep = (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col).alias(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def _shingle_col(text_col: str, n: int):
+    """n-gram (word shingle) array column, JVM-side: tokenize via split/
+    lower/regexp then sliding window join."""
+    toks = F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]+", " ")), r"\s+")
+    toks = F.filter(toks, lambda x: x != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) pairs — the shingle-set representation."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(_shingle_col(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via shingle inverted-index self-join.
+
+    Columns: id_a, id_b (id_a < id_b), jaccard. |A∩B| from the join,
+    |A|,|B| from per-doc shingle counts; J = inter / (|A|+|B|-inter).
+    """
+    sh = shingles(df, id_col, text_col, n).withColumn(
+        "h", F.xxhash64("shingle")
+    ).select("id", "h")
+    if max_shingle_df is not None:
+        hot = sh.groupBy("h").count().filter(F.col("count") > max_shingle_df).select("h")
+        sh = sh.join(F.broadcast(hot), "h", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------
+
+def _stable_shingle_hash(shingle: str) -> int:
+    """First 8 bytes of md5 as uint -> mod Mersenne prime (portable)."""
+    return int.from_bytes(hashlib.md5(shingle.encode()).digest()[:8], "big") % _MERSENNE
+
+
+def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, num_perm: int = 64, seed: int = 1
+) -> DataFrame:
+    """Per-doc MinHash signature (array<long>, length num_perm).
+
+    sig[i] = min over shingles s of (a_i * h(s) + b_i) mod p. Vectorized:
+    per Arrow batch, an (n_shingles x num_perm) numpy broadcast."""
+    a, b = _perm_params(num_perm, seed)
+
+    def _sig(pdf_iter):
+        for pdf in pdf_iter:
+            out_ids, out_sigs = [], []
+            for doc_id, text in zip(pdf["id"], pdf["text"]):
+                toks = tokenize(text)
+                if len(toks) >= n:
+                    sh = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+                else:
+                    sh = {" ".join(toks)} if toks else set()
+                if not sh:
+                    out_ids.append(doc_id)
+                    out_sigs.append(np.full(num_perm, _MERSENNE, dtype=np.int64))
+                    continue
+                hs = np.array([_stable_shingle_hash(s) for s in sh], dtype=np.int64)
+                # (n_shingles, num_perm) broadcast: values < 2^31 so the
+                # product fits int64
+                sig = (((hs[:, None] * a[None, :]) % _MERSENNE + b[None, :]) % _MERSENNE).min(axis=0)
+                out_ids.append(doc_id)
+                out_sigs.append(sig)
+            yield pd.DataFrame({"id": out_ids, "signature": [s.tolist() for s in out_sigs]})
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(_sig, schema="id long, signature array<long>")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 1,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding, optionally verified
+    by estimated Jaccard (signature agreement rate).
+
+    Columns: id_a, id_b, est_jaccard. rows/band = num_perm // bands.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n=n, num_perm=num_perm, seed=seed)
+    sigs = sigs.persist()
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.xxhash64(F.concat_ws(",", F.transform(
+                    F.slice("signature", bnd * r + 1, r), lambda x: x.cast("string")
+                ))),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    out = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+            / F.lit(float(num_perm)),
+        )
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+    if verify_threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= verify_threshold)
+    return out.orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc (columns: id, simhash as long).
+
+    Weighted bit votes over md5-hashed tokens (weight = tf)."""
+
+    def _sim(pdf_iter):
+        for pdf in pdf_iter:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["id"], pdf["text"]):
+                toks = tokenize(text)
+                votes = np.zeros(64, dtype=np.int64)
+                from collections import Counter
+
+                shifts = np.arange(64, dtype=np.uint64)
+                for tok, tf in Counter(toks).items():
+                    h = np.uint64(
+                        int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                    )
+                    bits = (h >> shifts) & np.uint64(1)
+                    votes += np.where(bits == 1, tf, -tf)
+                sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                ids.append(doc_id)
+                sigs.append(np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig))
+            yield pd.DataFrame({"id": ids, "simhash": np.array(sigs, dtype=np.int64)})
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(_sim, schema="id long, simhash long")
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidates blocked on 4x16-bit bands (a pair within hamming<=3 must
+    agree exactly on at least one band — pigeonhole), verified by
+    popcount(xor). Columns: id_a, id_b, hamming."""
+    sigs = simhash_signatures(df, id_col, text_col).persist()
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                for i in range(4)
+            ])
+        ).alias("band", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

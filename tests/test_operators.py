@@ -1,0 +1,207 @@
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from miru_spark.operators import aggregates, analytics, latest, reco, trending
+from miru_spark.query.filters import FieldFilter, Filter
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in ["events", "orders", "lineitem"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_distincts(events, ddb):
+    flt = Filter("and", [FieldFilter("event_type", values=["click", "error"])])
+    got = [r["value"] for r in aggregates.distincts(events, "event_type", flt=flt).collect()]
+    exp = [
+        r[0]
+        for r in ddb.sql(
+            "SELECT DISTINCT event_type FROM events WHERE event_type IN ('click','error') ORDER BY 1"
+        ).fetchall()
+    ]
+    assert got == exp
+
+
+def test_distinct_count_and_uniques(events, ddb):
+    got = aggregates.distinct_count(events, "user_id").collect()[0]["n_distinct"]
+    exp = ddb.sql("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert got == exp
+
+    got_u = {
+        (r["event_type"], r["n_distinct"])
+        for r in aggregates.uniques(events, "user_id", "event_type").collect()
+    }
+    exp_u = set(
+        ddb.sql(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert got_u == exp_u
+
+
+def test_aggregate_counts(events, ddb):
+    got = {
+        (r["event_type"], r["n_collapsed"], r["latest_time"], r["oldest_time"], r["latest_id"])
+        for r in aggregates.aggregate_counts(events, "event_type", "ts", "event_id").collect()
+    }
+    exp = set(
+        ddb.sql(
+            """WITH ranked AS (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events)
+               SELECT event_type, count(*), max(ts), min(ts),
+                      max(CASE WHEN rn = 1 THEN event_id END)
+               FROM ranked GROUP BY 1"""
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_waveform_dense(events, ddb):
+    lo, hi, nb = "2024-01-01", "2024-03-01", 12
+    got = {(r["bucket"], r["n"]) for r in analytics.waveform(events, "ts", lo, hi, nb).collect()}
+    exp = dict(
+        ddb.sql(
+            f"""SELECT least(greatest(floor((epoch(ts) - epoch(TIMESTAMP '{lo}'))
+                       / ((epoch(TIMESTAMP '{hi}') - epoch(TIMESTAMP '{lo}')) / {nb})), 0), {nb - 1})::INT AS b,
+                       count(*) FROM events
+                WHERE ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}' GROUP BY 1"""
+        ).fetchall()
+    )
+    assert len(got) == nb
+    for b, n in got:
+        assert n == exp.get(b, 0), b
+
+
+def test_metrics_and_anomaly(events, ddb):
+    got = {
+        (r["bucket_ts"], round(r["sum_value"], 6), round(r["avg_value"], 6), r["n"])
+        for r in analytics.metrics(events, "ts", "value", bucket="day").collect()
+    }
+    exp = {
+        (t, round(s, 6), round(a, 6), n)
+        for t, s, a, n in ddb.sql(
+            "SELECT date_trunc('day', ts)::TIMESTAMP, sum(value), avg(value), count(*) FROM events GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == exp
+
+    rows = analytics.anomaly(events, "ts", "value", bucket="day", sigma=1.5).collect()
+    assert rows
+    zs = [abs(r["zscore"]) for r in rows]
+    flagged = [r for r in rows if r["is_anomaly"]]
+    assert all(abs(r["zscore"]) > 1.5 for r in flagged)
+    assert all(not r["is_anomaly"] for r in rows if abs(r["zscore"]) <= 1.5)
+    assert max(zs) > 0
+
+
+def test_stumptown_tail(events, ddb):
+    flt = Filter("and", [FieldFilter("event_type", values=["error"])])
+    got = [r["event_id"] for r in analytics.stumptown_tail(events, "ts", "event_id", 5, flt=flt).collect()]
+    exp = [
+        r[0]
+        for r in ddb.sql(
+            "SELECT event_id FROM events WHERE event_type='error' ORDER BY ts DESC, event_id DESC LIMIT 5"
+        ).fetchall()
+    ]
+    assert got == exp
+
+
+def test_trending(events, ddb):
+    got = [
+        (r["term"], r["recent_n"], r["total_n"])
+        for r in trending.trending(events, "event_type", "ts", "2024-01-15", k=5).collect()
+    ]
+    exp = ddb.sql(
+        """SELECT event_type, sum(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) rn,
+                  count(*) tn
+           FROM events GROUP BY 1
+           ORDER BY rn * 1.0 / tn DESC, rn DESC, event_type LIMIT 5"""
+    ).fetchall()
+    assert got == [(t, rn, tn) for t, rn, tn in exp]
+
+
+def test_peakdet():
+    series = [0, 1, 3, 1, 0, 2, 5, 2, 0]
+    maxtab, mintab = trending.peakdet(series, 1.5)
+    assert maxtab == [(2, 3), (6, 5)]
+    assert mintab == [(4, 0)]
+
+
+def test_waveform_peaks(spark):
+    rows = [("a", b, float(n)) for b, n in enumerate([0, 1, 4, 1, 0, 3, 0])] + [
+        ("b", b, float(n)) for b, n in enumerate([5, 0, 0, 0, 0, 0, 6])
+    ]
+    wf = spark.createDataFrame(rows, "term string, bucket int, n double")
+    got = {
+        (r["term"], r["peak_bucket"], r["peak_n"])
+        for r in trending.waveform_peaks(wf, "term", "bucket", "n", 1.5).collect()
+    }
+    assert ("a", 2, 4.0) in got and ("a", 5, 3.0) in got
+    assert ("b", 0, 5.0) in got
+
+
+def test_latest_by(events, ddb):
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in latest.latest_by(events, "user_id", "ts", "event_id").select("user_id", "event_id").collect()
+    }
+    exp = set(
+        ddb.sql(
+            """SELECT user_id, event_id FROM (
+                 SELECT user_id, event_id, row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events) WHERE rn = 1"""
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_collaborative_filter(spark):
+    rows = [
+        ("u1", "i1"), ("u1", "i2"),
+        ("u2", "i1"), ("u2", "i3"), ("u2", "i4"),
+        ("u3", "i2"), ("u3", "i3"),
+        ("u4", "i9"),
+    ]
+    df = spark.createDataFrame(rows, "user string, item string")
+    got = [(r["item"], r["score"]) for r in reco.collaborative_filter(df, "user", "item", "u1", k=5).collect()]
+    # contributors: u2 (shares i1 -> 1), u3 (shares i2 -> 1); candidates:
+    # i3 (u2:1 + u3:1 = 2), i4 (u2:1)
+    assert got == [("i3", 2), ("i4", 1)]
+
+
+def test_filter_tree_pbutnotq(events, ddb):
+    flt = Filter(
+        "pButNotQ",
+        [FieldFilter("event_type", values=["click", "view"]), FieldFilter("event_type", values=["view"])],
+    )
+    from miru_spark.query.filters import apply_filter
+
+    got = apply_filter(events, flt).count()
+    exp = ddb.sql(
+        "SELECT count(*) FROM events WHERE event_type IN ('click','view') AND event_type NOT IN ('view')"
+    ).fetchone()[0]
+    assert got == exp
+
+
+def test_filter_array_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c"]), (3, ["b", "c"])], "id int, tags array<string>"
+    )
+    from miru_spark.query.filters import apply_filter
+
+    flt = Filter("and", [FieldFilter("tags", values=["b"])])
+    assert {r["id"] for r in apply_filter(df, flt).collect()} == {1, 3}
+    flt2 = Filter("and", [FieldFilter("tags", prefixes=["c"])])
+    assert {r["id"] for r in apply_filter(df, flt2).collect()} == {2, 3}

@@ -1,0 +1,215 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from miru_spark.pipeline import ann, dedup, multimodal, text
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+        (3, "completely different text about spark and distributed joins"),
+        (4, "Spark and distributed joins, a completely different text about!"),  # norm-near of 3
+        (5, "the quick brown fox jumps over the lazy dog again and again "),  # ws variant of 0
+        (6, "singleton document with unique content entirely its own"),
+    ]
+    return spark.createDataFrame(base, "id long, text string")
+
+
+def test_exact_dedup(docs_with_dups):
+    groups = dedup.exact_duplicate_groups(docs_with_dups, "id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["ids"] == [0, 1]
+    kept = sorted(r["id"] for r in dedup.exact_dedup(docs_with_dups, "id", "text").collect())
+    assert kept == [0, 2, 3, 4, 5, 6]
+
+
+def _py_shingles(txt, n=3):
+    from miru_spark.analysis.tokenizer import tokenize
+
+    toks = tokenize(txt)
+    if len(toks) >= n:
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    return {" ".join(toks)} if toks else set()
+
+
+def test_ngram_jaccard_pairs(docs_with_dups):
+    rows = docs_with_dups.collect()
+    texts = {r["id"]: r["text"] for r in rows}
+    exp = []
+    ids = sorted(texts)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                a, b = _py_shingles(texts[i]), _py_shingles(texts[j])
+                jac = len(a & b) / len(a | b)
+                if jac >= 0.5:
+                    exp.append((i, j, round(jac, 6)))
+    got = [
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs_with_dups, "id", "text", threshold=0.5
+        ).collect()
+    ]
+    assert got == sorted(exp)
+    assert (0, 1) in {(a, b) for a, b, _ in got}
+    assert (0, 5) in {(a, b) for a, b, _ in got}
+
+
+def test_minhash_lsh_finds_near_dups(docs_with_dups):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs_with_dups, "id", "text", num_perm=64, bands=16, verify_threshold=0.4
+        ).collect()
+    }
+    assert (0, 1) in pairs  # exact dups always collide
+    assert (0, 5) in pairs
+    assert (3, 6) not in pairs and (0, 3) not in pairs  # unrelated stay apart
+
+
+def test_minhash_signature_deterministic(docs_with_dups):
+    s1 = {r["id"]: r["signature"] for r in dedup.minhash_signatures(docs_with_dups, "id", "text").collect()}
+    s2 = {r["id"]: r["signature"] for r in dedup.minhash_signatures(docs_with_dups, "id", "text").collect()}
+    assert s1 == s2
+    assert s1[0] == s1[1]  # identical text -> identical signature
+
+
+def test_simhash_pairs(docs_with_dups):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs_with_dups, "id", "text", max_hamming=10).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert pairs.get((0, 5)) == 0  # whitespace variant -> same tokens
+    assert (0, 2) in pairs  # one-word swap -> small hamming
+    assert (0, 6) not in pairs
+
+
+def test_ann_cosine_topk_vs_numpy(spark, sf_dir):
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ann.cosine_topk(vecs, queries, k=5).collect()
+
+    pdf = vecs.toPandas()
+    mat = np.vstack(pdf["embedding"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in range(3):
+        qvec = mat_n[ids == qid][0]
+        cos = mat_n @ qvec
+        order = sorted(zip(-cos, ids), key=lambda t: (t[0], t[1]))
+        exp = [(int(i), round(float(-c), 6)) for c, i in order if i != qid][:5]
+        g = [(r["vec_id"], r["cos"]) for r in got if r["query_id"] == qid]
+        assert [i for i, _ in g] == [i for i, _ in exp]
+        for (gi, gc), (ei, ec) in zip(g, exp):
+            assert abs(gc - ec) < 1e-4
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(vecs.select("embedding").first()["embedding"])
+    exact = ann.cosine_topk(vecs, queries, k=10).collect()
+    # near-random vectors have low-cosine neighbors: use shallow buckets
+    # (4 bits) and more tables so per-neighbor collision prob stays high
+    approx = ann.lsh_topk(vecs, queries, k=10, dim=dim, n_bits=4, n_tables=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # bucketed path finds most true neighbors
+
+
+def test_token_stats_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today quite swiftly"),
+            (1, "x"),
+            (2, "!!! ??? ### $$$"),
+        ],
+        "id long, text string",
+    )
+    stats = {r["id"]: r for r in text.token_stats(df, "id", "text").collect()}
+    assert stats[0]["n_tokens"] == 12
+    assert stats[0]["bpe_tokens"] == sum(-(-len(w) // 4) for w in
+        "the quick brown fox jumps over the lazy dog today quite swiftly".split())
+    assert stats[1]["n_tokens"] == 1
+    assert stats[2]["n_tokens"] == 0
+
+    q = {r["id"]: r["quality"] for r in text.quality_score(df, "id", "text").collect()}
+    assert q[0] == 1.0
+    assert q[1] < 1.0
+    assert q[2] <= 0.25
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog went to the market and it was good for them"),
+            (1, "der hund und die katze sind nicht auf der wiese mit dem ball"),
+            (2, "le chat et le chien sont dans la maison pour la nuit"),
+            (3, "zzz qqq www"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lang_guess"] for r in text.lang_id(df, "id", "text").collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "und"}
+
+
+def test_fingerprints(docs_with_dups):
+    fp = {r["id"]: (r["digest"], r["norm_digest"]) for r in text.fingerprint(docs_with_dups, "id", "text").collect()}
+    assert fp[0][0] == fp[1][0]  # exact dup
+    assert fp[0][0] != fp[5][0]  # trailing whitespace differs
+    assert fp[0][1] == fp[5][1]  # ...but normalized fingerprint matches
+    w = text.winnow_fingerprints(docs_with_dups, "id", "text", k=3, window=2)
+    rows = w.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], set()).add(r["fp"])
+    assert by_id[0] == by_id[1]
+    assert len(by_id[0] & by_id[2]) > 0  # near-dup shares fingerprints
+
+
+def test_multimodal_meta_and_decode(spark):
+    rows = [
+        (0, b"\xff\xd8\xff" + b"a" * 100),
+        (1, b"\x89PNG\r\n\x1a\n" + b"b" * 50),
+        (2, b"plain bytes payload"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, data binary")
+    meta = {r["id"]: r for r in multimodal.binary_meta(df, "id", "data").collect()}
+    assert meta[0]["sniffed_type"] == "image/jpeg"
+    assert meta[1]["sniffed_type"] == "image/png"
+    assert meta[2]["sniffed_type"] == "application/octet-stream"
+    assert meta[3]["n_bytes"] == 0
+    assert meta[0]["n_bytes"] == 103
+    import hashlib
+
+    assert meta[2]["sha1"] == hashlib.sha1(b"plain bytes payload").hexdigest()
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_features(df, "id", "data")
+
+    feats = {r["id"]: r["features"] for r in multimodal.decode_features(df, "id", "data", decoder="fake").collect()}
+    assert len(feats[0]) == 8
+    assert abs(sum(feats[0]) - 1.0) < 1e-9
+    assert feats[3] == [0.0] * 8
+
+    frames = multimodal.frame_sample(df, "id", "data", frame_bytes=32, every=2).collect()
+    f0 = [r for r in frames if r["id"] == 0]
+    assert [r["frame_no"] for r in f0] == [0, 2]
+    assert f0[0]["frame"] == bytes((b"\xff\xd8\xff" + b"a" * 100)[:32])
