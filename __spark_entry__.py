@@ -1,38 +1,726 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship BM25 top-k query at sf0.001.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (fulltext/BM25 index + query, miru's secondary query
+families over the `events` stream table, and the training-pipeline ops
+over `documents`/`embeddings`).  ``oracle_sql()`` carries the DuckDB
+equivalent for every SQL-expressible entry; approximate/seeded ops
+(MinHash-LSH, SimHash, SRP-LSH, winnowing, multimodal stubs) are
+rows-only by design and documented as such on each callable.
+
+Column names and float rounding are aligned on both sides so the
+driver's order-insensitive value-hash comparison is meaningful.
 """
 
 from __future__ import annotations
 
+import math
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from miru_spark.analysis.tokenizer import STOPWORDS_EN, tokenize_udf
+
+K1, B = 1.2, 0.75
+
+# ---------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _reader(spark: SparkSession, sf_dir: str):
+    """Build (once per process per sf_dir) and open the on-disk inverted
+    index over the `documents` table."""
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+
+    if sf_dir not in _INDEX_CACHE:
+        d = os.path.join(tempfile.mkdtemp(prefix="miru_entry_"), "idx")
+        build_index(
+            spark,
+            _read(spark, sf_dir, "documents"),
+            d,
+            id_col="doc_id",
+            text_col="text",
+            n_shards=4,
+            overwrite=True,
+        )
+        _INDEX_CACHE[sf_dir] = d
+    return IndexReader(spark, _INDEX_CACHE[sf_dir])
+
+
+def _bm25_inline(spark: SparkSession, sf_dir: str, terms: list[str], k: int, mode: str) -> DataFrame:
+    """Single-pass declarative BM25 (no persisted index): tokenize ->
+    tf/doclen -> broadcast idf -> score -> distributed top-k. The logical
+    plan the index build/query pipeline factors into stages."""
+    docs = _read(spark, sf_dir, "documents")
+    tok = tokenize_udf()
+    toks = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), tok(F.col("text")).alias("toks"))
+        .withColumn("doclen", F.size("toks"))
+    )
+    g = toks.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
+    n_docs, avgdl = int(g["n"]), float(g["s"]) / int(g["n"])
+
+    tf = (
+        toks.select("doc_id", "doclen", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "doclen", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    dfc = {
+        r["term"]: r["df"]
+        for r in tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).collect()
+    }
+    if mode == "and" and any(dfc.get(t, 0) == 0 for t in terms):
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf_rows = [
+        (t, math.log(1.0 + (n_docs - dfc[t] + 0.5) / (dfc[t] + 0.5))) for t in terms if t in dfc
+    ]
+    idf_df = spark.createDataFrame(idf_rows, "term string, idf double")
+    scored = (
+        tf.join(F.broadcast(idf_df), "term")
+        .withColumn(
+            "contrib",
+            F.col("idf") * F.col("tf") * F.lit(K1 + 1.0)
+            / (F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("doclen") / F.lit(avgdl))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"), F.countDistinct("term").alias("nt"))
+    )
+    if mode == "and":
+        scored = scored.filter(F.col("nt") == len(terms))
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").desc())
+        .limit(k)
+    )
+
+
+# DuckDB-side tokenizer expression (same semantics as analysis.tokenizer)
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS_EN)) + "]"
+
+
+def _bm25_sql(terms: list[str], k: int, mode: str) -> str:
+    vals = ", ".join(f"('{t}')" for t in terms)
+    having = f"WHERE nt = {len(terms)}" if mode == "and" else ""
+    return f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
+st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
+q(term) AS (VALUES {vals}),
+tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * {K1 + 1.0}
+              / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / st.avgdl)) ) AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored {having}
+ORDER BY score DESC, doc_id DESC LIMIT {k}
+"""
+
+
+_BM25_TERMS = ["spark", "query", "data"]
+_OR_TERMS = ["merge", "window"]
+
+
+# ---------------------------------------------------------------------
+# fulltext / index family
+# ---------------------------------------------------------------------
+
+def q_bm25_and(spark, sf_dir):
+    return _bm25_inline(spark, sf_dir, _BM25_TERMS, 10, "and")
+
+
+def q_bm25_or(spark, sf_dir):
+    return _bm25_inline(spark, sf_dir, _OR_TERMS, 10, "or")
+
+
+def q_bm25_index_search(spark, sf_dir):
+    """Disk-index path: parser -> candidates -> BM25 (must equal q_bm25_and)."""
+    from miru_spark.query.bm25 import search
+
+    return search(_reader(spark, sf_dir), " AND ".join(_BM25_TERMS), k=10, round_to=4)
+
+
+def q_bm25_index_wand(spark, sf_dir):
+    """Block-max WAND scale path (must equal q_bm25_and)."""
+    from miru_spark.query.bm25 import search_wand
+
+    r = _reader(spark, sf_dir)
+    out = search_wand(r, _BM25_TERMS, k=10)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_prefix(spark, sf_dir):
+    """Wildcard query `quer*` expanded against the dictionary (OR scoring)."""
+    from miru_spark.query.bm25 import search
+
+    return search(_reader(spark, sf_dir), "quer*", k=10, max_expansion=100000, round_to=4)
+
+
+def q_fulltext_time_newest(spark, sf_dir):
+    """TIME strategy: newest-k matching docs, score = 0."""
+    from miru_spark.query.bm25 import search_time_newest
+
+    return search_time_newest(_reader(spark, sf_dir), "spark AND query", k=20)
+
+
+def q_index_dictionary(spark, sf_dir):
+    """Top-50 dictionary terms by document frequency (df desc, term)."""
+    r = _reader(spark, sf_dir)
+    return (
+        r.dictionary()
+        .select("term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(50)
+    )
+
+
+def q_index_doc_stats(spark, sf_dir):
+    """Global collection stats the BM25 scorer broadcasts (N, Σdoclen, avgdl)."""
+    r = _reader(spark, sf_dir)
+    return spark.createDataFrame(
+        [(int(r.n_docs), int(r.stats["total_tokens"]), float(r.avgdl))],
+        "n_docs long, total_tokens long, avgdl double",
+    ).withColumn("avgdl", F.round("avgdl", 6))
+
+
+# ---------------------------------------------------------------------
+# relational / stream query families (events, lineitem, orders)
+# ---------------------------------------------------------------------
+
+def q_q1_pricing(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_filter_tree(spark, sf_dir):
+    """miru filter AST: pButNotQ((click|purchase|sign*), purchase)."""
+    from miru_spark.query.filters import FieldFilter, Filter, apply_filter
+
+    flt = Filter(
+        op="pButNotQ",
+        field_filters=[
+            FieldFilter("event_type", values=["click", "purchase"], prefixes=["sign"]),
+            FieldFilter("event_type", values=["purchase"]),
+        ],
+    )
+    ev = _read(spark, sf_dir, "events")
+    return apply_filter(ev, flt).select("event_id", "user_id", "event_type").orderBy("event_id")
+
+
+def q_distincts(spark, sf_dir):
+    from miru_spark.operators.aggregates import distincts
+
+    return distincts(_read(spark, sf_dir, "events"), "event_type", prefix="s")
+
+
+def q_distinct_count(spark, sf_dir):
+    from miru_spark.operators.aggregates import distinct_count
+    from miru_spark.query.filters import FieldFilter, Filter
+
+    flt = Filter(field_filters=[FieldFilter("event_type", values=["click", "view"])])
+    return distinct_count(_read(spark, sf_dir, "events"), "user_id", flt=flt)
+
+
+def q_uniques(spark, sf_dir):
+    from miru_spark.operators.aggregates import uniques
+
+    return uniques(_read(spark, sf_dir, "events"), "user_id", "event_type")
+
+
+def q_gather(spark, sf_dir):
+    from miru_spark.operators.aggregates import gather
+
+    return gather(_read(spark, sf_dir, "events"), "event_type", with_counts=True)
+
+
+def q_aggregate_counts(spark, sf_dir):
+    from miru_spark.operators.aggregates import aggregate_counts
+
+    return aggregate_counts(_read(spark, sf_dir, "events"), "user_id", "ts", "event_id")
+
+
+def q_latest_by_user(spark, sf_dir):
+    from miru_spark.operators.latest import latest_by
+
+    out = latest_by(_read(spark, sf_dir, "events"), "user_id", "ts", "event_id")
+    return out.select("event_id", "user_id", "ts", "event_type", "value").orderBy("user_id")
+
+
+_WF_LO, _WF_HI, _WF_N = "2024-01-01 00:00:00", "2024-01-31 00:00:00", 30
+
+
+def q_waveform(spark, sf_dir):
+    from miru_spark.operators.analytics import waveform
+
+    out = waveform(_read(spark, sf_dir, "events"), "ts", _WF_LO, _WF_HI, _WF_N)
+    return out.select("bucket", F.col("n").cast("long").alias("n"))
+
+
+def q_metrics_daily(spark, sf_dir):
+    from miru_spark.operators.analytics import metrics
+
+    out = metrics(_read(spark, sf_dir, "events"), "ts", "value", bucket="day")
+    return out.select(
+        "bucket_ts",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+        "n",
+    )
+
+
+def q_anomaly_daily(spark, sf_dir):
+    from miru_spark.operators.analytics import anomaly
+
+    out = anomaly(_read(spark, sf_dir, "events"), "ts", "value", bucket="day", sigma=1.5)
+    return out.select(
+        "bucket_ts",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("zscore", 6).alias("zscore"),
+        "is_anomaly",
+    )
+
+
+def q_stumptown_tail(spark, sf_dir):
+    from miru_spark.operators.analytics import stumptown_tail
+
+    out = stumptown_tail(_read(spark, sf_dir, "events"), "ts", "event_id", 15)
+    return out.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+def q_trending(spark, sf_dir):
+    from miru_spark.operators.trending import trending
+
+    return trending(
+        _read(spark, sf_dir, "events"), "event_type", "ts", "2024-01-24 00:00:00", k=5
+    ).withColumn("ratio", F.round("ratio", 6))
+
+
+_RECO_SEED = 19
+
+
+def q_reco_cf(spark, sf_dir):
+    from miru_spark.operators.reco import collaborative_filter
+
+    src = (
+        _read(spark, sf_dir, "orders")
+        .join(_read(spark, sf_dir, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item"))
+    )
+    return collaborative_filter(src, "user", "item", _RECO_SEED, n_contributors=50, k=10)
+
+
+# ---------------------------------------------------------------------
+# training-pipeline family (documents, embeddings)
+# ---------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    from miru_spark.pipeline.text import token_stats
+
+    out = token_stats(_read(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "avg_token_len",
+        "stopword_ratio",
+        "bpe_tokens",
+    )
+
+
+def q_quality(spark, sf_dir):
+    from miru_spark.pipeline.text import quality_score
+
+    out = quality_score(_read(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select("id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "alpha_ratio", "stopword_ratio", "quality")
+
+
+def q_lang_id(spark, sf_dir):
+    from miru_spark.pipeline.text import lang_id
+
+    return lang_id(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_fingerprint(spark, sf_dir):
+    from miru_spark.pipeline.text import fingerprint
+
+    return fingerprint(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from miru_spark.pipeline.dedup import exact_dedup
+
+    out = exact_dedup(_read(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select("doc_id").orderBy("doc_id")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from miru_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """Approximate (seeded MinHash) — rows-only check by design."""
+    from miru_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_perm=64, bands=16,
+        verify_threshold=0.5,
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """Approximate (SimHash banding) — rows-only check by design."""
+    from miru_spark.pipeline.dedup import simhash_pairs
+
+    return simhash_pairs(_read(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6)
+
+
+def q_winnow(spark, sf_dir):
+    """xxhash64 winnowing fingerprints — rows-only (no xxhash64 in DuckDB)."""
+    from miru_spark.pipeline.text import winnow_fingerprints
+
+    return winnow_fingerprints(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from miru_spark.pipeline.ann import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=10, query_id_col="query_id")
+    return out.select("query_id", "vec_id", "cos", F.col("rank").cast("long").alias("rank"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate (SRP-LSH buckets, recall<1) — rows-only check by design."""
+    from miru_spark.pipeline.ann import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries, k=10, query_id_col="query_id", dim=64, n_bits=10, n_tables=6)
+    return out.select("query_id", "vec_id", "cos", F.col("rank").cast("long").alias("rank"))
+
+
+def q_cosine_pairs(spark, sf_dir):
+    """Exact embedding near-dup pairs (cos >= 0.45) — blocked matmul."""
+    from miru_spark.pipeline.ann import cosine_pairs_exact
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_pairs_exact(emb, threshold=0.45, round_to=4)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column plumbing (sha1 via Python hashlib) — rows-only."""
+    from miru_spark.pipeline.multimodal import binary_meta
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return binary_meta(docs, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------
+# driver surface
+# ---------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: BM25 AND top-10."""
+    return q_bm25_and(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # fulltext / index
+        "bm25_and": q_bm25_and,
+        "bm25_or": q_bm25_or,
+        "bm25_index_search": q_bm25_index_search,
+        "bm25_index_wand": q_bm25_index_wand,
+        "bm25_prefix": q_bm25_prefix,
+        "fulltext_time_newest": q_fulltext_time_newest,
+        "index_dictionary": q_index_dictionary,
+        "index_doc_stats": q_index_doc_stats,
+        # relational / stream query families
+        "q1_pricing": q_q1_pricing,
+        "filter_tree": q_filter_tree,
+        "distincts": q_distincts,
+        "distinct_count": q_distinct_count,
+        "uniques": q_uniques,
+        "gather": q_gather,
+        "aggregate_counts": q_aggregate_counts,
+        "latest_by_user": q_latest_by_user,
+        "waveform": q_waveform,
+        "metrics_daily": q_metrics_daily,
+        "anomaly_daily": q_anomaly_daily,
+        "stumptown_tail": q_stumptown_tail,
+        "trending": q_trending,
+        "reco_cf": q_reco_cf,
+        # training-pipeline ops
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "winnow": q_winnow,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "cosine_pairs": q_cosine_pairs,
+        "multimodal_meta": q_multimodal_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks_base = f"SELECT doc_id, {_TOKS} AS toks FROM documents"
+    return {
+        "bm25_and": _bm25_sql(_BM25_TERMS, 10, "and"),
+        "bm25_or": _bm25_sql(_OR_TERMS, 10, "or"),
+        "bm25_index_search": _bm25_sql(_BM25_TERMS, 10, "and"),
+        "bm25_index_wand": _bm25_sql(_BM25_TERMS, 10, "and"),
+        "bm25_prefix": f"""
+WITH base AS ({toks_base}),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
+st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
+q AS (SELECT DISTINCT term FROM tk WHERE term LIKE 'quer%'),
+tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * {K1 + 1.0}
+              / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / st.avgdl)) ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored ORDER BY score DESC, doc_id DESC LIMIT 10
+""",
+        "fulltext_time_newest": f"""
+WITH base AS ({toks_base}),
+tk AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM base),
+cand AS (SELECT doc_id FROM tk WHERE term IN ('spark','query') GROUP BY 1 HAVING count(*) = 2)
+SELECT doc_id, 0.0::DOUBLE AS score FROM cand ORDER BY doc_id DESC LIMIT 20
+""",
+        "index_dictionary": f"""
+WITH base AS ({toks_base}),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM tk GROUP BY term ORDER BY df DESC, term LIMIT 50
+""",
+        "index_doc_stats": f"""
+WITH base AS ({toks_base}),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base)
+SELECT count(*)::BIGINT AS n_docs, sum(doclen)::BIGINT AS total_tokens,
+       round(sum(doclen)::DOUBLE / count(*), 6) AS avgdl FROM dl
+""",
+        "q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
+        "filter_tree": """
+SELECT event_id, user_id, event_type FROM events
+WHERE (event_type IN ('click','purchase') OR event_type LIKE 'sign%')
+  AND NOT (event_type IN ('purchase'))
+ORDER BY event_id
+""",
+        "distincts": "SELECT DISTINCT event_type AS value FROM events WHERE event_type LIKE 's%' ORDER BY 1",
+        "distinct_count": "SELECT count(DISTINCT user_id) AS n_distinct FROM events WHERE event_type IN ('click','view')",
+        "uniques": """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "gather": "SELECT event_type AS term, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+        "aggregate_counts": """
+WITH r AS (SELECT user_id, ts, event_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+SELECT user_id, count(*) AS n_collapsed, max(ts) AS latest_time, min(ts) AS oldest_time,
+       max(CASE WHEN rn = 1 THEN event_id END) AS latest_id
+FROM r GROUP BY user_id ORDER BY latest_time DESC, user_id
+""",
+        "latest_by_user": """
+SELECT event_id, user_id, ts, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1 ORDER BY user_id
+""",
+        "waveform": f"""
+WITH b AS (SELECT unnest(generate_series(0, {_WF_N - 1}))::INT AS bucket),
+e AS (SELECT least(greatest(
+        floor((epoch_us(ts)::DOUBLE - epoch_us(TIMESTAMP '{_WF_LO}')::DOUBLE)
+              / ((epoch_us(TIMESTAMP '{_WF_HI}')::DOUBLE - epoch_us(TIMESTAMP '{_WF_LO}')::DOUBLE) / {_WF_N})),
+        0), {_WF_N - 1})::INT AS bucket
+      FROM events
+      WHERE ts >= TIMESTAMP '{_WF_LO}' AND ts < TIMESTAMP '{_WF_HI}'),
+c AS (SELECT bucket, count(*) AS n FROM e GROUP BY 1)
+SELECT b.bucket, coalesce(c.n, 0)::BIGINT AS n FROM b LEFT JOIN c USING (bucket) ORDER BY bucket
+""",
+        "metrics_daily": """
+SELECT date_trunc('day', ts) AS bucket_ts, round(sum(value), 4) AS sum_value,
+       round(avg(value), 6) AS avg_value, count(*) AS n
+FROM events GROUP BY 1 ORDER BY 1
+""",
+        "anomaly_daily": """
+WITH s AS (SELECT date_trunc('day', ts) AS bucket_ts, sum(value) AS sum_value FROM events GROUP BY 1),
+st AS (SELECT avg(sum_value) AS mu, stddev_pop(sum_value) AS sd FROM s)
+SELECT bucket_ts, round(sum_value, 4) AS sum_value,
+       round(CASE WHEN sd > 0 THEN (sum_value - mu) / sd ELSE 0.0 END, 6) AS zscore,
+       abs(CASE WHEN sd > 0 THEN (sum_value - mu) / sd ELSE 0.0 END) > 1.5 AS is_anomaly
+FROM s CROSS JOIN st ORDER BY bucket_ts
+""",
+        "stumptown_tail": """
+SELECT event_id, ts, user_id, event_type, value FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 15
+""",
+        "trending": """
+SELECT event_type AS term,
+       sum(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 1 ELSE 0 END) AS recent_n,
+       count(*) AS total_n,
+       round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS ratio
+FROM events GROUP BY 1 ORDER BY ratio DESC, recent_n DESC, term LIMIT 5
+""",
+        "reco_cf": f"""
+WITH src AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+             FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+mine AS (SELECT i FROM src WHERE u = {_RECO_SEED}),
+contrib AS (SELECT u, count(*) AS shared FROM src
+            WHERE u <> {_RECO_SEED} AND i IN (SELECT i FROM mine)
+            GROUP BY u ORDER BY shared DESC, u LIMIT 50)
+SELECT i AS item, sum(shared) AS score FROM src JOIN contrib USING (u)
+WHERE i NOT IN (SELECT i FROM mine)
+GROUP BY i ORDER BY score DESC, item LIMIT 10
+""",
+        "token_stats": f"""
+WITH base AS ({toks_base})
+SELECT doc_id AS id, len(toks)::BIGINT AS n_tokens,
+       length((SELECT text FROM documents d WHERE d.doc_id = base.doc_id))::BIGINT AS n_chars,
+       round(CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+             ELSE 0.0 END, 6) AS avg_token_len,
+       round(CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))::DOUBLE / len(toks)
+             ELSE 0.0 END, 6) AS stopword_ratio,
+       coalesce(list_sum(list_transform(toks, x -> ceil(length(x) / 4.0)::BIGINT)), 0)::BIGINT AS bpe_tokens
+FROM base
+""",
+        "quality": f"""
+WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id AS id, len(toks) AS n_tokens,
+        CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) ELSE 0.0 END AS atl,
+        round(CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))::DOUBLE / len(toks)
+             ELSE 0.0 END, 6) AS stopword_ratio,
+        round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+             ELSE 0.0 END, 6) AS alpha_ratio
+      FROM base)
+SELECT id, n_tokens::BIGINT AS n_tokens, alpha_ratio, stopword_ratio,
+       round(((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN alpha_ratio >= 0.6 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN round(atl, 6) BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END)) / 4.0, 6) AS quality
+FROM s
+""",
+        "lang_id": f"""
+WITH base AS ({toks_base}),
+h AS (SELECT doc_id AS id,
+  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','sich','auf'], x))) AS de,
+  len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x))) AS en,
+  len(list_filter(toks, x -> list_contains(['el','la','los','las','es','una','para','con','por','se'], x))) AS es,
+  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','dans','que','pour','pas'], x))) AS fr
+FROM base)
+SELECT id, CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+  WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+  WHEN en >= es AND en >= fr THEN 'en'
+  WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_guess
+FROM h
+""",
+        "fingerprint": f"""
+SELECT doc_id AS id, md5(text) AS digest,
+       md5(array_to_string({_TOKS}, ' ')) AS norm_digest
+FROM documents
+""",
+        "dedup_exact": """
+SELECT doc_id FROM (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM documents)
+WHERE doc_id = keep ORDER BY doc_id
+""",
+        "ngram_jaccard": f"""
+WITH base AS ({toks_base}),
+sh AS (SELECT doc_id AS id, unnest(list_distinct(
+         CASE WHEN len(toks) >= 3
+              THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+              ELSE [array_to_string(toks, ' ')] END)) AS s
+       FROM base),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
+SELECT id_a, id_b, round(n::DOUBLE / (x.sz + y.sz - n), 6) AS jaccard
+FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+WHERE n::DOUBLE / (x.sz + y.sz - n) >= 0.8
+ORDER BY id_a, id_b
+""",
+        "ann_cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+s AS (SELECT query_id, vec_id,
+        list_dot_product(qv, vv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv))) AS cos
+      FROM v CROSS JOIN q WHERE vec_id <> query_id),
+r AS (SELECT query_id, vec_id, cos,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM s)
+SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10
+ORDER BY query_id, rank
+""",
+        "cosine_pairs": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
+ORDER BY id_a, id_b
+""",
+    }

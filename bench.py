@@ -1,0 +1,178 @@
+"""Benchmark harness (driver-run per round; also the local feedback loop).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1,
+     "index": {...docs/sec...}, "scaling": {...N vs 4N cores...}}
+
+The ``scaling`` block is the sandbox proxy for the north rule's
+"N -> 4N executors, efficiency >= 0.8": the same deterministic synthetic
+corpus is index-built in two fresh subprocesses at ``local[8]`` and
+``local[32]`` and efficiency = (dps_32 / dps_8) / 4.  Disable with
+``SPARK_GRAFT_NO_SCALING=1`` (the rest of the bench still runs).
+
+Subcommand (used internally): ``python bench.py --scaling-probe CORES NDOCS``
+prints ``{"cores": C, "docs_per_sec": X}``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING_NDOCS = int(os.environ.get("SPARK_GRAFT_SCALING_NDOCS", "120000"))
+
+
+def synth_corpus(spark, n_docs: int):
+    """Deterministic Common-Crawl-shaped corpus, generated JVM-side.
+
+    Zipf-ish vocabulary via hash-powering, a guaranteed head term in ~60%
+    of docs (skew exercise), doclen ~ 50..150 tokens. Pure function of
+    doc_id — no external data, identical at any parallelism.
+    """
+    from pyspark.sql import functions as F
+
+    v = 30000  # vocab size
+    docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    doclen = (F.pmod(F.xxhash64("doc_id"), F.lit(100)) + F.lit(50)).cast("int")
+    docs = docs.withColumn(
+        "text",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), doclen - 1),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.lpad(
+                        F.floor(
+                            F.lit(float(v))
+                            * F.pow(
+                                F.pmod(F.xxhash64("doc_id", F.lit(7), i), F.lit(1 << 20))
+                                / F.lit(float(1 << 20)),
+                                F.lit(3.0),
+                            )
+                        ).cast("string"),
+                        5,
+                        "0",
+                    ),
+                ),
+            ),
+            " ",
+        ),
+    )
+    head = F.pmod(F.xxhash64("doc_id", F.lit(13)), F.lit(10)) < 6
+    docs = docs.withColumn(
+        "text", F.when(head, F.concat(F.lit("the0 "), F.col("text"))).otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", "text")
+
+
+def _scaling_probe(cores: int, n_docs: int) -> None:
+    from miru_spark.index.builder import build_index
+    from miru_spark.session import get_spark
+
+    spark = get_spark(f"bench_probe_{cores}", cores=cores, shuffle_partitions=cores)
+    docs = synth_corpus(spark, n_docs)
+    out = os.path.join(tempfile.mkdtemp(prefix=f"bench_idx_{cores}_"), "idx")
+    t0 = time.monotonic()
+    meta = build_index(spark, docs, out, n_shards=4, overwrite=True)
+    dt = time.monotonic() - t0
+    print(json.dumps({"cores": cores, "docs_per_sec": meta.n_docs / dt, "sec": dt,
+                      "n_docs": meta.n_docs, "n_terms": meta.n_terms}))
+    shutil.rmtree(out, ignore_errors=True)
+    spark.stop()
+
+
+def run_scaling(n_docs: int) -> dict:
+    out = {}
+    for cores in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-probe", str(cores), str(n_docs)],
+            capture_output=True, text=True, timeout=1800, cwd=REPO,
+        )
+        line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        out[f"local[{cores}]"] = json.loads(line)
+    dps8 = out["local[8]"]["docs_per_sec"]
+    dps32 = out["local[32]"]["docs_per_sec"]
+    out["efficiency_8_to_32"] = round((dps32 / dps8) / 4.0, 4)
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-probe":
+        _scaling_probe(int(sys.argv[2]), int(sys.argv[3]))
+        return
+
+    import __spark_entry__ as E
+    from miru_spark.index.builder import build_index
+    from miru_spark.session import get_spark
+
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark("miru_spark_bench", cores=CPUS, shuffle_partitions=CPUS)
+
+    timings: dict[str, float] = {}
+
+    # 1. index build throughput over the documents table (headline metric)
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    idx_dir = os.path.join(tempfile.mkdtemp(prefix="bench_main_"), "idx")
+    t0 = time.monotonic()
+    meta = build_index(spark, docs, idx_dir, id_col="doc_id", text_col="text",
+                       n_shards=4, overwrite=True)
+    t_build = time.monotonic() - t0
+    timings["index_build"] = round(t_build, 3)
+    E._INDEX_CACHE[SF_DIR] = idx_dir  # reuse for the index-backed queries
+
+    # 2. headline queries (each forced with a collect)
+    bench_queries = [
+        "bm25_and", "bm25_index_search", "bm25_index_wand", "bm25_prefix",
+        "q1_pricing", "filter_tree", "aggregate_counts", "latest_by_user",
+        "waveform", "metrics_daily", "trending", "reco_cf",
+        "token_stats", "quality", "lang_id", "fingerprint",
+        "dedup_exact", "ngram_jaccard", "minhash_lsh", "simhash",
+        "ann_cosine_topk", "ann_lsh_topk", "cosine_pairs",
+    ]
+    qs = E.queries()
+    for name in bench_queries:
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).collect()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "index": {
+            "n_docs": meta.n_docs,
+            "n_terms": meta.n_terms,
+            "build_sec": round(t_build, 3),
+            "docs_per_sec": round(meta.n_docs / t_build, 1),
+        },
+        "cores": CPUS,
+    }
+
+    if not os.environ.get("SPARK_GRAFT_NO_SCALING"):
+        spark.stop()  # free the JVM before the probes
+        try:
+            result["scaling"] = run_scaling(SCALING_NDOCS)
+        except Exception as e:  # noqa: BLE001
+            result["scaling"] = {"error": f"{type(e).__name__}: {e}"}
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

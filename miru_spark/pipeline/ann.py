@@ -24,14 +24,24 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _f64(col):
+    # promote array<float> -> array<double> BEFORE multiplying so products
+    # are full-precision (and bit-identical to a float64 oracle)
+    return col.cast(T.ArrayType(T.DoubleType()))
 
 
 def _norm_col(vec_col: str):
-    return F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x))
+    v = _f64(F.col(vec_col))
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
 def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return F.aggregate(
+        F.zip_with(_f64(a), _f64(b), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
 
 
 def cosine_topk(
@@ -168,6 +178,54 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+def cosine_pairs_exact(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via blocked matrix multiply.
+
+    The full (normalized) corpus matrix is broadcast to executors and each
+    Arrow batch computes ``batch @ corpus.T`` in one BLAS call — the exact
+    verification oracle for the LSH-blocked ``cosine_pairs``. Feasible up
+    to ~1M x low-dim (broadcast size) — beyond that use ``cosine_pairs``.
+    Columns: id_a, id_b, cos (id_a < id_b).
+    """
+    src = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    pdf = src.toPandas()
+    all_ids = pdf["id"].to_numpy(np.int64)
+    all_mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+    all_norms = np.sqrt((all_mat * all_mat).sum(axis=1))
+    bc = vectors.sparkSession.sparkContext.broadcast((all_ids, all_mat, all_norms))
+
+    def _pairs(pdf_iter):
+        ids_b, mat_b, norms_b = bc.value
+        for batch in pdf_iter:
+            if len(batch) == 0:
+                continue
+            a_ids = batch["id"].to_numpy(np.int64)
+            a_mat = np.vstack([np.asarray(v, dtype=np.float64) for v in batch["vec"]])
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            cos = (a_mat @ mat_b.T) / (a_norms[:, None] * norms_b[None, :])
+            keep = (cos >= threshold) & (a_ids[:, None] < ids_b[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": ids_b[bi], "cos": np.round(cos[ai, bi], round_to)}
+            )
+        yield pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
+             "cos": pd.Series([], dtype="float64")}
+        )
+
+    return (
+        src.mapInPandas(_pairs, schema="id_a long, id_b long, cos double")
+        .orderBy("id_a", "id_b")
     )
 
 

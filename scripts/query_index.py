@@ -1,0 +1,64 @@
+"""spark-submit entry point for serving BM25 top-k queries over a built index.
+
+Usage::
+
+    spark-submit --py-files /tmp/miru_spark.zip scripts/query_index.py \
+        --index /path/to/index --query "spark AND query" -k 10
+    python scripts/query_index.py --index /tmp/idx --query "quer*" --cores 8 --wand
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", required=True)
+    ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--wand", action="store_true", help="block-max WAND path (flat AND terms)")
+    ap.add_argument("--cores", default=None)
+    args = ap.parse_args()
+
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query.bm25 import search, search_wand
+    from miru_spark.session import get_spark
+
+    if args.cores is not None:
+        spark = get_spark("miru_spark_query", cores=args.cores)
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName("miru_spark_query").getOrCreate()
+
+    reader = IndexReader(spark, args.index)
+    t0 = time.monotonic()
+    if args.wand:
+        from miru_spark.analysis.tokenizer import tokenize
+
+        out = search_wand(reader, tokenize(args.query), k=args.k)
+    else:
+        out = search(reader, args.query, k=args.k)
+    rows = out.collect()
+    dt = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "query": args.query,
+                "k": args.k,
+                "latency_sec": round(dt, 4),
+                "hits": [{"doc_id": r["doc_id"], "score": round(r["score"], 6)} for r in rows],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
