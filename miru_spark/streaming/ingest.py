@@ -1,0 +1,178 @@
+"""Structured-Streaming ingest: micro-batch incremental index shards.
+
+Reference analogue: miru tails its activity WAL from a persisted sip
+cursor in micro-batches and appends postings to the live partition
+(reference: miru-service ``.../partition/MiruLocalHostedPartition.java:
+304-312`` SipMigrateIndexRunnable; cursor ``miru-api/.../wal/
+AmzaSipCursor.java:14-47``; BEGIN/END boundary records
+``MiruPartitioner.java:145-151``).
+
+Spark-first shape: ``readStream`` on the ingest table -> ``foreachBatch``
+-> each micro-batch becomes ONE new index shard (built by the same
+code path as the bulk builder), with
+
+- deterministic dense docIds: the persisted cursor's next block-aligned
+  base + ``row_number() over (order by url)`` within the batch — ids are
+  stable under replay;
+- block alignment: each batch starts at a fresh posting-block boundary so
+  no block straddles shards (the bulk builder guarantees the same);
+- idempotent replay: a shard manifest whose input fingerprint matches is
+  skipped, so foreachBatch retries / restarts never double-index (the sip
+  cursor semantic);
+- additive stats: df/cf/N/avgdl merge across shards in ``finalize()``
+  exactly as in the bulk build (disjoint doc ranges keep them exact).
+
+At cluster scale each micro-batch is a bounded job over the new slice;
+the cursor file is tiny driver-side state next to the index (on a real
+deployment it lives with the checkpoint dir / Iceberg snapshot id).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from miru_spark.index.builder import BLOCK_BITS_DEFAULT, _build_wave, _finalize
+from miru_spark.index.manifest import shard_is_done
+
+
+class StreamingIndexer:
+    """foreachBatch sink that appends one index shard per micro-batch."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        *,
+        id_col: str = "doc_id",
+        order_col: str = "url",
+        text_col: str = "text",
+        stored_cols: list[str] | None = None,
+        block_bits: int = BLOCK_BITS_DEFAULT,
+        use_stopwords: bool = False,
+    ):
+        self.index_dir = index_dir
+        self.id_col = id_col
+        self.order_col = order_col
+        self.text_col = text_col
+        self.stored_cols = stored_cols or []
+        self.block_bits = block_bits
+        self.use_stopwords = use_stopwords
+        os.makedirs(index_dir, exist_ok=True)
+
+    # -- cursor (sip analogue) -----------------------------------------
+    @property
+    def cursor_path(self) -> str:
+        return os.path.join(self.index_dir, "cursor.json")
+
+    def read_cursor(self) -> dict:
+        if not os.path.exists(self.cursor_path):
+            return {"n_shards": 0, "next_doc_id": 0}
+        with open(self.cursor_path) as f:
+            return json.load(f)
+
+    def _write_cursor(self, cur: dict) -> None:
+        tmp = self.cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cur, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.cursor_path)
+
+    # -- foreachBatch --------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Index one micro-batch as a new shard. Safe under replay."""
+        spark = batch_df.sparkSession
+        n = batch_df.count()
+        if n == 0:
+            return
+        cur = self.read_cursor()
+        shard = cur["n_shards"]
+        block_size = 1 << self.block_bits
+        base = ((cur["next_doc_id"] + block_size - 1) // block_size) * block_size
+
+        has_ids = self.id_col in batch_df.columns
+        # fingerprint over the INPUT content (never over cursor-derived ids,
+        # which shift between original run and replay)
+        from miru_spark.index.builder import _input_fingerprint
+
+        fp_key = self.id_col if has_ids else self.order_col
+        fingerprint = f"batch={batch_id};" + _input_fingerprint(batch_df, fp_key, self.text_col)
+        # sip-cursor semantics: a replayed micro-batch matches the manifest
+        # of whichever shard it already became, regardless of position
+        for done in range(cur["n_shards"]):
+            if shard_is_done(self.index_dir, done, fingerprint):
+                return
+
+        if has_ids:
+            docs = batch_df
+        else:
+            # deterministic dense ids within the batch: stable order_col sort
+            from pyspark.sql import Window
+
+            w = Window.orderBy(self.order_col)
+            docs = batch_df.withColumn(
+                self.id_col, (F.row_number().over(w) - 1 + F.lit(base)).cast("long")
+            )
+        bounds = docs.select(
+            F.min(self.id_col).alias("lo"), F.max(self.id_col).alias("hi")
+        ).collect()[0]
+        lo, hi = int(bounds["lo"]), int(bounds["hi"])
+
+        _build_wave(
+            spark, docs, self.index_dir, {shard: (lo, hi)},
+            id_col=self.id_col, text_col=self.text_col,
+            stored=[c for c in self.stored_cols if c != self.id_col],
+            block_bits=self.block_bits, use_stopwords=self.use_stopwords,
+            fingerprint=fingerprint,
+        )
+        self._write_cursor({"n_shards": shard + 1, "next_doc_id": hi + 1,
+                            "last_batch_id": batch_id})
+
+    def finalize(self, spark) -> "object":
+        """Merge per-shard stats into the global dictionary + stats.json.
+
+        Call after the stream drains (or periodically): queries see the
+        index as of the last finalize — miru's ready-watermark semantic
+        (``MiruIndexer.java:122-123``)."""
+        cur = self.read_cursor()
+        return _finalize(
+            spark, self.index_dir, cur["n_shards"], self.block_bits,
+            self.use_stopwords, f"streaming:{cur['n_shards']}",
+        )
+
+    def attach(self, stream_df: DataFrame):
+        """``writeStream.foreachBatch`` wiring (caller starts/awaits)."""
+        return stream_df.writeStream.foreachBatch(self.process_batch)
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_by: str | None = None,
+) -> DataFrame:
+    """Streaming tumbling-window counts with late-data watermarking — the
+    streaming twin of the batch ``analytics.waveform`` (reference:
+    ``Analytics.java:142-199`` bounded cardinalities per time segment;
+    late/out-of-order input tolerated as in ``MiruTimeIndex.
+    TimeOrderAnomalyStream:59-65``)."""
+    # watermarking requires TIMESTAMP (tz-aware); NTZ sources cast in UTC
+    src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, watermark
+    )
+    keys = [F.window(F.col(ts_col), window).alias("win")]
+    if group_by:
+        keys.append(F.col(group_by))
+    return (
+        src.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *([F.col(group_by)] if group_by else []),
+            "n",
+        )
+    )

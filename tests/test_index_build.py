@@ -99,3 +99,42 @@ def test_assign_doc_ids_deterministic(spark, corpus):
     by_url = sorted((r["url"], r["doc_id"]) for r in a)
     ids = [d for _, d in by_url]
     assert ids == list(range(len(ids)))  # dense, in url order
+
+
+def test_crash_resume_identical(spark, corpus, tmp_path):
+    """Interrupted build -> re-run skips done shards and the final index is
+    identical to an uninterrupted build (BASELINE resume target)."""
+    import pytest
+
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, corpus, a_dir, n_shards=3, block_bits=7, overwrite=True)
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_index(
+            spark, corpus, b_dir, n_shards=3, block_bits=7,
+            overwrite=True, fail_after_shard=0,
+        )
+    # resume: shard 0 must be skipped (manifest timestamp preserved)
+    import json
+    import os
+
+    m0 = json.load(open(os.path.join(b_dir, "manifests", "shard_00000.json")))
+    meta_b = build_index(spark, corpus, b_dir, n_shards=3, block_bits=7)
+    m0_after = json.load(open(os.path.join(b_dir, "manifests", "shard_00000.json")))
+    assert m0 == m0_after  # untouched -> was skipped, not rebuilt
+
+    ra, rb = IndexReader(spark, a_dir), IndexReader(spark, b_dir)
+    assert ra.stats == rb.stats | {"input_fingerprint": ra.stats["input_fingerprint"]}
+    da = {(r["term"], r["df"], r["cf"]) for r in ra.dictionary().collect()}
+    db = {(r["term"], r["df"], r["cf"]) for r in rb.dictionary().collect()}
+    assert da == db
+    pa = sorted(
+        (r["term"], r["doc_id"], r["tf"]) for r in ra.postings().collect()
+    )
+    pb = sorted(
+        (r["term"], r["doc_id"], r["tf"]) for r in rb.postings().collect()
+    )
+    assert pa == pb

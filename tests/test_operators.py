@@ -205,3 +205,36 @@ def test_filter_array_overlap(spark):
     assert {r["id"] for r in apply_filter(df, flt).collect()} == {1, 3}
     flt2 = Filter("and", [FieldFilter("tags", prefixes=["c"])])
     assert {r["id"] for r in apply_filter(df, flt2).collect()} == {2, 3}
+
+
+def test_gather_features(events, ddb):
+    got = {
+        (r["user_id"], r["event_type"], r["n"], r["rank"])
+        for r in aggregates.gather_features(events, "user_id", ["event_type"], k=2).collect()
+    }
+    exp = set(
+        ddb.sql(
+            """WITH c AS (SELECT user_id, event_type, count(*) n FROM events GROUP BY 1,2),
+               r AS (SELECT *, row_number() OVER (
+                       PARTITION BY user_id ORDER BY n DESC, event_type) rank FROM c)
+               SELECT user_id, event_type, n, rank FROM r WHERE rank <= 2"""
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_strut_score(events, ddb):
+    model = {"event_type": {"purchase": 3.0, "click": 0.5}}
+    got = [
+        (r["event_id"], r["score"])
+        for r in aggregates.strut_score(events, "event_id", model, k=15).collect()
+    ]
+    exp = ddb.sql(
+        """SELECT event_id, (CASE event_type WHEN 'purchase' THEN 3.0
+             WHEN 'click' THEN 0.5 ELSE 0.0 END)::DOUBLE
+           FROM events ORDER BY 2 DESC, event_id LIMIT 15"""
+    ).fetchall()
+    assert got == [tuple(e) for e in exp]
+
+    got_max = aggregates.strut_score(events, "event_id", model, strategy="max", k=5).collect()
+    assert all(r["score"] == 3.0 for r in got_max)

@@ -1,0 +1,88 @@
+"""Query-parser unit tests (pure Python, no Spark).
+
+Grammar semantics mirror the reference parser: default operator AND,
+MUST/SHOULD/MUST_NOT -> And/Or/Not, `value*` -> Prefix (reference:
+miru-stream-plugins ``.../fulltext/LuceneBackedQueryParser.java:47-53,
+76-144``).
+"""
+
+import pytest
+
+from miru_spark.query.parser import (
+    And,
+    Not,
+    Or,
+    Prefix,
+    QueryParseError,
+    Term,
+    parse_query,
+    positive_leaves,
+)
+
+
+def test_single_term():
+    assert parse_query("Spark") == Term("spark")
+
+
+def test_adjacency_is_and():
+    node = parse_query("spark query data")
+    assert isinstance(node, And)
+    assert node.children == [Term("spark"), Term("query"), Term("data")]
+
+
+def test_explicit_and_equivalent():
+    assert parse_query("spark AND query") == parse_query("spark query")
+
+
+def test_or_precedence_below_and():
+    node = parse_query("a b OR c d")
+    # (a AND b) OR (c AND d) — default-AND binds tighter than OR
+    assert isinstance(node, Or)
+    assert node.children == [
+        And([Term("a"), Term("b")]),
+        And([Term("c"), Term("d")]),
+    ]
+
+
+def test_not_and_dash():
+    n1 = parse_query("a NOT b")
+    n2 = parse_query("a -b")
+    assert n1 == n2
+    assert isinstance(n1, And)
+    assert n1.children == [Term("a"), Not(Term("b"))]
+
+
+def test_parens_group():
+    node = parse_query("a AND (b OR c)")
+    assert node == And([Term("a"), Or([Term("b"), Term("c")])])
+
+
+def test_prefix_leaf():
+    node = parse_query("quer* AND spark")
+    assert node.children[0] == Prefix("quer")
+
+
+def test_case_normalized_through_analyzer():
+    assert parse_query("SPARK Query") == And([Term("spark"), Term("query")])
+
+
+def test_positive_leaves_exclude_not():
+    node = parse_query("a b NOT c OR d")
+    assert [leaf.term for leaf in positive_leaves(node)] == ["a", "b", "d"]
+
+
+@pytest.mark.parametrize("bad", ["", "(a", "a)", "()", "a ("])
+def test_parse_errors(bad):
+    with pytest.raises(QueryParseError):
+        parse_query(bad)
+
+
+def test_bare_operator_word_is_a_term():
+    # a solitary AND/OR token with no right operand is analyzed as the
+    # literal word (matches docs containing "and"), not a syntax error
+    assert parse_query("AND") == Term("and")
+
+
+def test_nested_parens():
+    node = parse_query("((a OR b)) c")
+    assert node == And([Or([Term("a"), Term("b")]), Term("c")])

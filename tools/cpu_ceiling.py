@@ -1,0 +1,59 @@
+"""Hardware parallel-scaling ceiling microbenchmark.
+
+Measures the best achievable N -> 4N process-level scaling for pure
+CPU-bound work on THIS box (no Spark, no I/O, no Python-vs-JVM effects).
+Virtualized/turbo-scaled hosts deliver < 4x from 4x processes even for
+embarrassingly parallel arithmetic; the ratio measured here is the
+ceiling any 4x-parallelism job can reach on one box. On a real
+multi-executor cluster N -> 4N adds machines (each with its own clocks),
+so this penalty does not apply — which is why BENCH/BASELINE.md reports
+both raw job efficiency and job efficiency normalized by this ceiling.
+
+Usage: python tools/cpu_ceiling.py [N] [4N]   (default 8 32)
+Prints one JSON line {"lo": .., "hi": .., "thr_lo": .., "thr_hi": ..,
+"ceiling": ratio/(hi/lo)}.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import sys
+import time
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def throughput(procs: int, per: int = 3_000_000, chunks_per_proc: int = 4, repeats: int = 3) -> float:
+    best = None
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        with mp.Pool(procs) as p:
+            p.map(_burn, [per] * procs * chunks_per_proc)
+        dt = time.monotonic() - t0
+        thr = procs * chunks_per_proc / dt
+        best = thr if best is None else max(best, thr)
+    return best
+
+
+def measure(lo: int = 8, hi: int = 32) -> dict:
+    thr_lo = throughput(lo)
+    thr_hi = throughput(hi)
+    return {
+        "lo": lo,
+        "hi": hi,
+        "thr_lo": round(thr_lo, 2),
+        "thr_hi": round(thr_hi, 2),
+        "ceiling": round((thr_hi / thr_lo) / (hi / lo), 4),
+    }
+
+
+if __name__ == "__main__":
+    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    hi = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    print(json.dumps(measure(lo, hi)))
