@@ -52,6 +52,7 @@ def _reader(spark: SparkSession, sf_dir: str):
             d,
             id_col="doc_id",
             text_col="text",
+            stored_cols=["lang", "source"],
             n_shards=4,
             overwrite=True,
         )
@@ -172,6 +173,17 @@ def q_bm25_prefix(spark, sf_dir):
     from miru_spark.query.bm25 import search
 
     return search(_reader(spark, sf_dir), "quer*", k=10, max_expansion=100000, round_to=4)
+
+
+def q_bm25_lang_constraint(spark, sf_dir):
+    """BM25 with a constraint mask (lang = 'en') semi-joined from the doc
+    store — the reference's constraintsFilter/authz/time masks."""
+    from miru_spark.query.bm25 import search
+
+    return search(
+        _reader(spark, sf_dir), "spark AND query", k=10, round_to=4,
+        constraint=F.col("lang") == "en",
+    )
 
 
 def q_fulltext_time_newest(spark, sf_dir):
@@ -494,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_search": q_bm25_index_search,
         "bm25_index_wand": q_bm25_index_wand,
         "bm25_prefix": q_bm25_prefix,
+        "bm25_lang_constraint": q_bm25_lang_constraint,
         "fulltext_time_newest": q_fulltext_time_newest,
         "index_dictionary": q_index_dictionary,
         "index_doc_stats": q_index_doc_stats,
@@ -552,6 +565,26 @@ scored AS (
               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / st.avgdl)) ) AS score
   FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st GROUP BY tf.doc_id)
 SELECT doc_id, round(score, 4) AS score FROM scored ORDER BY score DESC, doc_id DESC LIMIT 10
+""",
+        "bm25_lang_constraint": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
+st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
+q(term) AS (VALUES ('spark'), ('query')),
+tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * {K1 + 1.0}
+              / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / st.avgdl)) ) AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+WHERE s.nt = 2 AND d.lang = 'en'
+ORDER BY score DESC, s.doc_id DESC LIMIT 10
 """,
         "fulltext_time_newest": f"""
 WITH base AS ({toks_base}),

@@ -110,9 +110,19 @@ def search(
     b: float = B_DEFAULT,
     max_expansion: int = 100,
     round_to: int | None = None,
+    constraint=None,
 ) -> DataFrame:
     """Top-k BM25: returns DataFrame(doc_id long, score double), ordered
-    (score desc, doc_id desc), limited to k."""
+    (score desc, doc_id desc), limited to k.
+
+    ``constraint``: optional mask over the doc store's stored columns
+    (a Column expression, e.g. ``F.col("lang") == "en"`` or a
+    ``warc_ts`` BETWEEN range), ANDed into the candidate set exactly
+    like the reference's constraints/time-range/authz masks
+    (``FullTextCustomQuestion.java:89-114``). The mask is a semi-join
+    against the (slim) doc store, so postings of excluded docs never
+    reach the scorer.
+    """
     ast = qp.parse_query(query) if isinstance(query, str) else query
     expansions = _expand(reader, ast, max_expansion)
 
@@ -132,6 +142,9 @@ def search(
     idf_df = reader.spark.createDataFrame(idf_rows, "term string, idf double")
 
     candidates = _eval_candidates(reader, ast, expansions)
+    if constraint is not None:
+        mask = reader.doc_store().filter(constraint).select("doc_id")
+        candidates = candidates.join(mask, "doc_id", "left_semi")
 
     scored = (
         reader.postings(terms=[t for t, _ in idf_rows])
@@ -147,13 +160,17 @@ def search(
 
 
 def search_time_newest(
-    reader: IndexReader, query: str, k: int = 10, *, max_expansion: int = 100
+    reader: IndexReader, query: str, k: int = 10, *, max_expansion: int = 100,
+    constraint=None,
 ) -> DataFrame:
     """TIME strategy: newest-k matching docs, score = 0 (reference:
     ``FullText.java:222-251`` — descending docId, zero scores)."""
     ast = qp.parse_query(query) if isinstance(query, str) else query
     expansions = _expand(reader, ast, max_expansion)
     cands = _eval_candidates(reader, ast, expansions)
+    if constraint is not None:
+        mask = reader.doc_store().filter(constraint).select("doc_id")
+        cands = cands.join(mask, "doc_id", "left_semi")
     return (
         cands.withColumn("score", F.lit(0.0))
         .orderBy(F.col("doc_id").desc())

@@ -102,3 +102,23 @@ def test_parser():
     assert ast3 == qp.Prefix("pre")
     with pytest.raises(qp.QueryParseError):
         parse_query("(a OR b")
+
+
+def test_search_with_constraint_mask(spark, corpus, built_index):
+    """Constraint mask (lang='en') = reference's constraints/authz AND."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query.bm25 import search
+
+    reader = IndexReader(spark, built_index.index_dir)
+    full = {r["doc_id"]: r["score"] for r in search(reader, "w00000 w00001", k=1000).collect()}
+    constrained = search(
+        reader, "w00000 w00001", k=1000, constraint=F.col("lang") == "en"
+    ).collect()
+    en_docs = {r["doc_id"] for r in corpus.filter(F.col("lang") == "en").collect()}
+    assert constrained, "constraint query returned nothing"
+    for r in constrained:
+        assert r["doc_id"] in en_docs          # mask applied
+        assert r["score"] == full[r["doc_id"]]  # scores unchanged (global stats)
+    assert {r["doc_id"] for r in constrained} == set(full) & en_docs

@@ -1,0 +1,107 @@
+"""Physical-plan audit: assert the plans we want at 100 TB scale.
+
+Checks, per headline query:
+- term predicates reach the parquet scan (PushedFilters on postings);
+- small sides broadcast (BroadcastHashJoin / BroadcastExchange), big
+  sides never build-side of a shuffle join;
+- scans are columnar (Batched: true) and aggregates have map-side
+  partial stages (AQE hides codegen wrappers until execution, so those
+  two markers stand in for WholeStageCodegen);
+- no accidental CartesianProduct (the ANN crossJoin against a broadcast
+  query batch compiles to BroadcastNestedLoopJoin — intended).
+
+Usage: python tools/explain_audit.py [sf_dir]
+Exits non-zero if a MUST marker is missing.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> int:
+    import __spark_entry__ as E
+    from miru_spark.session import get_spark
+
+    spark = get_spark("explain_audit", cores=8, shuffle_partitions=8)
+    failures = []
+
+    def check(name, df, must=(), must_not=()):
+        p = plan_of(df)
+        for m in must:
+            if m not in p:
+                failures.append(f"{name}: missing {m}")
+        for m in must_not:
+            if m in p:
+                failures.append(f"{name}: unexpected {m}")
+        print(f"-- {name}: "
+              + ", ".join(f"{m}={'Y' if m in p else 'N'}" for m in set(must) | set(must_not)))
+
+    r = E._reader(spark, sf_dir)
+
+    # postings term lookup: pushdown is what makes query latency
+    # independent of index size
+    check(
+        "postings_term_scan",
+        r.blocks(terms=["spark", "query"]),
+        must=["PushedFilters", "Batched: true"],
+    )
+
+    from miru_spark.query.bm25 import search
+
+    check(
+        "bm25_index_search",
+        search(r, "spark AND query", k=10),
+        must=["BroadcastHashJoin", "PushedFilters", "TakeOrderedAndProject"],
+        must_not=["CartesianProduct"],
+    )
+
+    check(
+        "q1_pricing",
+        E.q_q1_pricing(spark, sf_dir),
+        must=["Batched: true", "PushedFilters", "partial_"],
+        must_not=["CartesianProduct"],
+    )
+
+    check(
+        "reco_cf",
+        E.q_reco_cf(spark, sf_dir),
+        must=["BroadcastHashJoin"],
+        must_not=["CartesianProduct"],
+    )
+
+    check(
+        "ann_cosine_topk",
+        E.q_ann_cosine_topk(spark, sf_dir),
+        must=["BroadcastNestedLoopJoin"],  # corpus scan x broadcast query batch
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+
+    check(
+        "ngram_jaccard",
+        E.q_ngram_jaccard(spark, sf_dir),
+        must=["Batched: true", "partial_"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
+    print()
+    if failures:
+        print("PLAN AUDIT FAILURES:")
+        for f in failures:
+            print("  " + f)
+        return 1
+    print("PLAN AUDIT OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
