@@ -233,6 +233,25 @@ def q_q1_pricing(spark, sf_dir):
     )
 
 
+def q_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + top-k (customer segment fixed
+    via status filter). Shows join reordering / broadcast of small dims."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
 def q_filter_tree(spark, sf_dir):
     """miru filter AST: pButNotQ((click|purchase|sign*), purchase)."""
     from miru_spark.query.filters import FieldFilter, Filter, apply_filter
@@ -512,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_doc_stats": q_index_doc_stats,
         # relational / stream query families
         "q1_pricing": q_q1_pricing,
+        "q3_shipping": q_q3_shipping,
         "filter_tree": q_filter_tree,
         "distincts": q_distincts,
         "distinct_count": q_distinct_count,
@@ -614,6 +634,16 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
+        "q3_shipping": """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM customer
+JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'O'
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 20
 """,
         "filter_tree": """
 SELECT event_id, user_id, event_type FROM events
