@@ -436,10 +436,15 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    """Exact Jaccard pairs with hot-shingle pruning (df > 100 dropped on
+    BOTH sides — candidate-pruning is part of the algorithm at scale;
+    join cost is Σ df² over shingles, so near-universal shingles from the
+    tiny synthetic vocab dominate it)."""
     from miru_spark.pipeline.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _read(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+        _read(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8,
+        max_shingle_df=100,
     )
 
 
@@ -787,11 +792,13 @@ WHERE doc_id = keep ORDER BY doc_id
 """,
         "ngram_jaccard": f"""
 WITH base AS ({toks_base}),
-sh AS (SELECT doc_id AS id, unnest(list_distinct(
+sh0 AS (SELECT doc_id AS id, unnest(list_distinct(
          CASE WHEN len(toks) >= 3
               THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
               ELSE [array_to_string(toks, ' ')] END)) AS s
        FROM base),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 100),
+sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
 sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
 inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
           FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
