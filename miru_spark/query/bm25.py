@@ -124,6 +124,10 @@ def search(
     reach the scorer.
     """
     ast = qp.parse_query(query) if isinstance(query, str) else query
+    if reader.stats.get("use_stopwords"):
+        ast = qp.prune_stopwords(ast)
+        if ast is None:
+            return reader.spark.createDataFrame([], "doc_id long, score double")
     expansions = _expand(reader, ast, max_expansion)
 
     pos_terms: list[str] = []
@@ -166,6 +170,10 @@ def search_time_newest(
     """TIME strategy: newest-k matching docs, score = 0 (reference:
     ``FullText.java:222-251`` — descending docId, zero scores)."""
     ast = qp.parse_query(query) if isinstance(query, str) else query
+    if reader.stats.get("use_stopwords"):
+        ast = qp.prune_stopwords(ast)
+        if ast is None:
+            return reader.spark.createDataFrame([], "doc_id long, score double")
     expansions = _expand(reader, ast, max_expansion)
     cands = _eval_candidates(reader, ast, expansions)
     if constraint is not None:

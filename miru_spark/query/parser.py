@@ -135,6 +135,31 @@ def parse_query(q: str) -> Node:
     return _Parser(toks).parse()
 
 
+def prune_stopwords(node: Node) -> Node | None:
+    """Drop stopword Term leaves — the query-side analyzer step for a
+    stopword-stripped index (reference: the en_"useStopWords" analyzer
+    variants strip them at query time too, ``TermAnalyzers.java:45-138``).
+
+    Returns None when the whole node vanishes; a NOT over a vanished
+    child is a no-op (a stopword can never exclude anything).
+    """
+    from miru_spark.analysis.tokenizer import STOPWORDS_EN
+
+    if isinstance(node, Term):
+        return None if node.term in STOPWORDS_EN else node
+    if isinstance(node, Prefix):
+        return node
+    if isinstance(node, Not):
+        child = prune_stopwords(node.child)
+        return Not(child) if child is not None else None
+    kept = [c for c in (prune_stopwords(c) for c in node.children) if c is not None]
+    if not kept:
+        return None
+    if len(kept) == 1 and not isinstance(kept[0], Not):
+        return kept[0]
+    return And(kept) if isinstance(node, And) else Or(kept)
+
+
 def positive_leaves(node: Node) -> list[Node]:
     """All Term/Prefix leaves not under a NOT — the scoring terms."""
     if isinstance(node, (Term, Prefix)):

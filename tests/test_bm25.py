@@ -122,3 +122,92 @@ def test_search_with_constraint_mask(spark, corpus, built_index):
         assert r["doc_id"] in en_docs          # mask applied
         assert r["score"] == full[r["doc_id"]]  # scores unchanged (global stats)
     assert {r["doc_id"] for r in constrained} == set(full) & en_docs
+
+
+def test_reference_query_set_match_rate(reader, oracle):
+    """North-rule framing: rank-identical match rate over a deterministic
+    mixed query set must be exactly 1.0 (docIDs AND scores)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    vocab = sorted(oracle.df)
+    queries = []
+    for qi in range(30):
+        shape = qi % 5
+        k = 100 if qi % 3 == 0 else 10
+        n_terms = int(rng.integers(2, 6))
+        terms = list(rng.choice(vocab, size=n_terms, replace=False))
+        if shape == 0:
+            queries.append((" AND ".join(terms), oracle.candidates_and(terms), terms, k))
+        elif shape == 1:
+            queries.append((" OR ".join(terms), oracle.candidates_or(terms), terms, k))
+        elif shape == 2:  # head-term-heavy AND
+            ht = ["the0", terms[0]]
+            queries.append((" AND ".join(ht), oracle.candidates_and(ht), ht, k))
+        elif shape == 3:  # a AND NOT b
+            cands = oracle.postings(terms[0]) - oracle.postings(terms[1])
+            queries.append((f"{terms[0]} NOT {terms[1]}", cands, [terms[0]], k))
+        else:  # single term
+            queries.append((terms[0], oracle.candidates_and([terms[0]]), [terms[0]], k))
+
+    matched = 0
+    for qstr, cands, score_terms, k in queries:
+        expected = oracle.topk(cands, score_terms, k)
+        got = [(r["doc_id"], r["score"]) for r in bm25.search(reader, qstr, k=k).collect()]
+        ok = len(got) == len(expected) and all(
+            gd == ed and abs(gs - es) < 1e-9
+            for (gd, gs), (ed, es) in zip(got, expected)
+        )
+        matched += ok
+        assert ok, (qstr, got[:3], expected[:3])
+    assert matched == len(queries)  # match rate 1.0
+
+
+def test_stopword_analyzer_variant(spark, tmp_path):
+    """use_stopwords=True index drops stopwords at build AND query time,
+    rank-identical to the stopword oracle (TermAnalyzers en_... variant)."""
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+    from tests.oracle import OracleIndex
+
+    texts = {
+        i: f"the quick brown w{i % 7} fox and a lazy dog of w{i % 3} kingdom " * (1 + i % 4)
+        for i in range(40)
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "sw_idx")
+    build_index(spark, docs, idx, n_shards=2, block_bits=5, use_stopwords=True, overwrite=True)
+    reader = IndexReader(spark, idx)
+    oracle = OracleIndex(texts, use_stopwords=True)
+
+    assert "the" not in {r["term"] for r in reader.dictionary().collect()}
+    assert reader.stats["total_tokens"] == sum(oracle.doclen.values())
+
+    terms = ["quick", "w1"]
+    expected = oracle.topk(oracle.candidates_and(terms), terms, 10)
+    got = bm25.search(reader, "quick AND w1", k=10).collect()
+    _assert_rank_identical(got, expected)
+
+
+def test_stopword_query_side_pruning(spark, tmp_path):
+    """A stopword in the query string is dropped by the query analyzer on
+    a stopword index ('the quick' == 'quick'), incl. inside NOT."""
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+
+    texts = {i: f"the quick w{i % 5} and a dog of w{i % 2}" for i in range(20)}
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "swq_idx")
+    build_index(spark, docs, idx, n_shards=1, block_bits=5, use_stopwords=True, overwrite=True)
+    reader = IndexReader(spark, idx)
+
+    base = [(r["doc_id"], round(r["score"], 9)) for r in bm25.search(reader, "quick AND w1", k=20).collect()]
+    with_stop = [(r["doc_id"], round(r["score"], 9)) for r in bm25.search(reader, "the quick AND w1", k=20).collect()]
+    assert base == with_stop and base
+    # NOT of a pure stopword is a no-op, not an exclusion of everything
+    not_stop = [(r["doc_id"], round(r["score"], 9)) for r in bm25.search(reader, "quick AND w1 NOT the", k=20).collect()]
+    assert not_stop == base
