@@ -193,6 +193,18 @@ def q_fulltext_time_newest(spark, sf_dir):
     return search_time_newest(_reader(spark, sf_dir), "spark AND query", k=20)
 
 
+def q_fulltext_highlight(spark, sf_dir):
+    """Top-5 BM25 hits with <b>-tagged snippet fragments (rows-only:
+    fragment extraction is regex-windowing, not SQL-expressible)."""
+    from miru_spark.query.bm25 import search
+    from miru_spark.query.highlight import highlight
+
+    r = _reader(spark, sf_dir)
+    hits = search(r, "spark AND query", k=5, round_to=4)
+    docs = _read(spark, sf_dir, "documents")
+    return highlight(hits, docs, ["spark", "query"])
+
+
 def q_index_dictionary(spark, sf_dir):
     """Top-50 dictionary terms by document frequency (df desc, term)."""
     r = _reader(spark, sf_dir)
@@ -532,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix": q_bm25_prefix,
         "bm25_lang_constraint": q_bm25_lang_constraint,
         "fulltext_time_newest": q_fulltext_time_newest,
+        "fulltext_highlight": q_fulltext_highlight,
         "index_dictionary": q_index_dictionary,
         "index_doc_stats": q_index_doc_stats,
         # relational / stream query families

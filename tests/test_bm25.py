@@ -211,3 +211,18 @@ def test_stopword_query_side_pruning(spark, tmp_path):
     # NOT of a pure stopword is a no-op, not an exclusion of everything
     not_stop = [(r["doc_id"], round(r["score"], 9)) for r in bm25.search(reader, "quick AND w1 NOT the", k=20).collect()]
     assert not_stop == base
+
+
+def test_highlight_fragments(spark, corpus, built_index, reader=None):
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query.highlight import highlight
+
+    r = IndexReader(spark, built_index.index_dir)
+    hits = bm25.search(r, "w00001 AND w00002", k=5)
+    out = highlight(hits, corpus, ["w00001", "w00002"]).collect()
+    assert len(out) == 5
+    for row in out:
+        assert row["fragments"], "expected at least one fragment"
+        joined = " ".join(row["fragments"])
+        assert "<b>w00001</b>" in joined or "<b>w00002</b>" in joined
+        assert row["score"] is not None
