@@ -5,9 +5,10 @@
 SURVEY.md §2 (fulltext/BM25 index + query, miru's secondary query
 families over the `events` stream table, and the training-pipeline ops
 over `documents`/`embeddings`).  ``oracle_sql()`` carries the DuckDB
-equivalent for every SQL-expressible entry; approximate/seeded ops
-(MinHash-LSH, SimHash, SRP-LSH, winnowing, multimodal stubs) are
-rows-only by design and documented as such on each callable.
+equivalent for every SQL-expressible entry; approximate/seeded/regex-
+windowing ops (MinHash-LSH, SimHash, SRP-LSH, winnowing, multimodal
+stubs, snippet highlighting) are rows-only by design and documented as
+such on each callable.
 
 Column names and float rounding are aligned on both sides so the
 driver's order-insensitive value-hash comparison is meaningful.

@@ -238,3 +238,36 @@ def test_strut_score(events, ddb):
 
     got_max = aggregates.strut_score(events, "event_id", model, strategy="max", k=5).collect()
     assert all(r["score"] == 3.0 for r in got_max)
+
+
+def test_filter_array_columns_authz(spark):
+    """Multi-valued (authz-style) fields: any-element match + prefix,
+    and pButNotQ over them — the reference's authz-bitmap OR."""
+    from miru_spark.query.filters import apply_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, ["grp:eng", "site:a"], ["x", "y"]),
+            (2, ["grp:sales"], ["y"]),
+            (3, ["grp:eng", "grp:sales"], ["z"]),
+            (4, [], ["x"]),
+        ],
+        "id long, authz array<string>, tags array<string>",
+    )
+    allowed = Filter(field_filters=[FieldFilter("authz", values=["grp:eng"])])
+    assert {r["id"] for r in apply_filter(df, allowed).collect()} == {1, 3}
+
+    pfx = Filter(field_filters=[FieldFilter("authz", prefixes=["site:"])])
+    assert {r["id"] for r in apply_filter(df, pfx).collect()} == {1}
+
+    p_not_q = Filter(
+        op="pButNotQ",
+        field_filters=[
+            FieldFilter("tags", values=["x", "y"]),
+            FieldFilter("authz", values=["grp:sales"]),
+        ],
+    )
+    assert {r["id"] for r in apply_filter(df, p_not_q).collect()} == {1, 4}
+
+    empty = Filter(field_filters=[FieldFilter("authz")])
+    assert apply_filter(df, empty).count() == 0  # empty term set -> empty
