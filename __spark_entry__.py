@@ -516,6 +516,45 @@ def q_cosine_pairs(spark, sf_dir):
     return cosine_pairs_exact(emb, threshold=0.45, round_to=4)
 
 
+def q_rollup_pricing(spark, sf_dir):
+    """ROLLUP aggregation (free in Spark; absent in the reference)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Decode-stub feature extraction (deterministic fake decoder) over a
+    binary media column — rows-only (Python byte-histogram kernel)."""
+    from miru_spark.pipeline.multimodal import decode_features
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    out = decode_features(docs, "doc_id", "payload", decoder="fake")
+    return out.select(
+        "id", F.transform("features", lambda x: F.round(x, 6)).alias("features")
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Deterministic frame sampling over a binary 'video' column —
+    rows-only (one row per sampled fixed-size frame)."""
+    from miru_spark.pipeline.multimodal import frame_sample
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    out = frame_sample(docs, "doc_id", "payload", frame_bytes=64, every=2)
+    return out.select("id", "frame_no", F.length("frame").alias("frame_len"))
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column plumbing (sha1 via Python hashlib) — rows-only."""
     from miru_spark.pipeline.multimodal import binary_meta
@@ -579,6 +618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "cosine_pairs": q_cosine_pairs,
+        "rollup_pricing": q_rollup_pricing,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -653,6 +695,11 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
+        "rollup_pricing": """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
 """,
         "q3_shipping": """
 SELECT o_orderkey, o_orderdate,

@@ -41,7 +41,7 @@ def test_oracle_keys_subset_of_queries(entry):
     rows_only = set(qs) - set(osql)
     assert rows_only == {
         "minhash_lsh", "simhash", "winnow", "ann_lsh_topk", "multimodal_meta",
-        "fulltext_highlight",
+        "multimodal_features", "multimodal_frames", "fulltext_highlight",
     }
 
 

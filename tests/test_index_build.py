@@ -138,3 +138,24 @@ def test_crash_resume_identical(spark, corpus, tmp_path):
         (r["term"], r["doc_id"], r["tf"]) for r in rb.postings().collect()
     )
     assert pa == pb
+
+
+def test_build_from_html_matches_text(spark, corpus, tmp_path):
+    """input_hint invariant: indexing extract_text(html) is byte-identical
+    to indexing the text column (per-url deterministic extraction)."""
+    from miru_spark.analysis.tokenizer import extract_text_udf
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+
+    from_html = corpus.select(
+        "doc_id", extract_text_udf(F.col("html")).alias("text")
+    )
+    a = str(tmp_path / "from_text")
+    b = str(tmp_path / "from_html")
+    build_index(spark, corpus, a, n_shards=2, block_bits=7, overwrite=True)
+    build_index(spark, from_html, b, n_shards=2, block_bits=7, overwrite=True)
+    ra, rb = IndexReader(spark, a), IndexReader(spark, b)
+    assert ra.stats["total_tokens"] == rb.stats["total_tokens"]
+    da = {(r["term"], r["df"], r["cf"]) for r in ra.dictionary().collect()}
+    db = {(r["term"], r["df"], r["cf"]) for r in rb.dictionary().collect()}
+    assert da == db
