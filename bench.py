@@ -132,10 +132,15 @@ def run_scaling(n_docs: int, cores_pair=(8, 32), repeats: int = 2) -> dict:
     lo, hi = cores_pair
     out = {}
     runs: dict[int, list] = {lo: [], hi: []}
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "900"))
+    t_start = time.monotonic()
     # interleave levels (lo,hi,lo,hi,…): the sandbox VM's throughput
     # drifts 2-3x over minutes (shared host), so back-to-back pairs +
-    # best-of cancel drift that sequential best-of cannot
-    for _ in range(repeats):
+    # best-of cancel drift that sequential best-of cannot. Stop adding
+    # rounds past the time budget (always completes >= one full pair).
+    for rnd in range(repeats):
+        if rnd > 0 and time.monotonic() - t_start > budget:
+            break
         for cores in cores_pair:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-probe",
