@@ -190,6 +190,7 @@ def main() -> None:
     idx_dir = os.path.join(tempfile.mkdtemp(prefix="bench_main_"), "idx")
     t0 = time.monotonic()
     meta = build_index(spark, docs, idx_dir, id_col="doc_id", text_col="text",
+                       stored_cols=["lang", "source"],
                        n_shards=4, overwrite=True)
     t_build = time.monotonic() - t0
     timings["index_build"] = round(t_build, 3)
@@ -198,6 +199,7 @@ def main() -> None:
     # 2. headline queries (each forced with a collect)
     bench_queries = [
         "bm25_and", "bm25_index_search", "bm25_index_wand", "bm25_prefix",
+        "bm25_lang_constraint", "fulltext_highlight",
         "q1_pricing", "filter_tree", "aggregate_counts", "latest_by_user",
         "waveform", "metrics_daily", "trending", "reco_cf",
         "token_stats", "quality", "lang_id", "fingerprint",
