@@ -37,14 +37,21 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 _INDEX_CACHE: dict[str, str] = {}
+_INDEX_LOCK = __import__("threading").Lock()
 
 
 def _reader(spark: SparkSession, sf_dir: str):
     """Build (once per process per sf_dir) and open the on-disk inverted
-    index over the `documents` table."""
+    index over the `documents` table. Lock: a driver running queries()
+    callables concurrently must not double-build."""
     from miru_spark.index.builder import build_index
     from miru_spark.index.reader import IndexReader
 
+    with _INDEX_LOCK:
+        return _reader_locked(spark, sf_dir, build_index, IndexReader)
+
+
+def _reader_locked(spark, sf_dir, build_index, IndexReader):
     if sf_dir not in _INDEX_CACHE:
         d = os.path.join(tempfile.mkdtemp(prefix="miru_entry_"), "idx")
         build_index(
@@ -292,6 +299,13 @@ def q_distinct_count(spark, sf_dir):
 
     flt = Filter(field_filters=[FieldFilter("event_type", values=["click", "view"])])
     return distinct_count(_read(spark, sf_dir, "events"), "user_id", flt=flt)
+
+
+def q_distinct_count_approx(spark, sf_dir):
+    """HLL approx distinct (rows-only: estimator, not SQL-reproducible)."""
+    from miru_spark.operators.aggregates import distinct_count
+
+    return distinct_count(_read(spark, sf_dir, "events"), "user_id", approx=True)
 
 
 def q_uniques(spark, sf_dir):
@@ -593,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_tree": q_filter_tree,
         "distincts": q_distincts,
         "distinct_count": q_distinct_count,
+        "distinct_count_approx": q_distinct_count_approx,
         "uniques": q_uniques,
         "gather": q_gather,
         "aggregate_counts": q_aggregate_counts,

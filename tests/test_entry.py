@@ -42,6 +42,7 @@ def test_oracle_keys_subset_of_queries(entry):
     assert rows_only == {
         "minhash_lsh", "simhash", "winnow", "ann_lsh_topk", "multimodal_meta",
         "multimodal_features", "multimodal_frames", "fulltext_highlight",
+        "distinct_count_approx",
     }
 
 
