@@ -74,9 +74,14 @@ def _bm25_inline(spark: SparkSession, sf_dir: str, terms: list[str], k: int, mod
     plan the index build/query pipeline factors into stages."""
     docs = _read(spark, sf_dir, "documents")
     tok = tokenize_udf()
+    # persist: the tokenized relation feeds three consumers (corpus stats,
+    # tf extraction, df counts) — one Arrow-UDF pass instead of three.
+    # Spark's cache manager plan-matches, so repeated calls on the same
+    # sf_dir reuse it too.
     toks = (
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), tok(F.col("text")).alias("toks"))
         .withColumn("doclen", F.size("toks"))
+        .persist()
     )
     g = toks.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
     n_docs, avgdl = int(g["n"]), float(g["s"]) / int(g["n"])

@@ -64,11 +64,18 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
-def _shingle_col(text_col: str, n: int):
-    """n-gram (word shingle) array column, JVM-side: tokenize via split/
-    lower/regexp then sliding window join."""
+def _tokens_col(text_col: str):
     toks = F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]+", " ")), r"\s+")
-    toks = F.filter(toks, lambda x: x != "")
+    return F.filter(toks, lambda x: x != "")
+
+
+def _shingle_from_tokens(toks_col: str, n: int):
+    """Sliding-window shingle array from a *materialized* token-array
+    column. The token array must be projected to its own column first:
+    inlining the split/regexp expression here would re-evaluate it once
+    per lambda invocation (once per shingle index — O(len²) per doc,
+    ~16x slower measured)."""
+    toks = F.col(toks_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.when(
         F.size(toks) >= n,
@@ -78,8 +85,9 @@ def _shingle_col(text_col: str, n: int):
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct (id, shingle) pairs — the shingle-set representation."""
+    toks = df.select(F.col(id_col).alias("id"), _tokens_col(text_col).alias("toks"))
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(_shingle_col(text_col, n)).alias("shingle"))
+        toks.select("id", F.explode(_shingle_from_tokens("toks", n)).alias("shingle"))
         .distinct()
     )
 
@@ -98,9 +106,13 @@ def ngram_jaccard_pairs(
     Columns: id_a, id_b (id_a < id_b), jaccard. |A∩B| from the join,
     |A|,|B| from per-doc shingle counts; J = inter / (|A|+|B|-inter).
     """
+    # the hashed shingle relation feeds four consumers (hot-df count,
+    # sizes, both self-join sides) — materialize it once. At cluster
+    # scale this is the step you'd write to a table (it IS the shingle
+    # inverted index); in-process, persist() gives the same single-eval.
     sh = shingles(df, id_col, text_col, n).withColumn(
         "h", F.xxhash64("shingle")
-    ).select("id", "h")
+    ).select("id", "h").persist()
     if max_shingle_df is not None:
         hot = sh.groupBy("h").count().filter(F.col("count") > max_shingle_df).select("h")
         sh = sh.join(F.broadcast(hot), "h", "left_anti")
