@@ -101,25 +101,37 @@ def srp_signatures(
     dim: int,
     n_bits: int = 16,
     seed: int = 11,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Sign-random-projection signature per vector. Columns: id, bucket."""
-    planes = _hyperplanes(dim, n_bits, seed)
+    """Sign-random-projection signatures. Columns: id, table, bucket.
+
+    ALL ``n_tables`` tables are computed in ONE pass over the vectors —
+    the plane matrices are stacked into one (n_tables*n_bits, dim) GEMM
+    per Arrow batch, then split per table. One corpus scan regardless of
+    table count (scanning once per table multiplies the dominant cost at
+    cluster scale)."""
+    planes = np.vstack([_hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)])
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
 
     def _sig(pdf_iter):
         for pdf in pdf_iter:
             if len(pdf) == 0:
-                yield pd.DataFrame({"id": [], "bucket": []}).astype(
-                    {"id": "int64", "bucket": "int64"}
-                )
                 continue
             mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
-            bits = (mat @ planes.T) > 0
-            weights = (1 << np.arange(n_bits, dtype=np.int64))
-            buckets = (bits.astype(np.int64) * weights[None, :]).sum(axis=1)
-            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "bucket": buckets})
+            bits = (mat @ planes.T) > 0  # (rows, n_tables*n_bits)
+            ids = pdf["id"].to_numpy()
+            out_ids = np.repeat(ids, n_tables)
+            out_tbl = np.tile(np.arange(n_tables, dtype=np.int32), len(ids))
+            bt = bits.reshape(len(ids), n_tables, n_bits).astype(np.int64)
+            buckets = (bt * weights[None, None, :]).sum(axis=2).reshape(-1)
+            yield pd.DataFrame({"id": out_ids, "table": out_tbl, "bucket": buckets})
+        yield pd.DataFrame(
+            {"id": pd.Series([], dtype="int64"), "table": pd.Series([], dtype="int32"),
+             "bucket": pd.Series([], dtype="int64")}
+        )
 
     src = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    return src.mapInPandas(_sig, schema="id long, bucket long")
+    return src.mapInPandas(_sig, schema="id long, table int, bucket long")
 
 
 def lsh_topk(
@@ -144,17 +156,17 @@ def lsh_topk(
     """
     from pyspark.sql import Window
 
-    cand_frames = []
-    for t in range(n_tables):
-        vs = srp_signatures(vectors, id_col=id_col, vec_col=vec_col, dim=dim,
-                            n_bits=n_bits, seed=seed + t).withColumnRenamed("id", "vec_id")
-        qs = srp_signatures(queries, id_col=query_id_col, vec_col=vec_col, dim=dim,
-                            n_bits=n_bits, seed=seed + t).withColumnRenamed("id", "query_id")
-        cand_frames.append(vs.join(F.broadcast(qs), "bucket").select("query_id", "vec_id"))
-    cands = cand_frames[0]
-    for c in cand_frames[1:]:
-        cands = cands.union(c)
-    cands = cands.distinct()
+    vs = srp_signatures(vectors, id_col=id_col, vec_col=vec_col, dim=dim,
+                        n_bits=n_bits, seed=seed, n_tables=n_tables
+                        ).withColumnRenamed("id", "vec_id")
+    qs = srp_signatures(queries, id_col=query_id_col, vec_col=vec_col, dim=dim,
+                        n_bits=n_bits, seed=seed, n_tables=n_tables
+                        ).withColumnRenamed("id", "query_id")
+    cands = (
+        vs.join(F.broadcast(qs), ["table", "bucket"])
+        .select("query_id", "vec_id")
+        .distinct()
+    )
     if exclude_self:
         cands = cands.filter(F.col("vec_id") != F.col("query_id"))
 
@@ -244,20 +256,20 @@ def cosine_pairs(
 
     Columns: id_a, id_b, cos. High-cosine pairs collide in at least one
     low-bit SRP table with high probability; exact cosine verifies."""
-    cand_frames = []
-    for t in range(n_tables):
-        sig = srp_signatures(vectors, id_col=id_col, vec_col=vec_col, dim=dim,
-                             n_bits=n_bits, seed=seed + t)
-        a = sig.alias("a")
-        b = sig.alias("b")
-        cand_frames.append(
-            a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    sig = srp_signatures(vectors, id_col=id_col, vec_col=vec_col, dim=dim,
+                         n_bits=n_bits, seed=seed, n_tables=n_tables)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
         )
-    cands = cand_frames[0]
-    for c in cand_frames[1:]:
-        cands = cands.union(c)
-    cands = cands.distinct()
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
     v_a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     v_b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
