@@ -181,6 +181,15 @@ def q_bm25_index_wand(spark, sf_dir):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_index_wand_or(spark, sf_dir):
+    """Disjunctive block-max WAND (must equal q_bm25_or)."""
+    from miru_spark.query.bm25 import search_wand
+
+    r = _reader(spark, sf_dir)
+    out = search_wand(r, _OR_TERMS, k=10, mode="or")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_prefix(spark, sf_dir):
     """Wildcard query `quer*` expanded against the dictionary (OR scoring)."""
     from miru_spark.query.bm25 import search
@@ -600,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or": q_bm25_or,
         "bm25_index_search": q_bm25_index_search,
         "bm25_index_wand": q_bm25_index_wand,
+        "bm25_index_wand_or": q_bm25_index_wand_or,
         "bm25_prefix": q_bm25_prefix,
         "bm25_lang_constraint": q_bm25_lang_constraint,
         "fulltext_time_newest": q_fulltext_time_newest,
@@ -652,6 +662,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or": _bm25_sql(_OR_TERMS, 10, "or"),
         "bm25_index_search": _bm25_sql(_BM25_TERMS, 10, "and"),
         "bm25_index_wand": _bm25_sql(_BM25_TERMS, 10, "and"),
+        "bm25_index_wand_or": _bm25_sql(_OR_TERMS, 10, "or"),
         "bm25_prefix": f"""
 WITH base AS ({toks_base}),
 dl AS (SELECT doc_id, len(toks) AS doclen FROM base),

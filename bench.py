@@ -218,7 +218,8 @@ def main() -> None:
 
     # 2. headline queries (each forced with a collect)
     bench_queries = [
-        "bm25_and", "bm25_index_search", "bm25_index_wand", "bm25_prefix",
+        "bm25_and", "bm25_index_search", "bm25_index_wand", "bm25_index_wand_or",
+        "bm25_prefix",
         "bm25_lang_constraint", "fulltext_highlight",
         "q1_pricing", "filter_tree", "aggregate_counts", "latest_by_user",
         "waveform", "metrics_daily", "trending", "reco_cf",

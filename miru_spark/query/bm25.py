@@ -197,23 +197,36 @@ def search_wand(
     *,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    mode: str = "and",
 ) -> DataFrame:
-    """Top-k BM25 for an AND-of-terms query with block-max pruning.
+    """Top-k BM25 for a flat AND/OR-of-terms query with block-max pruning.
 
-    Physical plan: blocks of the query terms -> groupBy(block_key) keeping
-    only groups that contain all |terms| (block-granular posting-list
-    intersection; work is proportional to co-occurring doc ranges, not to
-    the head term's full posting list) -> per-partition WAND heap.
+    Physical plan: blocks of the query terms -> groupBy(block_key); with
+    ``mode="and"`` only groups containing all |terms| survive
+    (block-granular posting-list intersection; work is proportional to
+    co-occurring doc ranges, not to the head term's full posting list);
+    with ``mode="or"`` every group survives but the block-max upper bound
+    of the terms *present in the group* still prunes groups that cannot
+    beat the current heap threshold — classic (block-max) WAND, where the
+    pruning does the most work for disjunctions. Per-doc scores are
+    complete within one group either way: a doc's block_key is a function
+    of its doc_id, so all its query-term postings co-group.
     """
+    if mode not in ("and", "or"):
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
     terms = list(dict.fromkeys(terms))
     n_terms = len(terms)
     stats = reader.term_stats(terms)
-    if len(stats) < n_terms:
+    if mode == "and" and len(stats) < n_terms:
         return reader.spark.createDataFrame(
             [], "doc_id long, score double"
         )  # a term is missing -> empty AND
+    terms = [t for t in terms if t in stats]
+    if not terms:
+        return reader.spark.createDataFrame([], "doc_id long, score double")
     idf = {t: reader.idf(stats[t]["df"]) for t in terms}
     avgdl, block_bits = reader.avgdl, reader.block_bits
+    conjunctive = mode == "and"
 
     # countDistinct (not count): an incrementally-built index may hold
     # several blocks of the same term under one block_key (one per shard
@@ -227,9 +240,10 @@ def search_wand(
                 F.struct("term", "n", "max_tf", "min_doclen", "doc_ids", "tfs", "doclens")
             ).alias("blocks"),
         )
-        .filter(F.col("n_terms_present") == n_terms)
-        .repartition(reader.spark.sparkContext.defaultParallelism, "block_key")
     )
+    if conjunctive:
+        grouped = grouped.filter(F.col("n_terms_present") == len(terms))
+    grouped = grouped.repartition(reader.spark.sparkContext.defaultParallelism, "block_key")
 
     def _ub(idf_t: float, max_tf: int, min_doclen: int) -> float:
         norm = k1 * (1.0 - b + b * min_doclen / avgdl)
@@ -275,22 +289,35 @@ def search_wand(
                         dls = np.concatenate([c[2] for c in chunks])
                         order = np.argsort(ids, kind="stable")
                         decoded[term] = (ids[order], tfs[order], dls[order])
-                # intersect doc ids across terms (AND)
-                inter = decoded[terms[0]][0]
-                for t in terms[1:]:
-                    inter = np.intersect1d(inter, decoded[t][0], assume_unique=True)
-                    if inter.size == 0:
-                        break
+                present = [t for t in terms if t in decoded]
+                if conjunctive:
+                    # intersect doc ids across terms (AND)
+                    inter = decoded[present[0]][0]
+                    for t in present[1:]:
+                        inter = np.intersect1d(inter, decoded[t][0], assume_unique=True)
+                        if inter.size == 0:
+                            break
+                else:
+                    # union of doc ids (OR)
+                    inter = decoded[present[0]][0]
+                    for t in present[1:]:
+                        inter = np.union1d(inter, decoded[t][0])
                 if inter.size == 0:
                     continue
                 scores = np.zeros(inter.size, dtype=np.float64)
-                doclen = None
-                for t in terms:
+                for t in present:
                     ids, tfs, dls = decoded[t]
-                    pos = np.searchsorted(ids, inter)
+                    if conjunctive:
+                        member = np.full(inter.size, True)
+                        pos = np.searchsorted(ids, inter)
+                    else:
+                        pos = np.searchsorted(ids, inter)
+                        member = (pos < ids.size) & (ids[np.minimum(pos, ids.size - 1)] == inter)
+                        pos = np.minimum(pos, ids.size - 1)
                     tf = tfs[pos].astype(np.float64)
                     dl = dls[pos].astype(np.float64)
-                    scores += idf[t] * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    contrib = idf[t] * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    scores += np.where(member, contrib, 0.0)
                 for s, d in zip(scores, inter):
                     item = (float(s), int(d))
                     if len(heap) < k:

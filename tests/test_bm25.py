@@ -83,6 +83,32 @@ def test_wand_missing_term_empty(reader):
     assert bm25.search_wand(reader, ["w00001", "zzznope"], k=5).count() == 0
 
 
+def test_wand_or_matches_exact(reader, oracle):
+    for terms, k in [(["w00001", "w00004"], 10), (["the0", "w00002"], 5),
+                     (["w00003", "w00007", "w00009"], 12)]:
+        exact = bm25.search(reader, " OR ".join(terms), k=k).collect()
+        wand = bm25.search_wand(reader, terms, k=k, mode="or").collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in exact] == [
+            (r["doc_id"], round(r["score"], 9)) for r in wand
+        ]
+
+
+def test_wand_or_ignores_missing_term(reader, oracle):
+    # OR drops the unknown term and still scores the rest (AND would be empty)
+    exact = bm25.search(reader, "w00001", k=10).collect()
+    wand = bm25.search_wand(reader, ["w00001", "zzznope"], k=10, mode="or").collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in exact] == [
+        (r["doc_id"], round(r["score"], 9)) for r in wand
+    ]
+
+
+def test_wand_bad_mode(reader):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25.search_wand(reader, ["w00001"], k=5, mode="xor")
+
+
 def test_time_strategy_newest_first(reader, oracle):
     got = bm25.search_time_newest(reader, "w00001", k=8).collect()
     cands = sorted(oracle.postings("w00001"), reverse=True)[:8]
