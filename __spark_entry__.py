@@ -417,6 +417,19 @@ def q_strut_score(spark, sf_dir):
     )
 
 
+def q_catwalk_model(spark, sf_dir):
+    """Catwalk model build: per feature value, positives/total + weight
+    (the FeatureScore numerator/denominator rows the Strut scorer
+    consumes)."""
+    from miru_spark.operators.aggregates import catwalk_fit
+
+    return catwalk_fit(
+        _read(spark, sf_dir, "events"),
+        ["event_type", "user_id"],
+        F.col("value") > 10,
+    ).withColumn("weight", F.round("weight", 6))
+
+
 _RECO_SEED = 19
 
 
@@ -628,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_counts": q_aggregate_counts,
         "gather_features": q_gather_features,
         "strut_score": q_strut_score,
+        "catwalk_model": q_catwalk_model,
         "latest_by_user": q_latest_by_user,
         "waveform": q_waveform,
         "metrics_daily": q_metrics_daily,
@@ -774,6 +788,17 @@ SELECT event_id,
        (CASE event_type WHEN 'purchase' THEN 3.0 WHEN 'signup' THEN 2.0
              WHEN 'click' THEN 0.5 ELSE 0.0 END)::DOUBLE AS score
 FROM events ORDER BY score DESC, event_id LIMIT 25
+""",
+        "catwalk_model": """
+WITH melted AS (
+  SELECT 'event_type' AS feature, event_type AS val,
+         CASE WHEN value > 10 THEN 1 ELSE 0 END AS pos FROM events
+  UNION ALL
+  SELECT 'user_id', user_id::VARCHAR, CASE WHEN value > 10 THEN 1 ELSE 0 END FROM events
+)
+SELECT feature, val AS value, sum(pos) AS numerator, count(*) AS denominator,
+       round(sum(pos)::DOUBLE / count(*), 6) AS weight
+FROM melted GROUP BY 1, 2 ORDER BY feature, value
 """,
         "latest_by_user": """
 SELECT event_id, user_id, ts, event_type, value FROM (

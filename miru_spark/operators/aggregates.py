@@ -95,6 +95,58 @@ def gather_features(
     )
 
 
+def catwalk_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    positive,
+    *,
+    flt: Filter | None = None,
+    min_denominator: int = 1,
+) -> DataFrame:
+    """Build a Strut/Catwalk-style model from feature counts.
+
+    Reference: the catwalk service computes, per feature value, a
+    numerator (matching docs that are also in the positive answer set)
+    over a denominator (all matching docs with that value) — the
+    ``FeatureScore{numerators, denominator}`` rows of
+    ``miru-catwalk-shared/.../FeatureScore.java:15-18``, consumed by
+    ``StrutModelScorer``. Spark recipe: melt the feature columns into
+    (feature, value) pairs with ONE scan (explode of a struct array,
+    not one pass per feature), then a single groupBy computing both
+    counts; weight = numerator / denominator.
+
+    ``positive``: a Column predicate marking the positive set (the
+    reference's gatherFilter answer). Columns: feature, value,
+    numerator, denominator, weight — feed ``weights_dict`` of the
+    result straight into ``strut_score``.
+    """
+    src = apply_filter(df, flt)
+    pairs = F.explode(
+        F.array(*[
+            F.struct(F.lit(c).alias("feature"), F.col(c).cast("string").alias("value"))
+            for c in feature_cols
+        ])
+    )
+    melted = src.select(pairs.alias("fv"), F.when(positive, 1).otherwise(0).alias("pos"))
+    return (
+        melted.select(F.col("fv.feature").alias("feature"), F.col("fv.value").alias("value"), "pos")
+        .groupBy("feature", "value")
+        .agg(F.sum("pos").alias("numerator"), F.count(F.lit(1)).alias("denominator"))
+        .filter(F.col("denominator") >= min_denominator)
+        .withColumn("weight", F.col("numerator") / F.col("denominator"))
+        .orderBy("feature", "value")
+    )
+
+
+def catwalk_weights(model_df: DataFrame) -> dict[str, dict[str, float]]:
+    """Collect a (small) fitted model into the broadcastable nested-dict
+    shape ``strut_score`` consumes: {feature_col: {value: weight}}."""
+    out: dict[str, dict[str, float]] = {}
+    for r in model_df.collect():
+        out.setdefault(r["feature"], {})[r["value"]] = float(r["weight"])
+    return out
+
+
 def strut_score(
     df: DataFrame,
     id_col: str,

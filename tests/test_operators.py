@@ -240,6 +240,39 @@ def test_strut_score(events, ddb):
     assert all(r["score"] == 3.0 for r in got_max)
 
 
+def test_catwalk_fit(events, ddb):
+    from pyspark.sql import functions as F
+
+    got = [
+        (r["feature"], r["value"], r["numerator"], r["denominator"], r["weight"])
+        for r in aggregates.catwalk_fit(
+            events, ["event_type"], F.col("value") > 10
+        ).collect()
+    ]
+    exp = ddb.sql(
+        """SELECT 'event_type' AS feature, event_type AS val,
+                  sum(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS numerator,
+                  count(*) AS denominator,
+                  sum(CASE WHEN value > 10 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS weight
+           FROM events GROUP BY 1, 2 ORDER BY val"""
+    ).fetchall()
+    assert got == [tuple(e) for e in exp]
+
+
+def test_catwalk_fit_feeds_strut(events):
+    """fit -> weights_dict -> strut_score roundtrip is consistent."""
+    from pyspark.sql import functions as F
+
+    model_df = aggregates.catwalk_fit(events, ["event_type"], F.col("value") > 10)
+    weights = aggregates.catwalk_weights(model_df)
+    assert set(weights) == {"event_type"}
+    assert all(0.0 <= w <= 1.0 for w in weights["event_type"].values())
+    scored = aggregates.strut_score(events, "event_id", weights, k=5).collect()
+    assert len(scored) == 5
+    best = max(weights["event_type"].values())
+    assert scored[0]["score"] == best
+
+
 def test_filter_array_columns_authz(spark):
     """Multi-valued (authz-style) fields: any-element match + prefix,
     and pButNotQ over them — the reference's authz-bitmap OR."""
