@@ -430,6 +430,41 @@ def q_catwalk_model(spark, sf_dir):
     ).withColumn("weight", F.round("weight", 6))
 
 
+def q_inbox_unread(spark, sf_dir):
+    """Per-user unread counts after folding READ/UNREAD/MARK_ALL_READ
+    marks (derived deterministically from the event stream: click =
+    read-mark of the user's previous event, signup = unread-mark of it,
+    error = mark-all-read watermark)."""
+    from pyspark.sql import Window
+
+    from miru_spark.operators.inbox import unread_counts
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    prev = ev.withColumn("prev_id", F.lag("event_id").over(w))
+
+    def _targeted(ev_type: str, mark: str) -> DataFrame:
+        return prev.filter(
+            (F.col("event_type") == ev_type) & F.col("prev_id").isNotNull()
+        ).select(
+            F.col("user_id").alias("user"),
+            F.lit(mark).alias("mark"),
+            F.col("prev_id").alias("target_id"),
+            F.lit(None).cast("timestamp").alias("up_to_ts"),
+            F.col("ts").alias("mark_ts"),
+        )
+
+    all_read = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("user"),
+        F.lit("mark_all_read").alias("mark"),
+        F.lit(None).cast("long").alias("target_id"),
+        F.col("ts").alias("up_to_ts"),
+        F.col("ts").alias("mark_ts"),
+    )
+    marks = _targeted("click", "read").union(_targeted("signup", "unread")).union(all_read)
+    return unread_counts(ev, marks)
+
+
 _RECO_SEED = 19
 
 
@@ -642,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gather_features": q_gather_features,
         "strut_score": q_strut_score,
         "catwalk_model": q_catwalk_model,
+        "inbox_unread": q_inbox_unread,
         "latest_by_user": q_latest_by_user,
         "waveform": q_waveform,
         "metrics_daily": q_metrics_daily,
@@ -799,6 +835,35 @@ WITH melted AS (
 SELECT feature, val AS value, sum(pos) AS numerator, count(*) AS denominator,
        round(sum(pos)::DOUBLE / count(*), 6) AS weight
 FROM melted GROUP BY 1, 2 ORDER BY feature, value
+""",
+        "inbox_unread": """
+WITH prev AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id
+  FROM events),
+marks AS (
+  SELECT user_id AS mu, 'read' AS mark, prev_id AS target_id,
+         NULL::TIMESTAMP AS up_to_ts, ts AS mark_ts
+  FROM prev WHERE event_type = 'click' AND prev_id IS NOT NULL
+  UNION ALL
+  SELECT user_id, 'unread', prev_id, NULL, ts
+  FROM prev WHERE event_type = 'signup' AND prev_id IS NOT NULL
+  UNION ALL
+  SELECT user_id, 'mark_all_read', NULL, ts, ts FROM events WHERE event_type = 'error'),
+keyed AS (
+  SELECT mu, mark, target_id, coalesce(up_to_ts, mark_ts) AS up_to_ts,
+         epoch_us(mark_ts) * 4
+           + (CASE mark WHEN 'mark_all_read' THEN 0 WHEN 'read' THEN 1 ELSE 2 END) AS k
+  FROM marks),
+state AS (
+  SELECT e.user_id, e.event_id, arg_max(m.mark, m.k) AS wmark
+  FROM events e LEFT JOIN keyed m
+    ON e.user_id = m.mu AND ((m.target_id IS NOT NULL AND m.target_id = e.event_id)
+        OR (m.target_id IS NULL AND e.ts <= m.up_to_ts))
+  GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_unread
+FROM state WHERE wmark IS NULL OR wmark = 'unread'
+GROUP BY 1 ORDER BY user_id
 """,
         "latest_by_user": """
 SELECT event_id, user_id, ts, event_type, value FROM (

@@ -304,3 +304,58 @@ def test_filter_array_columns_authz(spark):
 
     empty = Filter(field_filters=[FieldFilter("authz")])
     assert apply_filter(df, empty).count() == 0  # empty term set -> empty
+
+
+def test_inbox_read_state(spark):
+    """READ/UNREAD/MARK_ALL_READ fold: latest covering mark wins,
+    default unread (MiruReadTracker.java:21-76 semantics)."""
+    from datetime import datetime
+
+    from miru_spark.operators import inbox
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 00:0{s}:00")
+    ev = spark.createDataFrame(
+        [(1, 10, t(1)), (1, 11, t(2)), (1, 12, t(3)), (2, 20, t(1)), (2, 21, t(2))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    marks = spark.createDataFrame(
+        [
+            # user 1: mark-all-read up to t2 (covers 10, 11), then explicit unread of 10
+            (1, "mark_all_read", None, t(2), t(4)),
+            (1, "unread", 10, None, t(5)),
+            # user 2: targeted read of 21
+            (2, "read", 21, None, t(4)),
+        ],
+        "user long, mark string, target_id long, up_to_ts timestamp, mark_ts timestamp",
+    )
+    state = {
+        (r["user_id"], r["event_id"]): r["read"]
+        for r in inbox.resolve_read_state(ev, marks).collect()
+    }
+    assert state == {
+        (1, 10): False,  # unread mark came after mark_all_read
+        (1, 11): True,   # covered by mark_all_read
+        (1, 12): False,  # after the all-read watermark -> default unread
+        (2, 20): False,  # never covered
+        (2, 21): True,   # targeted read
+    }
+    counts = {
+        r["user_id"]: r["n_unread"] for r in inbox.unread_counts(ev, marks).collect()
+    }
+    assert counts == {1: 2, 2: 1}
+
+
+def test_inbox_tie_break_unread_wins(spark):
+    from datetime import datetime
+
+    from miru_spark.operators import inbox
+
+    t0 = datetime.fromisoformat("2024-01-01 00:00:00")
+    t9 = datetime.fromisoformat("2024-01-01 00:09:00")
+    ev = spark.createDataFrame([(1, 10, t0)], "user_id long, event_id long, ts timestamp")
+    marks = spark.createDataFrame(
+        [(1, "read", 10, None, t9), (1, "unread", 10, None, t9)],
+        "user long, mark string, target_id long, up_to_ts timestamp, mark_ts timestamp",
+    )
+    got = inbox.resolve_read_state(ev, marks).collect()[0]
+    assert got["read"] is False
