@@ -462,6 +462,26 @@ def _build_wave(
 
 
 
+def apply_removals(spark: SparkSession, index_dir: str, ops: DataFrame) -> None:
+    """Append remove/repair operations to the index's removal log.
+
+    Reference: the removal index hides docs — REMOVE sets the removal
+    bitmap, REPAIR unhides (``miru-service/.../stream/MiruIndexer.java:103-157``),
+    with attention to versioning. ``ops`` columns: doc_id long,
+    op ('remove' | 'repair'), version long — the highest version per doc
+    wins at read time. Append-only: no index rewrite, readers fold the
+    log (the LSM-delta discipline of the reference's removal bitmap).
+    """
+    out = (
+        ops.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("op").cast("string").alias("op"),
+            F.col("version").cast("long").alias("version"),
+        )
+    )
+    out.write.mode("append").parquet(os.path.join(index_dir, "removals"))
+
+
 def _finalize(spark, index_dir, n_shards, block_bits, use_stopwords, fingerprint) -> IndexMeta:
     """Merge per-shard partials into the global dictionary + stats.json.
 

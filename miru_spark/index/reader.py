@@ -113,6 +113,33 @@ class IndexReader:
     def postings(self, terms: list[str] | None = None, prefixes: list[str] | None = None) -> DataFrame:
         return self.decode(self.blocks(terms, prefixes))
 
+    def removed_docs(self) -> DataFrame:
+        """Doc ids currently hidden by the removal log (REMOVE without a
+        later REPAIR — highest version wins, ties resolved remove-wins).
+
+        Reference: the removal bitmap ANDed out of every answer
+        (``MiruIndexer.java:103-157``; query-side index mask,
+        ``FullTextCustomQuestion.java:89``). Returns an empty relation
+        when no removals were ever applied."""
+        path = os.path.join(self.index_dir, "removals")
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame([], "doc_id long")
+        log = self.spark.read.parquet(path)
+        # remove-wins on version ties: explicit rank (remove=1 > repair=0)
+        latest = (
+            log.withColumn("rm", (F.col("op") == "remove").cast("int"))
+            .groupBy("doc_id")
+            .agg(F.max(F.struct("version", "rm")).alias("w"))
+            .filter(F.col("w.rm") == 1)
+            .select("doc_id")
+        )
+        return latest
+
+    def removed_doc_ids(self) -> list[int]:
+        """Collected removal set for kernel-side masking (the removal
+        log is a small delta relative to the corpus by construction)."""
+        return [r["doc_id"] for r in self.removed_docs().collect()]
+
     # ---- stats -------------------------------------------------------
     def term_stats(self, terms: list[str]) -> dict[str, dict]:
         """Collect df/cf for a small term set (query-side broadcast)."""

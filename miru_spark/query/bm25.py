@@ -149,6 +149,9 @@ def search(
     if constraint is not None:
         mask = reader.doc_store().filter(constraint).select("doc_id")
         candidates = candidates.join(mask, "doc_id", "left_semi")
+    # removal mask: tombstoned docs never reach the scorer (the
+    # reference ANDs ¬removal into every answer, FullTextCustomQuestion.java:89)
+    candidates = candidates.join(reader.removed_docs(), "doc_id", "left_anti")
 
     scored = (
         reader.postings(terms=[t for t, _ in idf_rows])
@@ -179,6 +182,7 @@ def search_time_newest(
     if constraint is not None:
         mask = reader.doc_store().filter(constraint).select("doc_id")
         cands = cands.join(mask, "doc_id", "left_semi")
+    cands = cands.join(reader.removed_docs(), "doc_id", "left_anti")
     return (
         cands.withColumn("score", F.lit(0.0))
         .orderBy(F.col("doc_id").desc())
@@ -227,6 +231,9 @@ def search_wand(
     idf = {t: reader.idf(stats[t]["df"]) for t in terms}
     avgdl, block_bits = reader.avgdl, reader.block_bits
     conjunctive = mode == "and"
+    # removal mask, shipped to the kernel via UDF closure (the removal
+    # log is a small delta; sorted for O(log n) membership via searchsorted)
+    removed = np.array(sorted(reader.removed_doc_ids()), dtype=np.int64)
 
     # countDistinct (not count): an incrementally-built index may hold
     # several blocks of the same term under one block_key (one per shard
@@ -302,6 +309,10 @@ def search_wand(
                     inter = decoded[present[0]][0]
                     for t in present[1:]:
                         inter = np.union1d(inter, decoded[t][0])
+                if removed.size and inter.size:
+                    pos_r = np.searchsorted(removed, inter)
+                    hit = (pos_r < removed.size) & (removed[np.minimum(pos_r, removed.size - 1)] == inter)
+                    inter = inter[~hit]
                 if inter.size == 0:
                     continue
                 scores = np.zeros(inter.size, dtype=np.float64)

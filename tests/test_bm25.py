@@ -252,3 +252,47 @@ def test_highlight_fragments(spark, corpus, built_index, reader=None):
         joined = " ".join(row["fragments"])
         assert "<b>w00001</b>" in joined or "<b>w00002</b>" in joined
         assert row["score"] is not None
+
+
+def test_removals_hide_and_repair_restores(spark, corpus, oracle, tmp_path):
+    """REMOVE hides a doc from every query path; a later REPAIR unhides
+    (MiruIndexer.java:103-157 removal-index semantics)."""
+    from miru_spark.index.builder import apply_removals, build_index
+    from miru_spark.index.reader import IndexReader
+
+    out = str(tmp_path / "idx_rm")
+    build_index(spark, corpus, out, n_shards=2, block_bits=7, overwrite=True)
+    r = IndexReader(spark, out)
+    terms = ["w00001", "w00004"]
+    base = bm25.search(reader=r, query=" AND ".join(terms), k=10).collect()
+    victim = base[0]["doc_id"]
+
+    apply_removals(
+        spark, out,
+        spark.createDataFrame([(victim, "remove", 1)], "doc_id long, op string, version long"),
+    )
+    r2 = IndexReader(spark, out)
+    cands = oracle.candidates_and(terms) - {victim}
+    expected = oracle.topk(cands, terms, 10)
+    _assert_rank_identical(bm25.search(r2, " AND ".join(terms), k=10).collect(), expected)
+    _assert_rank_identical(bm25.search_wand(r2, terms, k=10).collect(), expected)
+    newest = bm25.search_time_newest(r2, terms[0], k=500).collect()
+    assert victim not in {row["doc_id"] for row in newest}
+
+    # repair at a higher version unhides
+    apply_removals(
+        spark, out,
+        spark.createDataFrame([(victim, "repair", 2)], "doc_id long, op string, version long"),
+    )
+    r3 = IndexReader(spark, out)
+    _assert_rank_identical(
+        bm25.search(r3, " AND ".join(terms), k=10).collect(),
+        [(row["doc_id"], row["score"]) for row in base],
+    )
+    # remove-wins tie-break at equal version
+    apply_removals(
+        spark, out,
+        spark.createDataFrame([(victim, "remove", 2)], "doc_id long, op string, version long"),
+    )
+    r4 = IndexReader(spark, out)
+    assert victim in set(r4.removed_doc_ids())
