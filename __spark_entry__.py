@@ -126,9 +126,10 @@ _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <>
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS_EN)) + "]"
 
 
-def _bm25_sql(terms: list[str], k: int, mode: str) -> str:
+def _bm25_sql(terms: list[str], k: int, mode: str, offset: int = 0) -> str:
     vals = ", ".join(f"('{t}')" for t in terms)
     having = f"WHERE nt = {len(terms)}" if mode == "and" else ""
+    off = f" OFFSET {offset}" if offset else ""
     return f"""
 WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
@@ -145,7 +146,7 @@ scored AS (
   FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
   GROUP BY tf.doc_id)
 SELECT doc_id, round(score, 4) AS score FROM scored {having}
-ORDER BY score DESC, doc_id DESC LIMIT {k}
+ORDER BY score DESC, doc_id DESC LIMIT {k}{off}
 """
 
 
@@ -179,6 +180,18 @@ def q_bm25_index_wand(spark, sf_dir):
     r = _reader(spark, sf_dir)
     out = search_wand(r, _BM25_TERMS, k=10)
     return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_page2(spark, sf_dir):
+    """Second page via keyset continuation (report.lowestScore paging):
+    page 1's last (score, doc_id) is the cursor for page 2."""
+    from miru_spark.query.bm25 import search
+
+    r = _reader(spark, sf_dir)
+    q = " AND ".join(_BM25_TERMS)
+    page1 = search(r, q, k=10, round_to=4).collect()
+    cur = (page1[-1]["score"], page1[-1]["doc_id"])
+    return search(r, q, k=10, round_to=4, after=cur)
 
 
 def q_bm25_index_wand_or(spark, sf_dir):
@@ -658,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_search": q_bm25_index_search,
         "bm25_index_wand": q_bm25_index_wand,
         "bm25_index_wand_or": q_bm25_index_wand_or,
+        "bm25_page2": q_bm25_page2,
         "bm25_prefix": q_bm25_prefix,
         "bm25_lang_constraint": q_bm25_lang_constraint,
         "fulltext_time_newest": q_fulltext_time_newest,
@@ -713,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_index_search": _bm25_sql(_BM25_TERMS, 10, "and"),
         "bm25_index_wand": _bm25_sql(_BM25_TERMS, 10, "and"),
         "bm25_index_wand_or": _bm25_sql(_OR_TERMS, 10, "or"),
+        "bm25_page2": _bm25_sql(_BM25_TERMS, 10, "and", offset=10),
         "bm25_prefix": f"""
 WITH base AS ({toks_base}),
 dl AS (SELECT doc_id, len(toks) AS doclen FROM base),

@@ -111,9 +111,17 @@ def search(
     max_expansion: int = 100,
     round_to: int | None = None,
     constraint=None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k BM25: returns DataFrame(doc_id long, score double), ordered
     (score desc, doc_id desc), limited to k.
+
+    ``after``: continuation cursor ``(score, doc_id)`` of the last hit of
+    the previous page — only strictly-lower-ranked hits return (keyset
+    pagination on the total order). The reference pages the same way via
+    ``report.lowestScore`` + collected ids (``FullText.java:113-135``,
+    ``FullTextQuery/Report``); a keyset cursor needs no id list because
+    our (score desc, doc_id desc) order is total.
 
     ``constraint``: optional mask over the doc store's stored columns
     (a Column expression, e.g. ``F.col("lang") == "en"`` or a
@@ -163,6 +171,12 @@ def search(
     )
     if round_to is not None:
         scored = scored.withColumn("score", F.round("score", round_to))
+    if after is not None:
+        a_score, a_doc = float(after[0]), int(after[1])
+        scored = scored.filter(
+            (F.col("score") < a_score)
+            | ((F.col("score") == a_score) & (F.col("doc_id") < a_doc))
+        )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").desc()).limit(k)
 
 
@@ -202,6 +216,7 @@ def search_wand(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     mode: str = "and",
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k BM25 for a flat AND/OR-of-terms query with block-max pruning.
 
@@ -234,6 +249,9 @@ def search_wand(
     # removal mask, shipped to the kernel via UDF closure (the removal
     # log is a small delta; sorted for O(log n) membership via searchsorted)
     removed = np.array(sorted(reader.removed_doc_ids()), dtype=np.int64)
+    # continuation cursor: only items strictly below it in the
+    # (score desc, doc_id desc) total order enter the heap
+    cursor = (float(after[0]), int(after[1])) if after is not None else None
 
     # countDistinct (not count): an incrementally-built index may hold
     # several blocks of the same term under one block_key (one per shard
@@ -331,6 +349,8 @@ def search_wand(
                     scores += np.where(member, contrib, 0.0)
                 for s, d in zip(scores, inter):
                     item = (float(s), int(d))
+                    if cursor is not None and item >= cursor:
+                        continue  # keyset continuation: already served
                     if len(heap) < k:
                         heapq.heappush(heap, item)
                     elif item > heap[0]:

@@ -296,3 +296,22 @@ def test_removals_hide_and_repair_restores(spark, corpus, oracle, tmp_path):
     )
     r4 = IndexReader(spark, out)
     assert victim in set(r4.removed_doc_ids())
+
+
+def test_pagination_keyset(reader, oracle):
+    """Keyset continuation: pages tile the full ranking with no overlap
+    (reference: report.lowestScore paging, FullText.java:113-135)."""
+    terms = ["w00001", "w00004"]
+    full = bm25.search(reader, " AND ".join(terms), k=30).collect()
+    page1 = bm25.search(reader, " AND ".join(terms), k=10).collect()
+    cur = (page1[-1]["score"], page1[-1]["doc_id"])
+    page2 = bm25.search(reader, " AND ".join(terms), k=10, after=cur).collect()
+    cur2 = (page2[-1]["score"], page2[-1]["doc_id"])
+    page3 = bm25.search(reader, " AND ".join(terms), k=10, after=cur2).collect()
+    paged = [(r["doc_id"], r["score"]) for r in page1 + page2 + page3]
+    assert paged == [(r["doc_id"], r["score"]) for r in full]
+
+    # WAND paging matches the exact path page-for-page
+    w1 = bm25.search_wand(reader, terms, k=10).collect()
+    w2 = bm25.search_wand(reader, terms, k=10, after=(w1[-1]["score"], w1[-1]["doc_id"])).collect()
+    assert [(r["doc_id"], r["score"]) for r in w1 + w2] == paged[:20]
