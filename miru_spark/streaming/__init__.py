@@ -1,3 +1,7 @@
-from miru_spark.streaming.ingest import StreamingIndexer, windowed_event_counts
+from miru_spark.streaming.ingest import (
+    StreamingIndexer,
+    streaming_unread_counts,
+    windowed_event_counts,
+)
 
-__all__ = ["StreamingIndexer", "windowed_event_counts"]
+__all__ = ["StreamingIndexer", "streaming_unread_counts", "windowed_event_counts"]

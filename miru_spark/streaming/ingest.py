@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -174,5 +175,63 @@ def windowed_event_counts(
             F.col("win.end").alias("window_end"),
             *([F.col(group_by)] if group_by else []),
             "n",
+        )
+    )
+
+
+def streaming_unread_counts(
+    stream_df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    kind_col: str = "kind",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Live per-user unread counters — the reference's realtime
+    read-tracking as a custom stateful streaming operator.
+
+    Reference: READ/UNREAD/MARK_ALL_READ records fold into per-stream
+    unread bitmaps as they arrive (``AmzaInboxReadTracker.java:60-98``
+    replays the read WAL; realtime delivery pushes ids,
+    ``miru-api/.../realtime/MiruRealtimeDelivery.java``). The batch twin
+    is ``operators/inbox.py``; here the fold is kept as *state* via
+    ``applyInPandasWithState`` so each micro-batch updates counters
+    instead of recomputing them.
+
+    ``kind_col`` values: ``activity`` (+1 unread), ``read`` (-1, floor
+    0), ``mark_all_read`` (reset to 0). Rows fold in ``ts_col`` order
+    within each micro-batch (cross-batch order is arrival order, exactly
+    the reference's WAL-replay discipline). Emits one row per user per
+    micro-batch: (user, n_unread) in update mode.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _update(key, pdf_iter, state):
+        (user,) = key
+        n = state.get[0] if state.exists else 0
+        frames = [pdf for pdf in pdf_iter if len(pdf)]
+        if frames:
+            whole = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            whole = whole.sort_values(ts_col, kind="stable")
+            for kind in whole[kind_col]:
+                if kind == "activity":
+                    n += 1
+                elif kind == "read":
+                    n = max(0, n - 1)
+                elif kind == "mark_all_read":
+                    n = 0
+        state.update((int(n),))
+        yield pd.DataFrame({"user": [user], "n_unread": [int(n)]})
+
+    return (
+        stream_df.select(
+            F.col(user_col).alias("user"), F.col(kind_col).alias(kind_col), F.col(ts_col).alias(ts_col)
+        )
+        .groupBy("user")
+        .applyInPandasWithState(
+            _update,
+            outputStructType="user long, n_unread long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

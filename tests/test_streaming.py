@@ -127,3 +127,47 @@ def test_windowed_event_counts(spark, tmp_path):
     # availableNow the final watermark closes all but the last window(s)
     assert got.issubset(expect)
     assert len(got) >= len(expect) - 2
+
+
+def test_streaming_unread_counts_stateful(spark, tmp_path):
+    """applyInPandasWithState fold: state carries across micro-batches
+    (activity +1, read -1 floor 0, mark_all_read reset)."""
+    from datetime import datetime
+
+    from miru_spark.streaming import streaming_unread_counts
+
+    src = str(tmp_path / "marks_src")
+    ckpt = str(tmp_path / "marks_ckpt")
+    schema = "user_id long, kind string, ts timestamp"
+    t = lambda m: datetime.fromisoformat(f"2024-01-01 00:{m:02d}:00")
+
+    collected: list[dict] = []
+
+    def run_once():
+        sink = lambda batch_df, _bid: collected.extend(
+            r.asDict() for r in batch_df.collect()
+        )
+        q = (
+            streaming_unread_counts(spark.readStream.schema(schema).parquet(src))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "activity", t(1)), (1, "activity", t(2)), (1, "read", t(3)),
+         (2, "activity", t(1))], schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got1 = {r["user"]: r["n_unread"] for r in collected}
+    assert got1 == {1: 1, 2: 1}
+
+    # second micro-batch: state must carry (user 1 resets, user 2 grows)
+    collected.clear()
+    spark.createDataFrame(
+        [(1, "mark_all_read", t(4)), (2, "activity", t(5))], schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got2 = {r["user"]: r["n_unread"] for r in collected}
+    assert got2 == {1: 0, 2: 2}
