@@ -248,6 +248,40 @@ def _input_fingerprint(docs: DataFrame, id_col: str, text_col: str) -> str:
     return f"n={row['n']};lo={row['lo']};hi={row['hi']};chars={row['chars']}"
 
 
+_EMPTY_FP = "n=0;lo=None;hi=None;chars=None"
+
+
+def _shard_fingerprints(
+    docs: DataFrame, id_col: str, text_col: str, ranges: dict[int, tuple[int, int]]
+) -> dict[int, str]:
+    """Per-shard input fingerprints in ONE job — the lineage key that
+    makes bulk builds *incremental*: appending new docs beyond existing
+    shard ranges leaves old shards' fingerprints (hence their manifests
+    and data) untouched, while any change inside a shard's doc range
+    changes only that shard's fingerprint and rebuilds only it."""
+    rows = (
+        docs.select(
+            _shard_expr(F.col(id_col), ranges).alias("shard"),
+            F.col(id_col).alias("id"),
+            F.length(F.col(text_col)).alias("chars"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+            F.sum("chars").alias("chars"),
+        )
+        .collect()
+    )
+    got = {
+        int(r["shard"]): f"n={r['n']};lo={r['lo']};hi={r['hi']};chars={r['chars']}"
+        for r in rows
+        if r["shard"] is not None
+    }
+    return {s: got.get(s, _EMPTY_FP) for s in ranges}
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -260,34 +294,55 @@ def build_index(
     block_bits: int = BLOCK_BITS_DEFAULT,
     use_stopwords: bool = False,
     overwrite: bool = False,
+    shard_span_blocks: int | None = None,
     fail_after_shard: int | None = None,  # test hook: simulate a crash between shards
 ) -> IndexMeta:
-    """Build (or resume) the inverted index for ``docs`` under ``index_dir``."""
+    """Build (or resume) the inverted index for ``docs`` under ``index_dir``.
+
+    ``shard_span_blocks``: fix every shard to this many posting blocks,
+    anchored at doc_id 0 (``n_shards`` is then derived from the doc-id
+    range). A fixed layout is stable under corpus growth: appending docs
+    with new higher ids adds shards without shifting existing shard
+    boundaries, so re-running the build indexes ONLY the new shards
+    (per-shard fingerprints skip the rest) — bulk incremental append,
+    the batch twin of the streaming sip cursor. Without it, shard spans
+    derive from the current doc-id range (legacy layout: any growth
+    re-spans and rebuilds).
+    """
     if overwrite and os.path.exists(index_dir):
         shutil.rmtree(index_dir)
     os.makedirs(index_dir, exist_ok=True)
 
-    fingerprint = _input_fingerprint(docs, id_col, text_col)
     bounds = docs.select(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).collect()[0]
     doc_lo, doc_hi = int(bounds["lo"]), int(bounds["hi"])
     block_size = 1 << block_bits
     # align shard boundaries to block boundaries so no block straddles shards
-    span = doc_hi - doc_lo + 1
-    blocks_total = math.ceil(span / block_size)
-    blocks_per_shard = max(1, math.ceil(blocks_total / n_shards))
-    shard_span = blocks_per_shard * block_size
-    shard_base = (doc_lo >> block_bits) << block_bits  # block-aligned origin
+    if shard_span_blocks is not None:
+        shard_span = shard_span_blocks * block_size
+        shard_base = 0
+        n_shards = max(1, math.ceil((doc_hi + 1) / shard_span))
+    else:
+        span = doc_hi - doc_lo + 1
+        blocks_total = math.ceil(span / block_size)
+        blocks_per_shard = max(1, math.ceil(blocks_total / n_shards))
+        shard_span = blocks_per_shard * block_size
+        shard_base = (doc_lo >> block_bits) << block_bits  # block-aligned origin
+
+    all_ranges = {
+        shard: (shard_base + shard * shard_span, shard_base + (shard + 1) * shard_span - 1)
+        for shard in range(n_shards)
+    }
+    fps = _shard_fingerprints(docs, id_col, text_col, all_ranges)
+    fingerprint = "|".join(f"{s}:{fps[s]}" for s in sorted(fps))
 
     pending: dict[int, tuple[int, int]] = {}
-    for shard in range(n_shards):
-        lo = shard_base + shard * shard_span
-        hi = lo + shard_span - 1
-        if shard_is_done(index_dir, shard, fingerprint):
+    for shard, (lo, hi) in all_ranges.items():
+        if shard_is_done(index_dir, shard, fps[shard]):
             continue
-        if lo > doc_hi:  # empty tail shard
+        if fps[shard] == _EMPTY_FP:  # empty shard (no docs in range)
             write_manifest(
                 index_dir,
-                ShardManifest(shard, lo, hi, status="done", input_fingerprint=fingerprint),
+                ShardManifest(shard, lo, hi, status="done", input_fingerprint=fps[shard]),
             )
             continue
         pending[shard] = (lo, hi)
@@ -304,7 +359,7 @@ def build_index(
             spark, docs, index_dir, wave,
             id_col=id_col, text_col=text_col, stored=stored,
             block_bits=block_bits, use_stopwords=use_stopwords,
-            fingerprint=fingerprint,
+            fingerprints={s: fps[s] for s in wave},
         )
         if fail_after_shard is not None and max(wave) >= fail_after_shard:
             raise RuntimeError(f"simulated crash after shard {max(wave)}")
@@ -323,7 +378,7 @@ def _shard_expr(col, ranges: dict[int, tuple[int, int]]):
 
 def _build_wave(
     spark, docs, index_dir, ranges: dict[int, tuple[int, int]], *,
-    id_col, text_col, stored, block_bits, use_stopwords, fingerprint,
+    id_col, text_col, stored, block_bits, use_stopwords, fingerprints,
 ) -> None:
     """Build every shard in ``ranges`` with ONE tokenize + ONE shuffle.
 
@@ -454,7 +509,7 @@ def _build_wave(
                 n_terms=int(a["n_terms"]) if a else 0,
                 sum_doclen=int(d["sum_doclen"]) if d else 0,
                 checksum=int(a["checksum"]) if a else 0,
-                input_fingerprint=fingerprint,
+                input_fingerprint=fingerprints[shard],
                 wall_sec=wall,
                 extra={"phases": phases},
             ),

@@ -125,7 +125,7 @@ class StreamingIndexer:
             id_col=self.id_col, text_col=self.text_col,
             stored=[c for c in self.stored_cols if c != self.id_col],
             block_bits=self.block_bits, use_stopwords=self.use_stopwords,
-            fingerprint=fingerprint,
+            fingerprints={shard: fingerprint},
         )
         self._write_cursor({"n_shards": shard + 1, "next_doc_id": hi + 1,
                             "last_batch_id": batch_id})

@@ -73,10 +73,17 @@ def test_manifests_and_stats_file(built_index):
     mdir = os.path.join(built_index.index_dir, "manifests")
     manifests = sorted(os.listdir(mdir))
     assert len(manifests) == built_index.n_shards
+    # global fingerprint = '|'-joined per-shard "shard:fp" components
+    shard_fps = {
+        int(s): rest
+        for s, rest in (
+            comp.split(":", 1) for comp in built_index.input_fingerprint.split("|")
+        )
+    }
     for name in manifests:
         m = json.load(open(os.path.join(mdir, name)))
         assert m["status"] == "done"
-        assert m["input_fingerprint"] == built_index.input_fingerprint
+        assert m["input_fingerprint"] == shard_fps[m["shard"]]
 
 
 def test_term_filter_pushdown(spark, built_index):
@@ -159,3 +166,40 @@ def test_build_from_html_matches_text(spark, corpus, tmp_path):
     da = {(r["term"], r["df"], r["cf"]) for r in ra.dictionary().collect()}
     db = {(r["term"], r["df"], r["cf"]) for r in rb.dictionary().collect()}
     assert da == db
+
+
+def test_incremental_append_skips_existing_shards(spark, corpus, tmp_path):
+    """Fixed shard spans + per-shard fingerprints: appending new docs
+    re-runs the build touching ONLY the new shards; existing shard
+    manifests are byte-identical and the result equals a fresh build."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.manifest import manifest_path
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query import bm25
+
+    first = corpus.filter(F.col("doc_id") < 256)
+    out = str(tmp_path / "idx_inc")
+    build_index(spark, first, out, block_bits=7, shard_span_blocks=1, overwrite=True)
+    m0_before = open(manifest_path(out, 0)).read()
+    n_manifests_before = len(json.loads(m0_before) and __import__("os").listdir(
+        __import__("os").path.join(out, "manifests")))
+
+    # append: docs 256.. (new shards only)
+    build_index(spark, corpus, out, block_bits=7, shard_span_blocks=1)
+    assert open(manifest_path(out, 0)).read() == m0_before  # shard 0 untouched
+    assert len(__import__("os").listdir(__import__("os").path.join(out, "manifests"))) > n_manifests_before
+
+    fresh = str(tmp_path / "idx_fresh")
+    build_index(spark, corpus, fresh, block_bits=7, shard_span_blocks=1, overwrite=True)
+    ra, rb = IndexReader(spark, out), IndexReader(spark, fresh)
+    assert ra.stats == rb.stats
+    da = {(r["term"], r["df"], r["cf"]) for r in ra.dictionary().collect()}
+    db = {(r["term"], r["df"], r["cf"]) for r in rb.dictionary().collect()}
+    assert da == db
+    qa = bm25.search(ra, "w00001 AND w00004", k=10).collect()
+    qb = bm25.search(rb, "w00001 AND w00004", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in qa] == [(r["doc_id"], r["score"]) for r in qb]
