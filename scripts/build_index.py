@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--order-col", default="url", help="docId assignment order when id-col missing")
     ap.add_argument("--stored-cols", default="", help="comma-separated forward-index columns")
     ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument(
+        "--shard-span-blocks", type=int, default=None,
+        help="fixed blocks per shard anchored at doc_id 0 (stable under "
+             "corpus growth: re-runs after an append build only new shards; "
+             "overrides --shards)",
+    )
     ap.add_argument("--block-bits", type=int, default=13)
     ap.add_argument("--stopwords", action="store_true")
     ap.add_argument("--overwrite", action="store_true")
@@ -76,6 +82,7 @@ def main() -> None:
         block_bits=args.block_bits,
         use_stopwords=args.stopwords,
         overwrite=args.overwrite,
+        shard_span_blocks=args.shard_span_blocks,
     )
     dt = time.monotonic() - t0
     print(

@@ -23,7 +23,11 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--query", required=True)
     ap.add_argument("-k", type=int, default=10)
-    ap.add_argument("--wand", action="store_true", help="block-max WAND path (flat AND terms)")
+    ap.add_argument("--wand", action="store_true", help="block-max WAND path (flat term list)")
+    ap.add_argument("--or", dest="use_or", action="store_true",
+                    help="with --wand: disjunctive (OR) scoring instead of AND")
+    ap.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
+                    help="keyset continuation cursor: last hit of the previous page")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
@@ -39,13 +43,18 @@ def main() -> None:
         spark = SparkSession.builder.appName("miru_spark_query").getOrCreate()
 
     reader = IndexReader(spark, args.index)
+    after = None
+    if args.after:
+        s, d = args.after.split(",")
+        after = (float(s), int(d))
     t0 = time.monotonic()
     if args.wand:
         from miru_spark.analysis.tokenizer import tokenize
 
-        out = search_wand(reader, tokenize(args.query), k=args.k)
+        out = search_wand(reader, tokenize(args.query), k=args.k,
+                          mode="or" if args.use_or else "and", after=after)
     else:
-        out = search(reader, args.query, k=args.k)
+        out = search(reader, args.query, k=args.k, after=after)
     rows = out.collect()
     dt = time.monotonic() - t0
     print(
