@@ -93,6 +93,37 @@ def main() -> int:
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin"],
     )
 
+    # marks side must broadcast (a per-user trickle vs the event stream):
+    # the user equality is the hash key and the coverage condition rides
+    # along as an extra join predicate — BroadcastHashJoin, never a
+    # shuffle of the event stream for the join itself
+    check(
+        "inbox_unread",
+        E.q_inbox_unread(spark, sf_dir),
+        must=["BroadcastHashJoin", "partial_"],
+        must_not=["CartesianProduct", "SortMergeJoin"],
+    )
+
+    # model fit must be ONE scan of events (melt via explode, no union
+    # of per-feature scans) with map-side partial aggregation
+    plan = plan_of(E.q_catwalk_model(spark, sf_dir))
+    n_scans = plan.count("events.parquet")
+    if n_scans != 1:
+        failures.append(f"catwalk_model: expected 1 events scan, found {n_scans}")
+    print(f"-- catwalk_model: single_scan={'Y' if n_scans == 1 else 'N'}, "
+          f"partial_={'Y' if 'partial_' in plan else 'N'}")
+    if "partial_" not in plan:
+        failures.append("catwalk_model: missing partial_ aggregation")
+
+    from miru_spark.query.bm25 import search_wand
+
+    check(
+        "bm25_wand_or",
+        search_wand(r, ["spark", "query"], k=10, mode="or"),
+        must=["PushedFilters", "TakeOrderedAndProject"],
+        must_not=["CartesianProduct"],
+    )
+
     print()
     if failures:
         print("PLAN AUDIT FAILURES:")
