@@ -106,14 +106,15 @@ class IndexMeta:
 def _compress_groups(pdf: pd.DataFrame, block_bits: int) -> pd.DataFrame:
     """Compress raw posting rows into block rows.
 
-    Input: one row per TOKEN OCCURRENCE (term, block_key, doc_id, doclen),
-    sorted by (term, block_key, doc_id). tf is the run length of equal
+    Input: one row per TOKEN OCCURRENCE (term, doc_id, doclen), sorted by
+    (term, doc_id). block_key is re-derived here (doc_id >> block_bits) —
+    it is never shipped through the shuffle. tf is the run length of equal
     (term, doc_id) rows — aggregated here with one numpy diff instead of a
     dedicated groupBy shuffle upstream (one exchange for the whole build).
     """
     rt = pdf["term"].to_numpy()
-    rbk = pdf["block_key"].to_numpy(dtype=np.int64)
     rids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    rbk = rids >> block_bits
     rdls = pdf["doclen"].to_numpy(dtype=np.int64)
     n_rows = len(rt)
     run = np.empty(n_rows, dtype=bool)
@@ -184,7 +185,7 @@ def _make_compressor(block_bits: int):
                 continue
             whole = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
             t = whole["term"].to_numpy()
-            bk = whole["block_key"].to_numpy()
+            bk = whole["doc_id"].to_numpy(dtype=np.int64) >> block_bits
             eq_last = (t == t[-1]) & (bk == bk[-1])
             not_eq = np.nonzero(~eq_last)[0]
             start_last = int(not_eq[-1]) + 1 if not_eq.size else 0
@@ -428,10 +429,18 @@ def _build_wave(
         blocks = (
             sliced.select(F.col(id_col).cast("long").alias("doc_id"), tok(F.col(text_col)).alias("tokens"))
             .select("doc_id", F.size("tokens").alias("doclen"), F.explode("tokens").alias("term"))
-            .withColumn("block_key", F.shiftright("doc_id", block_bits))
-            .repartition(spark.sparkContext.defaultParallelism, "term", "block_key")
-            .sortWithinPartitions("term", "block_key", "doc_id")
-            .select("term", "block_key", "doc_id", "doclen")
+            # partition on the block EXPRESSION but never materialize it:
+            # block_key is a pure function of doc_id, so shipping it
+            # through the dominant shuffle would waste ~8 bytes/row; the
+            # compressor re-derives it with one numpy shift. Sorting by
+            # (term, doc_id) preserves (term, block, doc_id) order since
+            # block_key is monotone in doc_id.
+            .repartition(
+                spark.sparkContext.defaultParallelism,
+                "term", F.shiftright("doc_id", block_bits),
+            )
+            .sortWithinPartitions("term", "doc_id")
+            .select("term", "doc_id", "doclen")
             .mapInPandas(_make_compressor(block_bits), schema=_POSTINGS_SCHEMA)
             .withColumn("shard", _shard_expr(F.col("block_key"), block_ranges))
         )
