@@ -370,6 +370,21 @@ def q_waveform(spark, sf_dir):
     return out.select("bucket", F.col("n").cast("long").alias("n"))
 
 
+def q_waveforms_named(spark, sf_dir):
+    """Multi-filter analytics: one waveform per named filter in a single
+    scan (conditional aggregation), the AnalyticsQuery map shape."""
+    from miru_spark.operators.analytics import waveforms
+    from miru_spark.query.filters import FieldFilter, Filter
+
+    named = {
+        "clicks": Filter("and", [FieldFilter("event_type", values=["click"])]),
+        "errors": Filter("and", [FieldFilter("event_type", values=["error"])]),
+        "purchases": Filter("and", [FieldFilter("event_type", values=["purchase"])]),
+    }
+    out = waveforms(_read(spark, sf_dir, "events"), "ts", _WF_LO, _WF_HI, _WF_N, named)
+    return out.select("name", "bucket", F.col("n").cast("long").alias("n"))
+
+
 def q_metrics_daily(spark, sf_dir):
     from miru_spark.operators.analytics import metrics
 
@@ -694,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inbox_unread": q_inbox_unread,
         "latest_by_user": q_latest_by_user,
         "waveform": q_waveform,
+        "waveforms_named": q_waveforms_named,
         "metrics_daily": q_metrics_daily,
         "anomaly_daily": q_anomaly_daily,
         "stumptown_tail": q_stumptown_tail,
@@ -884,6 +900,22 @@ GROUP BY 1 ORDER BY user_id
 SELECT event_id, user_id, ts, event_type, value FROM (
   SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
   FROM events) WHERE rn = 1 ORDER BY user_id
+""",
+        "waveforms_named": f"""
+WITH names(name, et) AS (VALUES ('clicks', 'click'), ('errors', 'error'),
+                                ('purchases', 'purchase')),
+b AS (SELECT unnest(generate_series(0, {_WF_N - 1}))::INT AS bucket),
+e AS (SELECT event_type, least(greatest(
+        floor((epoch_us(ts)::DOUBLE - epoch_us(TIMESTAMP '{_WF_LO}')::DOUBLE)
+              / ((epoch_us(TIMESTAMP '{_WF_HI}')::DOUBLE - epoch_us(TIMESTAMP '{_WF_LO}')::DOUBLE) / {_WF_N})),
+        0), {_WF_N - 1})::INT AS bucket
+      FROM events
+      WHERE ts >= TIMESTAMP '{_WF_LO}' AND ts < TIMESTAMP '{_WF_HI}'),
+c AS (SELECT n.name, e.bucket, count(*) AS cnt
+      FROM e JOIN names n ON e.event_type = n.et GROUP BY 1, 2)
+SELECT n.name AS name, b.bucket, coalesce(c.cnt, 0)::BIGINT AS n
+FROM names n CROSS JOIN b LEFT JOIN c ON c.name = n.name AND c.bucket = b.bucket
+ORDER BY n.name, b.bucket
 """,
         "waveform": f"""
 WITH b AS (SELECT unnest(generate_series(0, {_WF_N - 1}))::INT AS bucket),

@@ -70,6 +70,60 @@ def waveform(
     )
 
 
+def waveforms(
+    df: DataFrame,
+    time_col: str,
+    lo: str,
+    hi: str,
+    n_buckets: int,
+    named_filters: dict[str, Filter],
+    *,
+    constraint: Filter | None = None,
+) -> DataFrame:
+    """Many named waveforms in ONE scan (dense). Columns: name, bucket, n.
+
+    The reference Analytics query carries a MAP of named filters and
+    answers one waveform per name over the same answer mask
+    (``AnalyticsQuery.analyticsFilters``; ``Analytics.java:142-199``
+    loops the names). Spark recipe: conditional aggregation — one
+    ``sum(when(filter, 1))`` column per name in a single
+    groupBy(bucket), then melt — N waveforms cost one scan + one
+    shuffle, not N of either. ``constraint`` is the shared answer mask.
+    """
+    from miru_spark.query.filters import to_column
+
+    src = apply_filter(df, constraint).filter(
+        (F.col(time_col) >= F.to_timestamp(F.lit(lo)))
+        & (F.col(time_col) < F.to_timestamp(F.lit(hi)))
+    )
+    bucketed = src.withColumn("bucket", _bucket_col(time_col, lo, hi, n_buckets))
+    names = sorted(named_filters)
+    aggs = [
+        F.sum(F.when(to_column(df, named_filters[nm]), 1).otherwise(0)).alias(nm)
+        for nm in names
+    ]
+    per_bucket = bucketed.groupBy("bucket").agg(*aggs)
+    melted = per_bucket.select(
+        "bucket",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(nm).alias("name"), F.col(nm).cast("long").alias("n"))
+                for nm in names
+            ])
+        ).alias("wf"),
+    ).select(F.col("wf.name").alias("name"), "bucket", F.col("wf.n").alias("n"))
+    spark = df.sparkSession
+    dense = (
+        spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+        .crossJoin(spark.createDataFrame([(nm,) for nm in names], "name string"))
+    )
+    return (
+        dense.join(melted, ["name", "bucket"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .orderBy("name", "bucket")
+    )
+
+
 def metrics(
     df: DataFrame,
     time_col: str,

@@ -359,3 +359,29 @@ def test_inbox_tie_break_unread_wins(spark):
     )
     got = inbox.resolve_read_state(ev, marks).collect()[0]
     assert got["read"] is False
+
+
+def test_waveforms_named_single_scan(events, ddb):
+    """Multi-filter waveforms equal per-filter waveform calls, one scan."""
+    from miru_spark.operators.analytics import waveform, waveforms
+
+    named = {
+        "clicks": Filter("and", [FieldFilter("event_type", values=["click"])]),
+        "views": Filter("and", [FieldFilter("event_type", values=["view"])]),
+    }
+    lo, hi, nb = "2024-01-01", "2024-02-01", 10
+    multi = {
+        (r["name"], r["bucket"]): r["n"]
+        for r in waveforms(events, "ts", lo, hi, nb, named).collect()
+    }
+    for nm, flt in named.items():
+        single = {
+            r["bucket"]: r["n"] for r in waveform(events, "ts", lo, hi, nb, flt=flt).collect()
+        }
+        assert {b: multi[(nm, b)] for b in single} == single
+    # one scan of events in the plan
+    plan = (
+        waveforms(events, "ts", lo, hi, nb, named)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("events.parquet") == 1
