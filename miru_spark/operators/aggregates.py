@@ -199,13 +199,16 @@ def aggregate_counts(
     *,
     flt: Filter | None = None,
     k: int | None = None,
+    start_from: int = 0,
 ) -> DataFrame:
     """Stream-view rollup: newest doc per distinct pivot value + collapse
     stats, newest-first — one window + one aggregate, vs the reference's
     descending bitmap walk with a dedup set (AggregateCounts.java:260-373).
 
     Columns: <pivot>, n_collapsed, latest_time, oldest_time, latest_id.
-    ``k`` = desiredNumberOfDistincts (pagination cap).
+    ``k`` = desiredNumberOfDistincts, ``start_from`` = startFromDistinctN
+    (``AggregateCountsQueryConstraint.java:16-17`` paging pair): rows
+    ranked [start_from, start_from+k) in the newest-first total order.
     """
     src = apply_filter(df, flt)
     w = Window.partitionBy(pivot).orderBy(F.col(time_col).desc(), F.col(id_col).desc())
@@ -220,4 +223,11 @@ def aggregate_counts(
         )
         .orderBy(F.col("latest_time").desc(), F.col(pivot))
     )
+    if start_from:
+        wr = Window.orderBy(F.col("latest_time").desc(), F.col(pivot))
+        rolled = (
+            rolled.withColumn("_gr", F.row_number().over(wr))
+            .filter(F.col("_gr") > start_from)
+            .drop("_gr")
+        )
     return rolled.limit(k) if k else rolled

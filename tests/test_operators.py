@@ -385,3 +385,12 @@ def test_waveforms_named_single_scan(events, ddb):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("events.parquet") == 1
+
+
+def test_aggregate_counts_paging(events):
+    full = aggregates.aggregate_counts(events, "user_id", "ts", "event_id", k=20).collect()
+    p1 = aggregates.aggregate_counts(events, "user_id", "ts", "event_id", k=10).collect()
+    p2 = aggregates.aggregate_counts(
+        events, "user_id", "ts", "event_id", k=10, start_from=10
+    ).collect()
+    assert [r["user_id"] for r in p1 + p2] == [r["user_id"] for r in full]
