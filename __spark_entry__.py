@@ -458,6 +458,22 @@ def q_catwalk_model(spark, sf_dir):
     ).withColumn("weight", F.round("weight", 6))
 
 
+def q_trending_strategies(spark, sf_dir):
+    """Reference trending strategies (slope / total / max) over per-term
+    waveforms, top-5 per strategy. PEAKS (peakdet-based) is covered by
+    unit tests against the Python oracle — not SQL-expressible."""
+    from miru_spark.operators.trending import trending_strategies
+
+    out = trending_strategies(
+        _read(spark, sf_dir, "events"), "event_type", "ts", _WF_LO, _WF_HI, _WF_N,
+        k=5, strategies=("LINEAR_REGRESSION", "LEADER", "HIGHEST_PEAK"),
+    )
+    return out.select(
+        "strategy", "term", F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_inbox_unread(spark, sf_dir):
     """Per-user unread counts after folding READ/UNREAD/MARK_ALL_READ
     marks (derived deterministically from the event stream: click =
@@ -707,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strut_score": q_strut_score,
         "catwalk_model": q_catwalk_model,
         "inbox_unread": q_inbox_unread,
+        "trending_strategies": q_trending_strategies,
         "latest_by_user": q_latest_by_user,
         "waveform": q_waveform,
         "waveforms_named": q_waveforms_named,
@@ -866,6 +883,28 @@ WITH melted AS (
 SELECT feature, val AS value, sum(pos) AS numerator, count(*) AS denominator,
        round(sum(pos)::DOUBLE / count(*), 6) AS weight
 FROM melted GROUP BY 1, 2 ORDER BY feature, value
+""",
+        "trending_strategies": f"""
+WITH e AS (
+  SELECT event_type AS term, least(greatest(
+    floor((epoch_us(ts)::DOUBLE - epoch_us(TIMESTAMP '{_WF_LO}')::DOUBLE)
+          / ((epoch_us(TIMESTAMP '{_WF_HI}')::DOUBLE - epoch_us(TIMESTAMP '{_WF_LO}')::DOUBLE) / {_WF_N})),
+    0), {_WF_N - 1})::INT AS bucket
+  FROM events WHERE ts >= TIMESTAMP '{_WF_LO}' AND ts < TIMESTAMP '{_WF_HI}'),
+c AS (SELECT term, bucket, count(*) AS n FROM e GROUP BY 1, 2),
+p AS (SELECT term, sum(n) AS leader, max(n)::DOUBLE AS hp,
+             sum(bucket::DOUBLE * n) AS sxy
+      FROM c GROUP BY 1),
+m AS (
+  SELECT 'LEADER' AS strategy, term, leader::DOUBLE AS score FROM p
+  UNION ALL SELECT 'HIGHEST_PEAK', term, hp FROM p
+  UNION ALL SELECT 'LINEAR_REGRESSION', term,
+    ({float(_WF_N)} * sxy - {_WF_N * (_WF_N - 1) / 2.0} * leader)
+      / ({float(_WF_N)} * {(_WF_N - 1) * _WF_N * (2 * _WF_N - 1) / 6.0}
+         - {_WF_N * (_WF_N - 1) / 2.0} * {_WF_N * (_WF_N - 1) / 2.0}) FROM p),
+r AS (SELECT *, row_number() OVER (PARTITION BY strategy ORDER BY score DESC, term) AS rank FROM m)
+SELECT strategy, term, round(score, 6) AS score, rank
+FROM r WHERE rank <= 5 ORDER BY strategy, rank
 """,
         "inbox_unread": """
 WITH prev AS (

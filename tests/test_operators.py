@@ -394,3 +394,46 @@ def test_aggregate_counts_paging(events):
         events, "user_id", "ts", "event_id", k=10, start_from=10
     ).collect()
     assert [r["user_id"] for r in p1 + p2] == [r["user_id"] for r in full]
+
+
+def test_trending_strategies(events, ddb):
+    """Slope/total/max strategies match a closed-form oracle; PEAKS
+    counts Billauer peaks at the reference threshold."""
+    import numpy as np
+
+    from miru_spark.operators.trending import peakdet, trending_strategies
+
+    lo, hi, nb = "2024-01-01", "2024-02-01", 20
+    got = trending_strategies(events, "event_type", "ts", lo, hi, nb, k=10).collect()
+    by_strategy = {}
+    for r in got:
+        by_strategy.setdefault(r["strategy"], []).append((r["term"], r["score"]))
+
+    # python oracle waveforms
+    rows = ddb.sql(
+        f"""SELECT event_type, least(greatest(floor((epoch(ts) - epoch(TIMESTAMP '{lo}'))
+               / ((epoch(TIMESTAMP '{hi}') - epoch(TIMESTAMP '{lo}')) / {nb})), 0), {nb - 1})::INT b,
+               count(*) n
+            FROM events WHERE ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}' GROUP BY 1, 2"""
+    ).fetchall()
+    waves = {}
+    for term, b, n in rows:
+        waves.setdefault(term, np.zeros(nb))[b] = n
+    x = np.arange(nb)
+
+    def slope(y):
+        return float(((nb * (x * y).sum()) - x.sum() * y.sum()) / (nb * (x * x).sum() - x.sum() ** 2))
+
+    exp_leader = sorted(((t, float(w.sum())) for t, w in waves.items()),
+                        key=lambda p: (-p[1], p[0]))
+    assert by_strategy["LEADER"] == exp_leader[: len(by_strategy["LEADER"])]
+    exp_hp = sorted(((t, float(w.max())) for t, w in waves.items()), key=lambda p: (-p[1], p[0]))
+    assert by_strategy["HIGHEST_PEAK"] == exp_hp[: len(by_strategy["HIGHEST_PEAK"])]
+    for term, s in by_strategy["LINEAR_REGRESSION"]:
+        assert abs(s - slope(waves[term])) < 1e-9, term
+
+    bucket95 = float(np.percentile(np.maximum.reduce(list(waves.values())), 95))
+    for term, s in by_strategy["PEAKS"]:
+        w = waves[term]
+        expected = len(peakdet(w.tolist(), w.max() / 6.0 + bucket95 / 100.0)[0])
+        assert s == float(expected), term
