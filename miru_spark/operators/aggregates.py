@@ -200,6 +200,7 @@ def aggregate_counts(
     flt: Filter | None = None,
     k: int | None = None,
     start_from: int = 0,
+    read_state: DataFrame | None = None,
 ) -> DataFrame:
     """Stream-view rollup: newest doc per distinct pivot value + collapse
     stats, newest-first — one window + one aggregate, vs the reference's
@@ -209,8 +210,24 @@ def aggregate_counts(
     ``k`` = desiredNumberOfDistincts, ``start_from`` = startFromDistinctN
     (``AggregateCountsQueryConstraint.java:16-17`` paging pair): rows
     ranked [start_from, start_from+k) in the newest-first total order.
+
+    ``read_state``: optional (<id_col>, read boolean) relation — e.g.
+    ``inbox.resolve_read_state`` output — adding per-pivot ``n_unread``
+    and ``any_unread``, the reference's unread flags computed against the
+    unread bitmap (``AggregateCounts.java:194-201, 315-322``). Docs
+    absent from the relation count as unread (the default state).
     """
     src = apply_filter(df, flt)
+    unread_aggs = []
+    if read_state is not None:
+        rs = read_state.select(F.col(id_col), F.col("read").alias("_read"))
+        src = src.join(rs, id_col, "left").withColumn(
+            "_unread", ~F.coalesce(F.col("_read"), F.lit(False))
+        )
+        unread_aggs = [
+            F.sum(F.when(F.col("_unread"), 1).otherwise(0)).alias("n_unread"),
+            F.bool_or(F.col("_unread")).alias("any_unread"),
+        ]
     w = Window.partitionBy(pivot).orderBy(F.col(time_col).desc(), F.col(id_col).desc())
     rolled = (
         src.withColumn("_rn", F.row_number().over(w))
@@ -220,6 +237,7 @@ def aggregate_counts(
             F.max(time_col).alias("latest_time"),
             F.min(time_col).alias("oldest_time"),
             F.max(F.when(F.col("_rn") == 1, F.col(id_col))).alias("latest_id"),
+            *unread_aggs,
         )
         .orderBy(F.col("latest_time").desc(), F.col(pivot))
     )

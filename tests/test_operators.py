@@ -437,3 +437,32 @@ def test_trending_strategies(events, ddb):
         w = waves[term]
         expected = len(peakdet(w.tolist(), w.max() / 6.0 + bucket95 / 100.0)[0])
         assert s == float(expected), term
+
+
+def test_aggregate_counts_unread_flags(spark):
+    """read_state wiring: per-pivot unread counts against resolved marks
+    (the reference's unread flags, AggregateCounts.java:194-201)."""
+    from datetime import datetime
+
+    from miru_spark.operators import inbox
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 00:0{s}:00")
+    ev = spark.createDataFrame(
+        [(1, 10, t(1), "inbox"), (1, 11, t(2), "inbox"), (1, 12, t(3), "sent"),
+         (2, 20, t(1), "inbox")],
+        "user_id long, event_id long, ts timestamp, folder string",
+    )
+    marks = spark.createDataFrame(
+        [(1, "read", 10, None, t(4))],
+        "user long, mark string, target_id long, up_to_ts timestamp, mark_ts timestamp",
+    )
+    state = inbox.resolve_read_state(ev, marks)
+    got = {
+        r["folder"]: (r["n_collapsed"], r["n_unread"], r["any_unread"])
+        for r in aggregates.aggregate_counts(
+            ev, "folder", "ts", "event_id", read_state=state
+        ).collect()
+    }
+    # inbox: 10 read, 11 unread, 20 unread -> 2 unread of 3
+    assert got["inbox"] == (3, 2, True)
+    assert got["sent"] == (1, 1, True)
