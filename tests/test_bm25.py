@@ -315,3 +315,24 @@ def test_pagination_keyset(reader, oracle):
     w1 = bm25.search_wand(reader, terms, k=10).collect()
     w2 = bm25.search_wand(reader, terms, k=10, after=(w1[-1]["score"], w1[-1]["doc_id"])).collect()
     assert [(r["doc_id"], r["score"]) for r in w1 + w2] == paged[:20]
+
+
+def test_randomized_wand_rank_identity(reader, oracle):
+    """Property-style sweep: for random term sets, exact search, AND-WAND,
+    and OR-WAND all agree with the pure-Python oracle, for random k."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vocab = sorted(oracle.df)
+    for trial in range(12):
+        n_terms = int(rng.integers(1, 5))
+        terms = list(rng.choice(vocab, size=n_terms, replace=False))
+        k = int(rng.choice([1, 5, 17, 200]))
+
+        exp_and = oracle.topk(oracle.candidates_and(terms), terms, k)
+        got_and = bm25.search_wand(reader, terms, k=k).collect()
+        _assert_rank_identical(got_and, exp_and)
+
+        exp_or = oracle.topk(oracle.candidates_or(terms), terms, k)
+        got_or = bm25.search_wand(reader, terms, k=k, mode="or").collect()
+        _assert_rank_identical(got_or, exp_or)
