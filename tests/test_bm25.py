@@ -336,3 +336,36 @@ def test_randomized_wand_rank_identity(reader, oracle):
         exp_or = oracle.topk(oracle.candidates_or(terms), terms, k)
         got_or = bm25.search_wand(reader, terms, k=k, mode="or").collect()
         _assert_rank_identical(got_or, exp_or)
+
+
+def test_wand_at_scale_multi_shard(spark, tmp_path):
+    """20k-doc Zipfian corpus (bench synth shape), 8 shards, hundreds of
+    blocks: WAND (both modes) matches the exact search path on head-term
+    and rare-term mixes — the multi-shard/multi-block skew exercise."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import synth_corpus
+
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+
+    docs = synth_corpus(spark, 20_000)
+    out = str(tmp_path / "idx_scale")
+    build_index(spark, docs, out, n_shards=8, block_bits=9, overwrite=True)
+    r = IndexReader(spark, out)
+    head = "the0"  # present in ~60% of docs
+    # pick mid/rare terms from the dictionary by df
+    by_df = {row["term"]: row["df"] for row in r.dictionary().collect()}
+    mid = min((t for t, d in by_df.items() if 50 <= d <= 500), key=lambda t: by_df[t])
+    rare = min((t for t, d in by_df.items() if 2 <= d <= 20), key=lambda t: by_df[t])
+
+    for terms, mode in [([head, mid], "and"), ([head, rare], "and"),
+                        ([mid, rare], "or"), ([head, mid, rare], "or")]:
+        q = f" {mode.upper()} ".join(terms)
+        exact = bm25.search(r, q, k=25).collect()
+        wand = bm25.search_wand(r, terms, k=25, mode=mode).collect()
+        assert [(x["doc_id"], round(x["score"], 9)) for x in exact] == [
+            (x["doc_id"], round(x["score"], 9)) for x in wand
+        ], (terms, mode)
+    assert len(bm25.search_wand(r, [head], k=25).collect()) == 25
