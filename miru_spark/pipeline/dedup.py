@@ -160,6 +160,10 @@ def minhash_signatures(
     a, b = _perm_params(num_perm, seed)
 
     def _sig(pdf_iter):
+        # shingle-hash memo: near-duplicate corpora repeat shingles across
+        # docs, so md5 work is paid once per distinct shingle per task
+        # (bounded: reset past 2M entries)
+        memo: dict[str, int] = {}
         for pdf in pdf_iter:
             out_ids, out_sigs = [], []
             for doc_id, text in zip(pdf["id"], pdf["text"]):
@@ -172,7 +176,16 @@ def minhash_signatures(
                     out_ids.append(doc_id)
                     out_sigs.append(np.full(num_perm, _MERSENNE, dtype=np.int64))
                     continue
-                hs = np.array([_stable_shingle_hash(s) for s in sh], dtype=np.int64)
+                if len(memo) > 2_000_000:
+                    memo.clear()
+                vals = []
+                for s in sh:
+                    v = memo.get(s)
+                    if v is None:
+                        v = _stable_shingle_hash(s)
+                        memo[s] = v
+                    vals.append(v)
+                hs = np.array(vals, dtype=np.int64)
                 # (n_shingles, num_perm) broadcast: values < 2^31 so the
                 # product fits int64
                 sig = (((hs[:, None] * a[None, :]) % _MERSENNE + b[None, :]) % _MERSENNE).min(axis=0)
@@ -254,19 +267,28 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Weighted bit votes over md5-hashed tokens (weight = tf)."""
 
     def _sim(pdf_iter):
+        from collections import Counter
+
+        shifts = np.arange(64, dtype=np.uint64)
+        # token-bit memo: the token vocabulary is tiny relative to the
+        # stream, so each distinct token's md5+bit-expansion is paid once
+        # per task (bounded: reset past 2M entries)
+        memo: dict[str, np.ndarray] = {}
         for pdf in pdf_iter:
             ids, sigs = [], []
             for doc_id, text in zip(pdf["id"], pdf["text"]):
                 toks = tokenize(text)
                 votes = np.zeros(64, dtype=np.int64)
-                from collections import Counter
-
-                shifts = np.arange(64, dtype=np.uint64)
+                if len(memo) > 2_000_000:
+                    memo.clear()
                 for tok, tf in Counter(toks).items():
-                    h = np.uint64(
-                        int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                    )
-                    bits = (h >> shifts) & np.uint64(1)
+                    bits = memo.get(tok)
+                    if bits is None:
+                        h = np.uint64(
+                            int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                        )
+                        bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                        memo[tok] = bits
                     votes += np.where(bits == 1, tf, -tf)
                 sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
                 ids.append(doc_id)
