@@ -315,6 +315,31 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
 
     bounds = docs.select(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).collect()[0]
+    if bounds["lo"] is None:  # empty input: a valid (empty) index
+        for sub in ("postings", "docs", "shard_stats", "dictionary"):
+            os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
+        spark.createDataFrame([], _POSTINGS_SCHEMA).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "postings")
+        )
+        spark.createDataFrame([], "term string, df long, cf long").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, "dictionary"))
+        spark.createDataFrame([], "shard int, doc_id long, doclen int").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, "docs"))
+        meta = IndexMeta(
+            index_dir=index_dir, n_docs=0, total_tokens=0, avgdl=0.0, n_terms=0,
+            n_shards=0, block_bits=block_bits, use_stopwords=use_stopwords,
+            input_fingerprint=_EMPTY_FP,
+        )
+        with open(meta.stats_path, "w") as f:
+            json.dump(
+                {k: getattr(meta, k) for k in (
+                    "n_docs", "total_tokens", "avgdl", "n_terms", "n_shards",
+                    "block_bits", "use_stopwords", "input_fingerprint")},
+                f, indent=1, sort_keys=True,
+            )
+        return meta
     doc_lo, doc_hi = int(bounds["lo"]), int(bounds["hi"])
     block_size = 1 << block_bits
     # align shard boundaries to block boundaries so no block straddles shards

@@ -109,3 +109,20 @@ def test_only_stopword_query_on_stopword_index(spark, tmp_path):
     reader = IndexReader(spark, idx)
     assert bm25.search(reader, "the", k=5).count() == 0
     assert bm25.search(reader, "the AND a", k=5).count() == 0
+
+
+def test_empty_corpus_builds_empty_index(spark, tmp_path):
+    """Zero input docs -> a valid empty index; queries return nothing."""
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query import bm25
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = str(tmp_path / "idx_empty")
+    meta = build_index(spark, empty, out, n_shards=2, block_bits=6, overwrite=True)
+    assert meta.n_docs == 0 and meta.n_terms == 0 and meta.avgdl == 0.0
+    r = IndexReader(spark, out)
+    assert bm25.search(r, "anything", k=5).count() == 0
+    assert bm25.search_wand(r, ["anything"], k=5).count() == 0
+    assert bm25.search_wand(r, ["anything"], k=5, mode="or").count() == 0
+    assert r.dictionary().count() == 0
