@@ -134,6 +134,33 @@ def run_scaling(n_docs: int, cores_pair=(8, 32), repeats: int = 2) -> dict:
     runs: dict[int, list] = {lo: [], hi: []}
     budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "900"))
     t_start = time.monotonic()
+
+    # north-rule deployment shape: each probe is a real `spark-submit
+    # --py-files miru_spark.zip bench.py` launch when spark-submit is on
+    # PATH (fresh JVM per level, the cluster submission protocol);
+    # falls back to a plain python subprocess otherwise.
+    spark_submit = shutil.which("spark-submit")
+    pyz = None
+    if spark_submit:
+        pyz = os.path.join(tempfile.mkdtemp(prefix="bench_pyz_"), "miru_spark.zip")
+        subprocess.run(
+            ["zip", "-qr", pyz, "miru_spark"], cwd=REPO, check=False, capture_output=True
+        )
+        if not os.path.exists(pyz):
+            spark_submit = None
+
+    def launch(cores: int) -> list[str]:
+        if spark_submit:
+            # JVM-startup settings must ride the submit command: in-process
+            # builder.config() is too late for driver memory / local dirs
+            return [spark_submit, "--master", f"local[{cores}]",
+                    "--driver-memory", os.environ.get("MIRU_SPARK_DRIVER_MEM", "32g"),
+                    "--conf", "spark.local.dir=/dev/shm/miru_bench/spark_local",
+                    "--py-files", pyz,
+                    os.path.abspath(__file__), "--scaling-probe", str(cores), str(n_docs)]
+        return [sys.executable, os.path.abspath(__file__), "--scaling-probe",
+                str(cores), str(n_docs)]
+
     # interleave levels (lo,hi,lo,hi,…): the sandbox VM's throughput
     # drifts 2-3x over minutes (shared host), so back-to-back pairs +
     # best-of cancel drift that sequential best-of cannot. Stop adding
@@ -143,12 +170,11 @@ def run_scaling(n_docs: int, cores_pair=(8, 32), repeats: int = 2) -> dict:
             break
         for cores in cores_pair:
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scaling-probe",
-                 str(cores), str(n_docs)],
-                capture_output=True, text=True, timeout=1800, cwd=REPO,
+                launch(cores), capture_output=True, text=True, timeout=1800, cwd=REPO,
             )
             line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
             runs[cores].append(json.loads(line))
+    out["launcher"] = "spark-submit --py-files" if spark_submit else "python"
     for cores in cores_pair:
         out[f"local[{cores}]"] = max(runs[cores], key=lambda r: r["docs_per_sec"])
         out[f"local[{cores}]"]["all_docs_per_sec"] = [
