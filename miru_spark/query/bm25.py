@@ -233,6 +233,13 @@ def search_wand(
     """
     if mode not in ("and", "or"):
         raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    if reader.stats.get("use_stopwords"):
+        # a stopword-analyzed index never indexed these terms; the
+        # reference's analyzer strips them from the query too — without
+        # this an AND would go empty on a term the index dropped by design
+        from miru_spark.analysis.tokenizer import STOPWORDS_EN
+
+        terms = [t for t in terms if t not in STOPWORDS_EN]
     terms = list(dict.fromkeys(terms))
     n_terms = len(terms)
     stats = reader.term_stats(terms)

@@ -369,3 +369,25 @@ def test_wand_at_scale_multi_shard(spark, tmp_path):
             (x["doc_id"], round(x["score"], 9)) for x in wand
         ], (terms, mode)
     assert len(bm25.search_wand(r, [head], k=25).collect()) == 25
+
+
+def test_stopword_wand_pruning(spark, tmp_path):
+    """search_wand on a stopword index drops stopword terms like the
+    query analyzer does, instead of emptying the AND."""
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+
+    texts = {i: f"the quick brown w{i % 5} fox" for i in range(30)}
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "sw_wand_idx")
+    build_index(spark, docs, idx, n_shards=1, block_bits=5, use_stopwords=True, overwrite=True)
+    r = IndexReader(spark, idx)
+    exact = bm25.search(r, "the AND quick AND w1", k=10).collect()
+    wand = bm25.search_wand(r, ["the", "quick", "w1"], k=10).collect()
+    assert exact and [(x["doc_id"], round(x["score"], 9)) for x in exact] == [
+        (x["doc_id"], round(x["score"], 9)) for x in wand
+    ]
+    # all-stopword query -> empty, not an error
+    assert bm25.search_wand(r, ["the", "and"], k=5).count() == 0
