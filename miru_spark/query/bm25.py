@@ -233,6 +233,8 @@ def search_wand(
     """
     if mode not in ("and", "or"):
         raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    if k <= 0:
+        return reader.spark.createDataFrame([], "doc_id long, score double")
     if reader.stats.get("use_stopwords"):
         # a stopword-analyzed index never indexed these terms; the
         # reference's analyzer strips them from the query too — without

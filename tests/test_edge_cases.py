@@ -126,3 +126,18 @@ def test_empty_corpus_builds_empty_index(spark, tmp_path):
     assert bm25.search_wand(r, ["anything"], k=5).count() == 0
     assert bm25.search_wand(r, ["anything"], k=5, mode="or").count() == 0
     assert r.dictionary().count() == 0
+
+
+def test_wand_k_zero(spark, tmp_path):
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query import bm25
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "idx_k0")
+    build_index(spark, docs, out, n_shards=1, block_bits=5, overwrite=True)
+    r = IndexReader(spark, out)
+    assert bm25.search_wand(r, ["alpha"], k=0).count() == 0
+    assert bm25.search(r, "alpha", k=0).count() == 0
