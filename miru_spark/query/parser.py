@@ -53,7 +53,11 @@ class Not(Node):
     child: Node = None
 
 
-_LEX = re.compile(r"\(|\)|[A-Za-z0-9_]+\*?|-")
+# '-' is the NOT prefix only at a term boundary (start / after space /
+# after '('): Lucene treats `foo -bar` as MUST_NOT but analyzes
+# `hello-world` into two AND'd terms — a mid-word hyphen is a token
+# separator, not a negation.
+_LEX = re.compile(r"\(|\)|[A-Za-z0-9_]+\*?|(?<![A-Za-z0-9_*])-")
 
 
 class QueryParseError(ValueError):

@@ -86,3 +86,19 @@ def test_bare_operator_word_is_a_term():
 def test_nested_parens():
     node = parse_query("((a OR b)) c")
     assert node == And([Or([Term("a"), Term("b")]), Term("c")])
+
+
+def test_hyphen_is_not_only_at_term_boundary():
+    from miru_spark.query import parser as qp
+
+    # mid-word hyphen = token separator (Lucene analyzer behavior)
+    ast = qp.parse_query("hello-world")
+    assert ast == qp.And([qp.Term("hello"), qp.Term("world")])
+    assert qp.parse_query("state-of-the-art") == qp.And(
+        [qp.Term("state"), qp.Term("of"), qp.Term("the"), qp.Term("art")]
+    )
+    # boundary hyphen = MUST_NOT
+    ast2 = qp.parse_query("foo -bar")
+    assert isinstance(ast2.children[1], qp.Not)
+    ast3 = qp.parse_query("a (-b)")
+    assert isinstance(ast3.children[1], qp.Not)
