@@ -83,9 +83,11 @@ class _Parser:
             raise QueryParseError(f"trailing input at token {self.i}: {self.peek()!r}")
         return node
 
+    # Lucene-classic operators are CASE-SENSITIVE: only uppercase
+    # AND/OR/NOT are keywords; lowercase variants are ordinary terms.
     def or_expr(self) -> Node:
         parts = [self.and_expr()]
-        while self.peek() is not None and self.peek().upper() == "OR":
+        while self.peek() == "OR":
             self.next()
             parts.append(self.and_expr())
         return parts[0] if len(parts) == 1 else Or(parts)
@@ -94,9 +96,9 @@ class _Parser:
         parts = [self.unary()]
         while True:
             t = self.peek()
-            if t is None or t == ")" or t.upper() == "OR":
+            if t is None or t == ")" or t == "OR":
                 break
-            if t.upper() == "AND":
+            if t == "AND":
                 self.next()
                 continue
             parts.append(self.unary())
@@ -104,7 +106,7 @@ class _Parser:
 
     def unary(self) -> Node:
         t = self.peek()
-        if t is not None and (t.upper() == "NOT" or t == "-"):
+        if t is not None and (t == "NOT" or t == "-"):
             self.next()
             return Not(self.unary())
         return self.atom()

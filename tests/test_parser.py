@@ -102,3 +102,13 @@ def test_hyphen_is_not_only_at_term_boundary():
     assert isinstance(ast2.children[1], qp.Not)
     ast3 = qp.parse_query("a (-b)")
     assert isinstance(ast3.children[1], qp.Not)
+
+
+def test_lowercase_operator_words_are_terms():
+    # Lucene classic: only uppercase AND/OR/NOT are operators
+    assert parse_query("ping and pong") == And(
+        [Term("ping"), Term("and"), Term("pong")]
+    )
+    assert parse_query("x or y") == And([Term("x"), Term("or"), Term("y")])
+    node = parse_query("x OR y")
+    assert isinstance(node, Or)
