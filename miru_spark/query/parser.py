@@ -57,7 +57,7 @@ class Not(Node):
 # after '('): Lucene treats `foo -bar` as MUST_NOT but analyzes
 # `hello-world` into two AND'd terms — a mid-word hyphen is a token
 # separator, not a negation.
-_LEX = re.compile(r"\(|\)|[A-Za-z0-9_]+\*?|(?<![A-Za-z0-9_*])-")
+_LEX = re.compile(r"\(|\)|&&|\|\||[A-Za-z0-9_]+\*?|(?<![A-Za-z0-9_*])-|!")
 
 
 class QueryParseError(ValueError):
@@ -87,7 +87,7 @@ class _Parser:
     # AND/OR/NOT are keywords; lowercase variants are ordinary terms.
     def or_expr(self) -> Node:
         parts = [self.and_expr()]
-        while self.peek() == "OR":
+        while self.peek() in ("OR", "||"):
             self.next()
             parts.append(self.and_expr())
         return parts[0] if len(parts) == 1 else Or(parts)
@@ -96,9 +96,9 @@ class _Parser:
         parts = [self.unary()]
         while True:
             t = self.peek()
-            if t is None or t == ")" or t == "OR":
+            if t is None or t == ")" or t in ("OR", "||"):
                 break
-            if t == "AND":
+            if t in ("AND", "&&"):
                 self.next()
                 continue
             parts.append(self.unary())
@@ -106,7 +106,7 @@ class _Parser:
 
     def unary(self) -> Node:
         t = self.peek()
-        if t is not None and (t == "NOT" or t == "-"):
+        if t is not None and t in ("NOT", "-", "!"):
             self.next()
             return Not(self.unary())
         return self.atom()

@@ -112,3 +112,12 @@ def test_lowercase_operator_words_are_terms():
     assert parse_query("x or y") == And([Term("x"), Term("or"), Term("y")])
     node = parse_query("x OR y")
     assert isinstance(node, Or)
+
+
+def test_symbolic_operators():
+    from miru_spark.query.parser import Not, Or
+
+    assert parse_query("a || b") == Or([Term("a"), Term("b")])
+    assert parse_query("a && b") == And([Term("a"), Term("b")])
+    node = parse_query("a && !b")
+    assert isinstance(node.children[1], Not)
