@@ -394,7 +394,25 @@ def build_index(
 
 
 def _shard_expr(col, ranges: dict[int, tuple[int, int]]):
-    """CASE chain mapping a (doc_id- or block-scaled) value to its shard."""
+    """Map a (doc_id- or block-scaled) value to its shard id.
+
+    Uniform layouts (every build_index wave: shard s covers
+    [base + s*span, base + (s+1)*span - 1]) compile to ONE arithmetic
+    expression — a daily-append wave can carry thousands of shards, and
+    a CASE chain that deep breaks Catalyst expression trees. Non-uniform
+    range maps (e.g. the streaming indexer's batch-numbered shards) fall
+    back to the CASE chain, which is always few branches there.
+    """
+    shards = sorted(ranges)
+    if ranges:
+        lo0, hi0 = ranges[shards[0]]
+        span = hi0 - lo0 + 1
+        base = lo0 - shards[0] * span
+        uniform = span > 0 and all(
+            ranges[s] == (base + s * span, base + (s + 1) * span - 1) for s in shards
+        )
+        if uniform:
+            return F.floor((col - F.lit(base)) / F.lit(span)).cast("int")
     expr = None
     for shard, (lo, hi) in ranges.items():
         cond = (col >= lo) & (col <= hi)
