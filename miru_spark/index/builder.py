@@ -296,6 +296,7 @@ def build_index(
     use_stopwords: bool = False,
     overwrite: bool = False,
     shard_span_blocks: int | None = None,
+    max_wave_shards: int | None = None,
     fail_after_shard: int | None = None,  # test hook: simulate a crash between shards
 ) -> IndexMeta:
     """Build (or resume) the inverted index for ``docs`` under ``index_dir``.
@@ -373,10 +374,17 @@ def build_index(
             continue
         pending[shard] = (lo, hi)
 
-    # one Spark pass per wave; default = all pending shards in ONE job
-    # (fail_after_shard test hook forces single-shard waves so a crash can
-    # land between shards, exercising resume)
-    wave_size = 1 if fail_after_shard is not None else max(1, len(pending))
+    # one Spark pass per wave; default = all pending shards in ONE job.
+    # max_wave_shards bounds each job's shuffle (a 10^12-doc build is a
+    # sequence of bounded waves, resumable at wave granularity via the
+    # manifests). fail_after_shard test hook forces single-shard waves so
+    # a crash can land between shards, exercising resume.
+    if fail_after_shard is not None:
+        wave_size = 1
+    elif max_wave_shards is not None:
+        wave_size = max(1, max_wave_shards)
+    else:
+        wave_size = max(1, len(pending))
     shards_sorted = sorted(pending)
     stored = [c for c in (stored_cols or []) if c != id_col]
     for i in range(0, len(shards_sorted), wave_size):
@@ -438,8 +446,19 @@ def _build_wave(
     wall_start = time.monotonic()
     phases: dict[str, float] = {}
     tok = tokenize_udf(use_stopwords=use_stopwords)
+    # merge adjacent shard ranges into intervals before building the scan
+    # predicate: an append wave is typically ONE contiguous id interval,
+    # so the pushed-down filter stays a single BETWEEN no matter how many
+    # shards the wave carries (an OR-chain per shard would grow the
+    # expression tree linearly with wave size)
+    intervals: list[list[int]] = []
+    for lo, hi in sorted(ranges.values()):
+        if intervals and lo <= intervals[-1][1] + 1:
+            intervals[-1][1] = max(intervals[-1][1], hi)
+        else:
+            intervals.append([lo, hi])
     cond = None
-    for lo, hi in ranges.values():
+    for lo, hi in intervals:
         c = (F.col(id_col) >= lo) & (F.col(id_col) <= hi)
         cond = c if cond is None else cond | c
     sliced = docs.filter(cond)

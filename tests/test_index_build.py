@@ -203,3 +203,21 @@ def test_incremental_append_skips_existing_shards(spark, corpus, tmp_path):
     qa = bm25.search(ra, "w00001 AND w00004", k=10).collect()
     qb = bm25.search(rb, "w00001 AND w00004", k=10).collect()
     assert [(r["doc_id"], r["score"]) for r in qa] == [(r["doc_id"], r["score"]) for r in qb]
+
+
+def test_bounded_waves_match_single_wave(spark, corpus, tmp_path):
+    """max_wave_shards splits the build into several jobs; the result is
+    identical to the single-wave build."""
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+
+    a = str(tmp_path / "idx_waved")
+    b = str(tmp_path / "idx_onewave")
+    build_index(spark, corpus, a, block_bits=7, shard_span_blocks=1,
+                max_wave_shards=2, overwrite=True)
+    build_index(spark, corpus, b, block_bits=7, shard_span_blocks=1, overwrite=True)
+    ra, rb = IndexReader(spark, a), IndexReader(spark, b)
+    assert ra.stats == rb.stats
+    da = {(r["term"], r["df"], r["cf"]) for r in ra.dictionary().collect()}
+    db = {(r["term"], r["df"], r["cf"]) for r in rb.dictionary().collect()}
+    assert da == db
