@@ -47,6 +47,8 @@ def main() -> None:
              "overrides --shards)",
     )
     ap.add_argument("--block-bits", type=int, default=13)
+    ap.add_argument("--max-wave-shards", type=int, default=None,
+                    help="cap shards per Spark job (bounded, resumable waves)")
     ap.add_argument("--stopwords", action="store_true")
     ap.add_argument("--overwrite", action="store_true")
     ap.add_argument("--cores", default=None, help="local[N] override; omit under spark-submit")
@@ -83,6 +85,7 @@ def main() -> None:
         use_stopwords=args.stopwords,
         overwrite=args.overwrite,
         shard_span_blocks=args.shard_span_blocks,
+        max_wave_shards=args.max_wave_shards,
     )
     dt = time.monotonic() - t0
     print(
