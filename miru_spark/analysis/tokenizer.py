@@ -29,6 +29,66 @@ _TOKEN_RE = re.compile(r"[a-z0-9]+")
 _TAG_RE = re.compile(rb"<[^>]*>")
 _WS_RE = re.compile(r"\s+")
 
+# ---------------------------------------------------------------------
+# Locale-aware analyzer registry — the reference keeps per-locale Lucene
+# analyzers and resolves them by exact code, then progressively stripped
+# "_"-suffixes, then a default (``miru-plugin/.../query/
+# TermAnalyzers.java:119-138``). Here an analyzer = (token regex,
+# stopword set). The engine DEFAULT stays the frozen ASCII "en" analyzer:
+# it is the cross-engine byte-identity surface (Python re / JVM regexp /
+# DuckDB RE2 all agree on [a-z0-9]+), and changing it changes every
+# index. Non-"en" locales use a Unicode word tokenizer (any-script
+# letters+digits, lowercased) plus their stopword list.
+# ---------------------------------------------------------------------
+
+_UNICODE_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+STOPWORDS_DE = frozenset(
+    """aber als am an auch auf aus bei bin bis da das dass dem den der des
+    die dir du ein eine einem einen einer es für hat hatte ich ihr im in
+    ist ja kann mein mich mit nach nicht noch nur oder sein sich sie sind
+    so über um und uns von war was wenn wie wir zu zum zur""".split()
+)
+
+STOPWORDS_FR = frozenset(
+    """au aux avec ce ces dans de des du elle en et eux il je la le les
+    leur lui ma mais me même mes moi mon ne nos notre nous on ou par pas
+    pour qu que qui sa se ses son sur ta te tes toi ton tu un une vos
+    votre vous""".split()
+)
+
+
+class _Analyzer:
+    __slots__ = ("token_re", "stopwords")
+
+    def __init__(self, token_re: re.Pattern, stopwords: frozenset):
+        self.token_re = token_re
+        self.stopwords = stopwords
+
+
+_ANALYZERS: dict[str, _Analyzer] = {
+    "en": _Analyzer(_TOKEN_RE, STOPWORDS_EN),
+    "de": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_DE),
+    "fr": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_FR),
+    "unicode": _Analyzer(_UNICODE_TOKEN_RE, frozenset()),
+}
+_DEFAULT_ANALYZER = _ANALYZERS["en"]
+
+
+def find_analyzer(locale: str | None) -> _Analyzer:
+    """Resolve a locale code to its analyzer, with the reference's
+    fallback chain: exact code, then strip trailing ``_``-suffixes
+    ("de_DE" -> "de"), then the default."""
+    code = locale or ""
+    while code:
+        a = _ANALYZERS.get(code)
+        if a is not None:
+            return a
+        if "_" not in code:
+            break
+        code = code.rsplit("_", 1)[0]
+    return _DEFAULT_ANALYZER
+
 
 def extract_text(html: bytes | None) -> str:
     """Extract visible text from an HTML byte payload, deterministically.
@@ -45,18 +105,23 @@ def extract_text(html: bytes | None) -> str:
     return _WS_RE.sub(" ", text).strip()
 
 
-def tokenize(text: str | None, *, use_stopwords: bool = False) -> list[str]:
-    """Lowercase word-break tokenization; optionally drop English stopwords.
+def tokenize(
+    text: str | None, *, use_stopwords: bool = False, locale: str | None = None
+) -> list[str]:
+    """Lowercase word-break tokenization; optionally drop the locale's
+    stopwords.
 
-    Mirrors the reference default analyzer semantics (StandardAnalyzer-like
-    lowercase word tokens; stopwords only when the query asks,
-    ``TermAnalyzers.findAnalyzer`` en/en_"useStopWords" variants).
+    Mirrors the reference analyzer semantics (StandardAnalyzer-like
+    lowercase word tokens; per-locale analyzer + stopword variants via
+    ``TermAnalyzers.findAnalyzer``). ``locale=None`` is the frozen ASCII
+    "en" analyzer (the engine default and byte-identity surface).
     """
     if not text:
         return []
-    toks = _TOKEN_RE.findall(text.lower())
+    analyzer = find_analyzer(locale)
+    toks = analyzer.token_re.findall(text.lower())
     if use_stopwords:
-        toks = [t for t in toks if t not in STOPWORDS_EN]
+        toks = [t for t in toks if t not in analyzer.stopwords]
     return toks
 
 
@@ -65,12 +130,12 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text)
 
 
-def tokenize_udf(use_stopwords: bool = False):
+def tokenize_udf(use_stopwords: bool = False, locale: str | None = None):
     """Factory for an Arrow-vectorized tokenizer column function."""
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _tok(text: pd.Series) -> pd.Series:
-        return text.map(lambda s: tokenize(s, use_stopwords=use_stopwords))
+        return text.map(lambda s: tokenize(s, use_stopwords=use_stopwords, locale=locale))
 
     return _tok
 

@@ -97,6 +97,7 @@ class IndexMeta:
     block_bits: int
     use_stopwords: bool
     input_fingerprint: str
+    locale: str | None = None
 
     @property
     def stats_path(self) -> str:
@@ -294,6 +295,7 @@ def build_index(
     n_shards: int = 4,
     block_bits: int = BLOCK_BITS_DEFAULT,
     use_stopwords: bool = False,
+    locale: str | None = None,
     overwrite: bool = False,
     shard_span_blocks: int | None = None,
     max_wave_shards: int | None = None,
@@ -331,13 +333,13 @@ def build_index(
         meta = IndexMeta(
             index_dir=index_dir, n_docs=0, total_tokens=0, avgdl=0.0, n_terms=0,
             n_shards=0, block_bits=block_bits, use_stopwords=use_stopwords,
-            input_fingerprint=_EMPTY_FP,
+            input_fingerprint=_EMPTY_FP, locale=locale,
         )
         with open(meta.stats_path, "w") as f:
             json.dump(
                 {k: getattr(meta, k) for k in (
                     "n_docs", "total_tokens", "avgdl", "n_terms", "n_shards",
-                    "block_bits", "use_stopwords", "input_fingerprint")},
+                    "block_bits", "use_stopwords", "input_fingerprint", "locale")},
                 f, indent=1, sort_keys=True,
             )
         return meta
@@ -392,13 +394,13 @@ def build_index(
         _build_wave(
             spark, docs, index_dir, wave,
             id_col=id_col, text_col=text_col, stored=stored,
-            block_bits=block_bits, use_stopwords=use_stopwords,
+            block_bits=block_bits, use_stopwords=use_stopwords, locale=locale,
             fingerprints={s: fps[s] for s in wave},
         )
         if fail_after_shard is not None and max(wave) >= fail_after_shard:
             raise RuntimeError(f"simulated crash after shard {max(wave)}")
 
-    return _finalize(spark, index_dir, n_shards, block_bits, use_stopwords, fingerprint)
+    return _finalize(spark, index_dir, n_shards, block_bits, use_stopwords, fingerprint, locale)
 
 
 def _shard_expr(col, ranges: dict[int, tuple[int, int]]):
@@ -431,6 +433,7 @@ def _shard_expr(col, ranges: dict[int, tuple[int, int]]):
 def _build_wave(
     spark, docs, index_dir, ranges: dict[int, tuple[int, int]], *,
     id_col, text_col, stored, block_bits, use_stopwords, fingerprints,
+    locale=None,
 ) -> None:
     """Build every shard in ``ranges`` with ONE tokenize + ONE shuffle.
 
@@ -445,7 +448,7 @@ def _build_wave(
     """
     wall_start = time.monotonic()
     phases: dict[str, float] = {}
-    tok = tokenize_udf(use_stopwords=use_stopwords)
+    tok = tokenize_udf(use_stopwords=use_stopwords, locale=locale)
     # merge adjacent shard ranges into intervals before building the scan
     # predicate: an append wave is typically ONE contiguous id interval,
     # so the pushed-down filter stays a single BETWEEN no matter how many
@@ -608,7 +611,8 @@ def apply_removals(spark: SparkSession, index_dir: str, ops: DataFrame) -> None:
     out.write.mode("append").parquet(os.path.join(index_dir, "removals"))
 
 
-def _finalize(spark, index_dir, n_shards, block_bits, use_stopwords, fingerprint) -> IndexMeta:
+def _finalize(spark, index_dir, n_shards, block_bits, use_stopwords, fingerprint,
+              locale=None) -> IndexMeta:
     """Merge per-shard partials into the global dictionary + stats.json.
 
     df/cf are additive across disjoint doc shards, so the merge is a tiny
@@ -633,7 +637,7 @@ def _finalize(spark, index_dir, n_shards, block_bits, use_stopwords, fingerprint
         index_dir=index_dir, n_docs=n_docs, total_tokens=total_tokens,
         avgdl=(total_tokens / n_docs) if n_docs else 0.0,
         n_terms=n_terms, n_shards=n_shards, block_bits=block_bits,
-        use_stopwords=use_stopwords, input_fingerprint=fingerprint,
+        use_stopwords=use_stopwords, input_fingerprint=fingerprint, locale=locale,
     )
     with open(meta.stats_path, "w") as f:
         json.dump(
@@ -641,7 +645,7 @@ def _finalize(spark, index_dir, n_shards, block_bits, use_stopwords, fingerprint
                 k: getattr(meta, k)
                 for k in (
                     "n_docs", "total_tokens", "avgdl", "n_terms", "n_shards",
-                    "block_bits", "use_stopwords", "input_fingerprint",
+                    "block_bits", "use_stopwords", "input_fingerprint", "locale",
                 )
             },
             f, indent=1, sort_keys=True,

@@ -71,6 +71,24 @@ def _leaf_terms(leaf, expansions) -> list[str]:
     return expansions.get(leaf.prefix, [])
 
 
+def _parse_for_index(reader: IndexReader, query):
+    """Parse/normalize a query through the SAME analyzer the index was
+    built with: the index's stored locale picks the tokenizer, and a
+    stopword-analyzed index strips its locale's stopwords from the query
+    too (reference: both sides resolve through
+    ``TermAnalyzers.findAnalyzer``, TermAnalyzers.java:119-138).
+
+    Returns None when the whole query vanishes (all stopwords).
+    """
+    from miru_spark.analysis.tokenizer import find_analyzer
+
+    locale = reader.stats.get("locale")
+    ast = qp.parse_query(query, locale=locale) if isinstance(query, str) else query
+    if reader.stats.get("use_stopwords"):
+        ast = qp.prune_stopwords(ast, find_analyzer(locale).stopwords)
+    return ast
+
+
 def _eval_candidates(reader: IndexReader, node, expansions) -> DataFrame:
     """Boolean evaluation -> DataFrame of distinct candidate doc_ids."""
     if isinstance(node, (qp.Term, qp.Prefix)):
@@ -131,11 +149,9 @@ def search(
     against the (slim) doc store, so postings of excluded docs never
     reach the scorer.
     """
-    ast = qp.parse_query(query) if isinstance(query, str) else query
-    if reader.stats.get("use_stopwords"):
-        ast = qp.prune_stopwords(ast)
-        if ast is None:
-            return reader.spark.createDataFrame([], "doc_id long, score double")
+    ast = _parse_for_index(reader, query)
+    if ast is None:
+        return reader.spark.createDataFrame([], "doc_id long, score double")
     expansions = _expand(reader, ast, max_expansion)
 
     pos_terms: list[str] = []
@@ -186,11 +202,9 @@ def search_time_newest(
 ) -> DataFrame:
     """TIME strategy: newest-k matching docs, score = 0 (reference:
     ``FullText.java:222-251`` — descending docId, zero scores)."""
-    ast = qp.parse_query(query) if isinstance(query, str) else query
-    if reader.stats.get("use_stopwords"):
-        ast = qp.prune_stopwords(ast)
-        if ast is None:
-            return reader.spark.createDataFrame([], "doc_id long, score double")
+    ast = _parse_for_index(reader, query)
+    if ast is None:
+        return reader.spark.createDataFrame([], "doc_id long, score double")
     expansions = _expand(reader, ast, max_expansion)
     cands = _eval_candidates(reader, ast, expansions)
     if constraint is not None:
@@ -239,9 +253,10 @@ def search_wand(
         # a stopword-analyzed index never indexed these terms; the
         # reference's analyzer strips them from the query too — without
         # this an AND would go empty on a term the index dropped by design
-        from miru_spark.analysis.tokenizer import STOPWORDS_EN
+        from miru_spark.analysis.tokenizer import find_analyzer
 
-        terms = [t for t in terms if t not in STOPWORDS_EN]
+        stop = find_analyzer(reader.stats.get("locale")).stopwords
+        terms = [t for t in terms if t not in stop]
     terms = list(dict.fromkeys(terms))
     n_terms = len(terms)
     stats = reader.term_stats(terms)

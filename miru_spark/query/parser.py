@@ -57,7 +57,7 @@ class Not(Node):
 # after '('): Lucene treats `foo -bar` as MUST_NOT but analyzes
 # `hello-world` into two AND'd terms — a mid-word hyphen is a token
 # separator, not a negation.
-_LEX = re.compile(r"\(|\)|&&|\|\||[A-Za-z0-9_]+\*?|(?<![A-Za-z0-9_*])-|!")
+_LEX = re.compile(r"\(|\)|&&|\|\||\w+\*?|(?<![\w*])-|!", re.UNICODE)
 
 
 class QueryParseError(ValueError):
@@ -65,8 +65,9 @@ class QueryParseError(ValueError):
 
 
 class _Parser:
-    def __init__(self, tokens: list[str]):
+    def __init__(self, tokens: list[str], locale: str | None = None):
         self.toks = tokens
+        self.locale = locale
         self.i = 0
 
     def peek(self):
@@ -124,41 +125,58 @@ class _Parser:
             raise QueryParseError("unexpected ')'")
         if t.endswith("*"):
             body = t[:-1]
-            toks = tokenize(body)
+            toks = tokenize(body, locale=self.locale)
             if len(toks) != 1:
                 raise QueryParseError(f"bad prefix term {t!r}")
             return Prefix(toks[0])
-        toks = tokenize(t)
-        if len(toks) != 1:
+        toks = tokenize(t, locale=self.locale)
+        if not toks:
             raise QueryParseError(f"bad term {t!r}")
-        return Term(toks[0])
+        if len(toks) == 1:
+            return Term(toks[0])
+        # the analyzer split one input word into several terms (e.g.
+        # "Brücke" under the frozen ASCII analyzer) — Lucene's parser
+        # turns that into a boolean sub-query over the produced terms
+        return And([Term(t) for t in toks])
 
 
-def parse_query(q: str) -> Node:
+def parse_query(q: str, *, locale: str | None = None) -> Node:
+    """Parse a query string; ``locale`` selects the analyzer used to
+    normalize term text — it must match the analyzer the target index
+    was built with (the reference resolves both sides through the same
+    ``TermAnalyzers.findAnalyzer``)."""
     toks = _LEX.findall(q)
     if not toks:
         raise QueryParseError("empty query")
-    return _Parser(toks).parse()
+    return _Parser(toks, locale=locale).parse()
 
 
-def prune_stopwords(node: Node) -> Node | None:
+def prune_stopwords(node: Node, stopwords=None) -> Node | None:
     """Drop stopword Term leaves — the query-side analyzer step for a
-    stopword-stripped index (reference: the en_"useStopWords" analyzer
+    stopword-stripped index (reference: the "useStopWords" analyzer
     variants strip them at query time too, ``TermAnalyzers.java:45-138``).
+    ``stopwords`` defaults to the English set; pass the index locale's
+    set for non-"en" indexes.
 
     Returns None when the whole node vanishes; a NOT over a vanished
     child is a no-op (a stopword can never exclude anything).
     """
-    from miru_spark.analysis.tokenizer import STOPWORDS_EN
+    if stopwords is None:
+        from miru_spark.analysis.tokenizer import STOPWORDS_EN
+
+        stopwords = STOPWORDS_EN
 
     if isinstance(node, Term):
-        return None if node.term in STOPWORDS_EN else node
+        return None if node.term in stopwords else node
     if isinstance(node, Prefix):
         return node
     if isinstance(node, Not):
-        child = prune_stopwords(node.child)
+        child = prune_stopwords(node.child, stopwords)
         return Not(child) if child is not None else None
-    kept = [c for c in (prune_stopwords(c) for c in node.children) if c is not None]
+    kept = [
+        c for c in (prune_stopwords(c, stopwords) for c in node.children)
+        if c is not None
+    ]
     if not kept:
         return None
     if len(kept) == 1 and not isinstance(kept[0], Not):

@@ -50,6 +50,8 @@ def main() -> None:
     ap.add_argument("--max-wave-shards", type=int, default=None,
                     help="cap shards per Spark job (bounded, resumable waves)")
     ap.add_argument("--stopwords", action="store_true")
+    ap.add_argument("--locale", default=None,
+                    help="analyzer locale (e.g. de, fr, de_DE); default = frozen ASCII en")
     ap.add_argument("--overwrite", action="store_true")
     ap.add_argument("--cores", default=None, help="local[N] override; omit under spark-submit")
     args = ap.parse_args()
@@ -83,6 +85,7 @@ def main() -> None:
         n_shards=args.shards,
         block_bits=args.block_bits,
         use_stopwords=args.stopwords,
+        locale=args.locale,
         overwrite=args.overwrite,
         shard_span_blocks=args.shard_span_blocks,
         max_wave_shards=args.max_wave_shards,
