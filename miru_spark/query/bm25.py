@@ -71,20 +71,25 @@ def _leaf_terms(leaf, expansions) -> list[str]:
     return expansions.get(leaf.prefix, [])
 
 
-def _parse_for_index(reader: IndexReader, query):
-    """Parse/normalize a query through the SAME analyzer the index was
-    built with: the index's stored locale picks the tokenizer, and a
-    stopword-analyzed index strips its locale's stopwords from the query
-    too (reference: both sides resolve through
-    ``TermAnalyzers.findAnalyzer``, TermAnalyzers.java:119-138).
+def _parse_for_index(reader: IndexReader, query, *, locale=None, use_stopwords=None):
+    """Parse/normalize a query through an analyzer consistent with the
+    index. Defaults come from the index's stored build settings, but the
+    reference carries ``locale`` and ``useStopWords`` on the QUERY
+    (``FullTextQuery.java:22-44`` -> ``FullText.parseQuery`` ->
+    ``TermAnalyzers.findAnalyzer``), so both are overridable per call —
+    e.g. a stopword-keeping index still answers a stopword-stripping
+    query by dropping the stopwords from the query side only.
 
     Returns None when the whole query vanishes (all stopwords).
     """
     from miru_spark.analysis.tokenizer import find_analyzer
 
-    locale = reader.stats.get("locale")
+    if locale is None:
+        locale = reader.stats.get("locale")
+    if use_stopwords is None:
+        use_stopwords = bool(reader.stats.get("use_stopwords"))
     ast = qp.parse_query(query, locale=locale) if isinstance(query, str) else query
-    if reader.stats.get("use_stopwords"):
+    if use_stopwords:
         ast = qp.prune_stopwords(ast, find_analyzer(locale).stopwords)
     return ast
 
@@ -130,6 +135,8 @@ def search(
     round_to: int | None = None,
     constraint=None,
     after: tuple[float, int] | None = None,
+    locale: str | None = None,
+    use_stopwords: bool | None = None,
 ) -> DataFrame:
     """Top-k BM25: returns DataFrame(doc_id long, score double), ordered
     (score desc, doc_id desc), limited to k.
@@ -149,7 +156,7 @@ def search(
     against the (slim) doc store, so postings of excluded docs never
     reach the scorer.
     """
-    ast = _parse_for_index(reader, query)
+    ast = _parse_for_index(reader, query, locale=locale, use_stopwords=use_stopwords)
     if ast is None:
         return reader.spark.createDataFrame([], "doc_id long, score double")
     expansions = _expand(reader, ast, max_expansion)
@@ -198,11 +205,11 @@ def search(
 
 def search_time_newest(
     reader: IndexReader, query: str, k: int = 10, *, max_expansion: int = 100,
-    constraint=None,
+    constraint=None, locale: str | None = None, use_stopwords: bool | None = None,
 ) -> DataFrame:
     """TIME strategy: newest-k matching docs, score = 0 (reference:
     ``FullText.java:222-251`` — descending docId, zero scores)."""
-    ast = _parse_for_index(reader, query)
+    ast = _parse_for_index(reader, query, locale=locale, use_stopwords=use_stopwords)
     if ast is None:
         return reader.spark.createDataFrame([], "doc_id long, score double")
     expansions = _expand(reader, ast, max_expansion)

@@ -78,6 +78,33 @@ def test_german_index_end_to_end(spark, tmp_path):
     assert got == {0, 2}
 
 
+def test_per_query_use_stopwords_override(spark, tmp_path):
+    """The reference carries useStopWords on the QUERY
+    (``FullTextQuery.java:22-44``): a stopword-keeping index must answer
+    a stopword-stripping query by pruning the query side only."""
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query.bm25 import search
+
+    rows = [(0, "the quick fox"), (1, "a slow dog"), (2, "the dog barks")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "idx_en")
+    build_index(spark, docs, out, n_shards=1, block_bits=7, overwrite=True)
+    reader = IndexReader(spark, out)
+
+    # default: "the" is a real indexed term -> AND restricts to docs 0, 2
+    got = {r["doc_id"] for r in search(reader, "the dog", k=10).collect()}
+    assert got == {2}
+    # per-query stopword stripping: "the" vanishes -> plain "dog" query
+    got = {
+        r["doc_id"]
+        for r in search(reader, "the dog", k=10, use_stopwords=True).collect()
+    }
+    assert got == {1, 2}
+    # all-stopword query vanishes entirely
+    assert search(reader, "the a", k=10, use_stopwords=True).count() == 0
+
+
 def test_stats_json_records_locale(spark, tmp_path):
     import json
     import os
