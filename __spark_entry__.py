@@ -203,6 +203,18 @@ def q_bm25_index_wand_or(spark, sf_dir):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_query_stopwords(spark, sf_dir):
+    """Per-query useStopWords (reference FullTextQuery.java:22-44): 'the'
+    is pruned from the query side on a stopword-keeping index, so this
+    equals a plain scan AND merge query."""
+    from miru_spark.query.bm25 import search
+
+    return search(
+        _reader(spark, sf_dir), "the scan merge", k=10, round_to=4,
+        use_stopwords=True,
+    )
+
+
 def q_bm25_prefix(spark, sf_dir):
     """Wildcard query `quer*` expanded against the dictionary (OR scoring)."""
     from miru_spark.query.bm25 import search
@@ -703,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_wand": q_bm25_index_wand,
         "bm25_index_wand_or": q_bm25_index_wand_or,
         "bm25_page2": q_bm25_page2,
+        "bm25_query_stopwords": q_bm25_query_stopwords,
         "bm25_prefix": q_bm25_prefix,
         "bm25_lang_constraint": q_bm25_lang_constraint,
         "fulltext_time_newest": q_fulltext_time_newest,
@@ -761,6 +774,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_index_wand": _bm25_sql(_BM25_TERMS, 10, "and"),
         "bm25_index_wand_or": _bm25_sql(_OR_TERMS, 10, "or"),
         "bm25_page2": _bm25_sql(_BM25_TERMS, 10, "and", offset=10),
+        "bm25_query_stopwords": _bm25_sql(["scan", "merge"], 10, "and"),
         "bm25_prefix": f"""
 WITH base AS ({toks_base}),
 dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
