@@ -61,6 +61,7 @@ def _reader_locked(spark, sf_dir, build_index, IndexReader):
             id_col="doc_id",
             text_col="text",
             stored_cols=["lang", "source"],
+            keyword_fields={"lang": "lang", "source": "source"},
             n_shards=4,
             overwrite=True,
         )
@@ -68,21 +69,34 @@ def _reader_locked(spark, sf_dir, build_index, IndexReader):
     return IndexReader(spark, _INDEX_CACHE[sf_dir])
 
 
+_TOKS_CACHE: dict[str, DataFrame] = {}
+
+
+def _toks_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenized relation, persisted once per sf_dir (not once per call):
+    it feeds three consumers per query (corpus stats, tf extraction, df
+    counts) — one Arrow-UDF pass instead of three — and repeated entry
+    calls in one session reuse the same cache entry instead of leaking."""
+    with _INDEX_LOCK:
+        if sf_dir not in _TOKS_CACHE:
+            docs = _read(spark, sf_dir, "documents")
+            tok = tokenize_udf()
+            _TOKS_CACHE[sf_dir] = (
+                docs.select(
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    tok(F.col("text")).alias("toks"),
+                )
+                .withColumn("doclen", F.size("toks"))
+                .persist()
+            )
+        return _TOKS_CACHE[sf_dir]
+
+
 def _bm25_inline(spark: SparkSession, sf_dir: str, terms: list[str], k: int, mode: str) -> DataFrame:
     """Single-pass declarative BM25 (no persisted index): tokenize ->
     tf/doclen -> broadcast idf -> score -> distributed top-k. The logical
     plan the index build/query pipeline factors into stages."""
-    docs = _read(spark, sf_dir, "documents")
-    tok = tokenize_udf()
-    # persist: the tokenized relation feeds three consumers (corpus stats,
-    # tf extraction, df counts) — one Arrow-UDF pass instead of three.
-    # Spark's cache manager plan-matches, so repeated calls on the same
-    # sf_dir reuse it too.
-    toks = (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), tok(F.col("text")).alias("toks"))
-        .withColumn("doclen", F.size("toks"))
-        .persist()
-    )
+    toks = _toks_cached(spark, sf_dir)
     g = toks.agg(F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")).collect()[0]
     n_docs, avgdl = int(g["n"]), float(g["s"]) / int(g["n"])
 
@@ -233,6 +247,27 @@ def q_bm25_lang_constraint(spark, sf_dir):
     )
 
 
+def q_bm25_fielded(spark, sf_dir):
+    """Fielded query `lang:en AND spark AND query`: the keyword-field
+    composite term (LuceneBackedQueryParser.java:76-144 TermQuery.field;
+    MiruFieldDefinition feature lattice) is an exact-match candidate mask;
+    the text terms BM25-score. Must equal the constraint-mask variant."""
+    from miru_spark.query.bm25 import search
+
+    return search(_reader(spark, sf_dir), "lang:en AND spark AND query", k=10, round_to=4)
+
+
+def q_bm25_gather_fields(spark, sf_dir):
+    """Display-field gather AFTER top-k (the reference's lazy Promise
+    gather, FullText.java:204-217): (doc_id, score, lang, source)."""
+    from miru_spark.query.bm25 import search
+
+    return search(
+        _reader(spark, sf_dir), " AND ".join(_BM25_TERMS), k=10, round_to=4,
+        gather_fields=["lang", "source"],
+    )
+
+
 def q_fulltext_time_newest(spark, sf_dir):
     """TIME strategy: newest-k matching docs, score = 0."""
     from miru_spark.query.bm25 import search_time_newest
@@ -249,7 +284,9 @@ def q_fulltext_highlight(spark, sf_dir):
     r = _reader(spark, sf_dir)
     hits = search(r, "spark AND query", k=5, round_to=4)
     docs = _read(spark, sf_dir, "documents")
-    return highlight(hits, docs, ["spark", "query"])
+    out = highlight(hits, docs, ["spark", "query"])
+    # driver canonicalizer can't hash array columns — flatten to one string
+    return out.withColumn("fragments", F.concat_ws(" … ", "fragments"))
 
 
 def q_index_dictionary(spark, sf_dir):
@@ -641,11 +678,23 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_cosine_pairs(spark, sf_dir):
-    """Exact embedding near-dup pairs (cos >= 0.45) — blocked matmul."""
-    from miru_spark.pipeline.ann import cosine_pairs_exact
+    """Exact embedding near-dup pairs (cos >= 0.45) — distributed
+    block-pair GEMM (no driver collect / corpus broadcast in the plan)."""
+    from miru_spark.pipeline.ann import cosine_pairs_blocked
 
     emb = _read(spark, sf_dir, "embeddings")
-    return cosine_pairs_exact(emb, threshold=0.45, round_to=4)
+    return cosine_pairs_blocked(emb, threshold=0.45, n_blocks=8, round_to=4)
+
+
+def q_cosine_pairs_lsh(spark, sf_dir):
+    """LSH-blocked near-dup pairs — the 100 TB-scale path (candidates
+    from SRP bucket collisions, exact cosine verify); approximate
+    (recall < 1), rows-only by design. Threshold matches the synthetic
+    corpus's cosine range (max pair cos ~0.51)."""
+    from miru_spark.pipeline.ann import cosine_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, dim=64, threshold=0.45, n_bits=6, n_tables=12)
 
 
 def q_rollup_pricing(spark, sf_dir):
@@ -670,9 +719,10 @@ def q_multimodal_features(spark, sf_dir):
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     out = decode_features(docs, "doc_id", "payload", decoder="fake")
+    # driver canonicalizer can't hash array columns — explode to scalar rows
     return out.select(
-        "id", F.transform("features", lambda x: F.round(x, 6)).alias("features")
-    )
+        "id", F.posexplode(F.transform("features", lambda x: F.round(x, 6)))
+    ).toDF("id", "feature_no", "feature")
 
 
 def q_multimodal_frames(spark, sf_dir):
@@ -718,6 +768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_query_stopwords": q_bm25_query_stopwords,
         "bm25_prefix": q_bm25_prefix,
         "bm25_lang_constraint": q_bm25_lang_constraint,
+        "bm25_fielded": q_bm25_fielded,
+        "bm25_gather_fields": q_bm25_gather_fields,
         "fulltext_time_newest": q_fulltext_time_newest,
         "fulltext_highlight": q_fulltext_highlight,
         "index_dictionary": q_index_dictionary,
@@ -758,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "cosine_pairs": q_cosine_pairs,
+        "cosine_pairs_lsh": q_cosine_pairs_lsh,
         "rollup_pricing": q_rollup_pricing,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -767,6 +820,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     toks_base = f"SELECT doc_id, {_TOKS} AS toks FROM documents"
+    lang_en_sql = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
+st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
+q(term) AS (VALUES ('spark'), ('query')),
+tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * {K1 + 1.0}
+              / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / st.avgdl)) ) AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+WHERE s.nt = 2 AND d.lang = 'en'
+ORDER BY score DESC, s.doc_id DESC LIMIT 10
+"""
     return {
         "bm25_and": _bm25_sql(_BM25_TERMS, 10, "and"),
         "bm25_or": _bm25_sql(_OR_TERMS, 10, "or"),
@@ -790,12 +863,16 @@ scored AS (
   FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st GROUP BY tf.doc_id)
 SELECT doc_id, round(score, 4) AS score FROM scored ORDER BY score DESC, doc_id DESC LIMIT 10
 """,
-        "bm25_lang_constraint": f"""
+        "bm25_lang_constraint": lang_en_sql,
+        # the fielded query `lang:en AND spark AND query` is semantically
+        # the constraint-mask query — same oracle
+        "bm25_fielded": lang_en_sql,
+        "bm25_gather_fields": f"""
 WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
 st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
 tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
-q(term) AS (VALUES ('spark'), ('query')),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
 tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
 dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 scored AS (
@@ -804,11 +881,12 @@ scored AS (
               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / st.avgdl)) ) AS score,
          count(DISTINCT tf.term) AS nt
   FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-  GROUP BY tf.doc_id)
-SELECT s.doc_id, round(s.score, 4) AS score
-FROM scored s JOIN documents d ON s.doc_id = d.doc_id
-WHERE s.nt = 2 AND d.lang = 'en'
-ORDER BY score DESC, s.doc_id DESC LIMIT 10
+  GROUP BY tf.doc_id),
+topk AS (SELECT doc_id, round(score, 4) AS score FROM scored WHERE nt = {len(_BM25_TERMS)}
+         ORDER BY score DESC, doc_id DESC LIMIT 10)
+SELECT t.doc_id, t.score, d.lang, d.source
+FROM topk t JOIN documents d USING (doc_id)
+ORDER BY t.score DESC, t.doc_id DESC
 """,
         "fulltext_time_newest": f"""
 WITH base AS ({toks_base}),
@@ -818,7 +896,9 @@ SELECT doc_id, 0.0::DOUBLE AS score FROM cand ORDER BY doc_id DESC LIMIT 20
 """,
         "index_dictionary": f"""
 WITH base AS ({toks_base}),
-tk AS (SELECT doc_id, unnest(toks) AS term FROM base)
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base
+       UNION ALL SELECT doc_id, 'lang:' || lang FROM documents WHERE lang IS NOT NULL
+       UNION ALL SELECT doc_id, 'source:' || source FROM documents WHERE source IS NOT NULL)
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
 FROM tk GROUP BY term ORDER BY df DESC, term LIMIT 50
 """,
@@ -894,7 +974,7 @@ WITH melted AS (
   UNION ALL
   SELECT 'user_id', user_id::VARCHAR, CASE WHEN value > 10 THEN 1 ELSE 0 END FROM events
 )
-SELECT feature, val AS value, sum(pos) AS numerator, count(*) AS denominator,
+SELECT feature, val AS value, sum(pos)::BIGINT AS numerator, count(*) AS denominator,
        round(sum(pos)::DOUBLE / count(*), 6) AS weight
 FROM melted GROUP BY 1, 2 ORDER BY feature, value
 """,
@@ -1000,7 +1080,7 @@ ORDER BY ts DESC, event_id DESC LIMIT 15
 """,
         "trending": """
 SELECT event_type AS term,
-       sum(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 1 ELSE 0 END) AS recent_n,
+       sum(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 1 ELSE 0 END)::BIGINT AS recent_n,
        count(*) AS total_n,
        round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS ratio
 FROM events GROUP BY 1 ORDER BY ratio DESC, recent_n DESC, term LIMIT 5
@@ -1012,7 +1092,7 @@ mine AS (SELECT i FROM src WHERE u = {_RECO_SEED}),
 contrib AS (SELECT u, count(*) AS shared FROM src
             WHERE u <> {_RECO_SEED} AND i IN (SELECT i FROM mine)
             GROUP BY u ORDER BY shared DESC, u LIMIT 50)
-SELECT i AS item, sum(shared) AS score FROM src JOIN contrib USING (u)
+SELECT i AS item, sum(shared)::BIGINT AS score FROM src JOIN contrib USING (u)
 WHERE i NOT IN (SELECT i FROM mine)
 GROUP BY i ORDER BY score DESC, item LIMIT 10
 """,

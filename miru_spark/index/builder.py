@@ -54,6 +54,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import shutil
 import time
 from dataclasses import dataclass
@@ -98,6 +99,7 @@ class IndexMeta:
     use_stopwords: bool
     input_fingerprint: str
     locale: str | None = None
+    keyword_fields: list[str] | None = None
 
     @property
     def stats_path(self) -> str:
@@ -254,18 +256,24 @@ _EMPTY_FP = "n=0;lo=None;hi=None;chars=None"
 
 
 def _shard_fingerprints(
-    docs: DataFrame, id_col: str, text_col: str, ranges: dict[int, tuple[int, int]]
+    docs: DataFrame, id_col: str, indexed_cols: list[str], ranges: dict[int, tuple[int, int]]
 ) -> dict[int, str]:
     """Per-shard input fingerprints in ONE job — the lineage key that
     makes bulk builds *incremental*: appending new docs beyond existing
     shard ranges leaves old shards' fingerprints (hence their manifests
     and data) untouched, while any change inside a shard's doc range
-    changes only that shard's fingerprint and rebuilds only it."""
+    changes only that shard's fingerprint and rebuilds only it.
+    Hashes length over ALL indexed columns (text + keyword fields), so a
+    keyword-only change also re-fingerprints its shard."""
+    chars = None
+    for c in indexed_cols:
+        ln = F.coalesce(F.length(F.col(c).cast("string")), F.lit(0))
+        chars = ln if chars is None else chars + ln
     rows = (
         docs.select(
-            _shard_expr(F.col(id_col), ranges).alias("shard"),
+            _shard_expr(id_col, ranges).alias("shard"),
             F.col(id_col).alias("id"),
-            F.length(F.col(text_col)).alias("chars"),
+            chars.alias("chars"),
         )
         .groupBy("shard")
         .agg(
@@ -292,6 +300,7 @@ def build_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     stored_cols: list[str] | None = None,
+    keyword_fields: dict[str, str] | None = None,
     n_shards: int = 4,
     block_bits: int = BLOCK_BITS_DEFAULT,
     use_stopwords: bool = False,
@@ -319,17 +328,33 @@ def build_index(
 
     bounds = docs.select(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).collect()[0]
     if bounds["lo"] is None:  # empty input: a valid (empty) index
-        for sub in ("postings", "docs", "shard_stats", "dictionary"):
-            os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
-        spark.createDataFrame([], _POSTINGS_SCHEMA).write.mode("overwrite").parquet(
-            os.path.join(index_dir, "postings")
+        # Wipe EVERYTHING first — manifests, shard_stats and the removal
+        # log included. Leaving stale 'done' manifests behind would make a
+        # later rebuild skip every shard over wiped data (a corrupt index),
+        # and unpartitioned part files at the postings/docs roots would mix
+        # with shard= partition dirs of later non-empty builds
+        # (COLUMN_ALREADY_EXISTS on read).
+        if os.path.exists(index_dir):
+            shutil.rmtree(index_dir)
+        os.makedirs(index_dir)
+        stored = [c for c in (stored_cols or []) if c != id_col]
+        # same shard-partitioned layout as normal builds (an empty shard=0
+        # leaf) so later dynamic-partition-overwrite builds don't mix
+        # directory structures
+        spark.createDataFrame([], _POSTINGS_SCHEMA).write.parquet(
+            os.path.join(index_dir, "postings", "shard=0")
         )
-        spark.createDataFrame([], "term string, df long, cf long").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(index_dir, "dictionary"))
-        spark.createDataFrame([], "shard int, doc_id long, doclen int").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(index_dir, "docs"))
+        spark.createDataFrame([], "term string, df long, cf long").write.parquet(
+            os.path.join(index_dir, "dictionary")
+        )
+        docs.limit(0).select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.lit(0).cast("int").alias("doclen"),
+            *[F.col(c) for c in stored],
+        ).write.parquet(os.path.join(index_dir, "docs", "shard=0"))
+        spark.createDataFrame(
+            [], "term string, df long, cf long, n_blocks long"
+        ).write.parquet(os.path.join(index_dir, "shard_stats", "shard=0"))
         meta = IndexMeta(
             index_dir=index_dir, n_docs=0, total_tokens=0, avgdl=0.0, n_terms=0,
             n_shards=0, block_bits=block_bits, use_stopwords=use_stopwords,
@@ -361,14 +386,43 @@ def build_index(
         shard: (shard_base + shard * shard_span, shard_base + (shard + 1) * shard_span - 1)
         for shard in range(n_shards)
     }
-    fps = _shard_fingerprints(docs, id_col, text_col, all_ranges)
+    kw = dict(keyword_fields or {})
+    for fname in kw:
+        if not re.fullmatch(r"[a-z_][a-z0-9_]*", fname):
+            raise ValueError(f"keyword field name {fname!r} must be [a-z0-9_]")
+    fps = _shard_fingerprints(docs, id_col, [text_col, *kw.values()], all_ranges)
     fingerprint = "|".join(f"{s}:{fps[s]}" for s in sorted(fps))
+
+    # A shrunken doc-id range can orphan whole high shards outside the new
+    # layout: clear their data partitions AND manifests, or root reads keep
+    # serving their (vanished) docs and finalize double-counts them.
+    man_dir = os.path.join(index_dir, "manifests")
+    if os.path.isdir(man_dir):
+        for fn in os.listdir(man_dir):
+            if not fn.startswith("shard_") or not fn.endswith(".json"):
+                continue
+            s = int(fn[len("shard_"):-len(".json")])
+            if s not in all_ranges:
+                for sub in ("postings", "docs", "shard_stats"):
+                    leaf = os.path.join(index_dir, sub, f"shard={s}")
+                    if os.path.exists(leaf):
+                        shutil.rmtree(leaf)
+                os.remove(os.path.join(man_dir, fn))
 
     pending: dict[int, tuple[int, int]] = {}
     for shard, (lo, hi) in all_ranges.items():
         if shard_is_done(index_dir, shard, fps[shard]):
             continue
         if fps[shard] == _EMPTY_FP:  # empty shard (no docs in range)
+            # If this shard previously held docs (its doc range was
+            # truncated), its postings/docs/shard_stats partitions still
+            # exist — the wave's dynamic overwrite never touches a shard
+            # it writes no rows for, so clear them explicitly or queries
+            # keep returning the vanished docs and df/avgdl stay wrong.
+            for sub in ("postings", "docs", "shard_stats"):
+                leaf = os.path.join(index_dir, sub, f"shard={shard}")
+                if os.path.exists(leaf):
+                    shutil.rmtree(leaf)
             write_manifest(
                 index_dir,
                 ShardManifest(shard, lo, hi, status="done", input_fingerprint=fps[shard]),
@@ -394,17 +448,19 @@ def build_index(
         _build_wave(
             spark, docs, index_dir, wave,
             id_col=id_col, text_col=text_col, stored=stored,
+            keyword_fields=kw,
             block_bits=block_bits, use_stopwords=use_stopwords, locale=locale,
             fingerprints={s: fps[s] for s in wave},
         )
         if fail_after_shard is not None and max(wave) >= fail_after_shard:
             raise RuntimeError(f"simulated crash after shard {max(wave)}")
 
-    return _finalize(spark, index_dir, n_shards, block_bits, use_stopwords, fingerprint, locale)
+    return _finalize(spark, index_dir, n_shards, block_bits, use_stopwords, fingerprint, locale,
+                     keyword_fields=sorted(kw))
 
 
-def _shard_expr(col, ranges: dict[int, tuple[int, int]]):
-    """Map a (doc_id- or block-scaled) value to its shard id.
+def _shard_expr(col_name: str, ranges: dict[int, tuple[int, int]]):
+    """Map a (doc_id- or block-scaled) column to its shard id.
 
     Uniform layouts (every build_index wave: shard s covers
     [base + s*span, base + (s+1)*span - 1]) compile to ONE arithmetic
@@ -412,7 +468,12 @@ def _shard_expr(col, ranges: dict[int, tuple[int, int]]):
     a CASE chain that deep breaks Catalyst expression trees. Non-uniform
     range maps (e.g. the streaming indexer's batch-numbered shards) fall
     back to the CASE chain, which is always few branches there.
+
+    Integer ``DIV``, not ``floor(a / b)``: double-precision division can
+    round up at shard boundaries for ids approaching 2^53 (the module
+    targets sparse 10^12+ id spaces, where that is a real address range).
     """
+    col = F.col(col_name)
     shards = sorted(ranges)
     if ranges:
         lo0, hi0 = ranges[shards[0]]
@@ -422,7 +483,9 @@ def _shard_expr(col, ranges: dict[int, tuple[int, int]]):
             ranges[s] == (base + s * span, base + (s + 1) * span - 1) for s in shards
         )
         if uniform:
-            return F.floor((col - F.lit(base)) / F.lit(span)).cast("int")
+            return F.expr(
+                f"CAST((CAST(`{col_name}` AS BIGINT) - {base}) DIV {span} AS INT)"
+            )
     expr = None
     for shard, (lo, hi) in ranges.items():
         cond = (col >= lo) & (col <= hi)
@@ -433,7 +496,7 @@ def _shard_expr(col, ranges: dict[int, tuple[int, int]]):
 def _build_wave(
     spark, docs, index_dir, ranges: dict[int, tuple[int, int]], *,
     id_col, text_col, stored, block_bits, use_stopwords, fingerprints,
-    locale=None,
+    locale=None, keyword_fields=None,
 ) -> None:
     """Build every shard in ``ranges`` with ONE tokenize + ONE shuffle.
 
@@ -478,7 +541,7 @@ def _build_wave(
         docs_root = os.path.join(index_dir, "docs")
         (
             sliced.select(
-                _shard_expr(F.col(id_col), ranges).alias("shard"),
+                _shard_expr(id_col, ranges).alias("shard"),
                 F.col(id_col).cast("long").alias("doc_id"),
                 F.size(tok(F.col(text_col))).alias("doclen"),
                 *[F.col(c) for c in stored],
@@ -491,9 +554,31 @@ def _build_wave(
         # straight to their (term, doc-block) reducer; the sorted stream
         # compressor aggregates tf as run lengths (no groupBy stage)
         block_ranges = {s: (lo >> block_bits, hi >> block_bits) for s, (lo, hi) in ranges.items()}
-        blocks = (
+        token_rows = (
             sliced.select(F.col(id_col).cast("long").alias("doc_id"), tok(F.col(text_col)).alias("tokens"))
             .select("doc_id", F.size("tokens").alias("doclen"), F.explode("tokens").alias("term"))
+        )
+        # keyword fields index as FIELD-PREFIXED composite terms
+        # ("lang:en") in the same postings relation — the reference's term
+        # composer packs a field prefix into the term bytes the same way
+        # (``MiruTermComposer.java:35-83``; per-field posting keys
+        # ``LabFieldIndex.java:163-171``). Exact-match semantics (no
+        # analysis, KeywordAnalyzer-style); doclen=1 because composite
+        # terms are candidate masks, not BM25-scored text.
+        for fname, colname in sorted((keyword_fields or {}).items()):
+            src_t = dict(sliced.dtypes)[colname]
+            val = F.explode(F.col(colname)) if src_t.startswith("array") else F.col(colname)
+            kw_rows = (
+                sliced.select(
+                    F.col(id_col).cast("long").alias("doc_id"),
+                    F.lit(1).cast("int").alias("doclen"),
+                    F.concat(F.lit(fname + ":"), val.cast("string")).alias("term"),
+                )
+                .filter(F.col("term").isNotNull())
+            )
+            token_rows = token_rows.unionByName(kw_rows)
+        blocks = (
+            token_rows
             # partition on the block EXPRESSION but never materialize it:
             # block_key is a pure function of doc_id, so shipping it
             # through the dominant shuffle would waste ~8 bytes/row; the
@@ -507,7 +592,7 @@ def _build_wave(
             .sortWithinPartitions("term", "doc_id")
             .select("term", "doc_id", "doclen")
             .mapInPandas(_make_compressor(block_bits), schema=_POSTINGS_SCHEMA)
-            .withColumn("shard", _shard_expr(F.col("block_key"), block_ranges))
+            .withColumn("shard", _shard_expr("block_key", block_ranges))
         )
         post_root = os.path.join(index_dir, "postings")
         # files stay sorted by term -> parquet row-group min/max stats
@@ -612,7 +697,7 @@ def apply_removals(spark: SparkSession, index_dir: str, ops: DataFrame) -> None:
 
 
 def _finalize(spark, index_dir, n_shards, block_bits, use_stopwords, fingerprint,
-              locale=None) -> IndexMeta:
+              locale=None, keyword_fields=None) -> IndexMeta:
     """Merge per-shard partials into the global dictionary + stats.json.
 
     df/cf are additive across disjoint doc shards, so the merge is a tiny
@@ -638,6 +723,7 @@ def _finalize(spark, index_dir, n_shards, block_bits, use_stopwords, fingerprint
         avgdl=(total_tokens / n_docs) if n_docs else 0.0,
         n_terms=n_terms, n_shards=n_shards, block_bits=block_bits,
         use_stopwords=use_stopwords, input_fingerprint=fingerprint, locale=locale,
+        keyword_fields=list(keyword_fields or []),
     )
     with open(meta.stats_path, "w") as f:
         json.dump(
@@ -646,6 +732,7 @@ def _finalize(spark, index_dir, n_shards, block_bits, use_stopwords, fingerprint
                 for k in (
                     "n_docs", "total_tokens", "avgdl", "n_terms", "n_shards",
                     "block_bits", "use_stopwords", "input_fingerprint", "locale",
+                    "keyword_fields",
                 )
             },
             f, indent=1, sort_keys=True,

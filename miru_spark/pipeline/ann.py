@@ -241,6 +241,93 @@ def cosine_pairs_exact(
     )
 
 
+def cosine_pairs_blocked(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold, fully distributed.
+
+    Classic block-pair decomposition: each vector lands in block
+    ``xxhash64(id) % n_blocks``; every unordered block pair (i <= j)
+    becomes one task whose Arrow batches compute ``A @ B.T`` with BLAS.
+    Rows are replicated ~n_blocks times (each block participates in
+    n_blocks pairs), but no corpus-sized driver collect or broadcast —
+    the n²  work spreads over n_blocks*(n_blocks+1)/2 independent tasks,
+    so the shape survives a 100x scale-up (cost is inherently n², which
+    is why the LSH-blocked ``cosine_pairs`` is the default at corpus
+    scale; this is the exact verifier/backstop).
+    Columns: id_a, id_b, cos (id_a < id_b).
+    """
+    spark = vectors.sparkSession
+    src = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "blk_a int, blk_b int",
+    )
+    # replicate: side A carries rows for every pair where its block is blk_a,
+    # side B likewise; same-block pairs handled once (i == j) with id_a < id_b.
+    a = src.join(F.broadcast(pairs), src["blk"] == pairs["blk_a"]).select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "blk_a", "blk_b"
+    )
+    b = src.join(F.broadcast(pairs), src["blk"] == pairs["blk_b"]).select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "blk_a", "blk_b"
+    )
+
+    def _gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        a_rows = pdf[pdf["side"] == 0]
+        b_rows = pdf[pdf["side"] == 1]
+        if len(a_rows) == 0 or len(b_rows) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "cos": pd.Series([], dtype="float64")}
+            )
+        a_ids = a_rows["id"].to_numpy(np.int64)
+        b_ids = b_rows["id"].to_numpy(np.int64)
+        a_mat = np.vstack([np.asarray(v, dtype=np.float64) for v in a_rows["vec"]])
+        b_mat = np.vstack([np.asarray(v, dtype=np.float64) for v in b_rows["vec"]])
+        a_mat /= np.sqrt((a_mat * a_mat).sum(axis=1))[:, None]
+        b_mat /= np.sqrt((b_mat * b_mat).sum(axis=1))[:, None]
+        cos = a_mat @ b_mat.T
+        keep = cos >= threshold
+        if key[0] == key[1]:
+            # same block: both sides hold the same rows; id_a < id_b dedups
+            keep &= a_ids[:, None] < b_ids[None, :]
+        else:
+            # cross block: each unordered pair appears exactly once here —
+            # canonicalize ids instead of masking (ids aren't ordered by block)
+            keep &= a_ids[:, None] != b_ids[None, :]
+        ai, bi = np.nonzero(keep)
+        lo = np.minimum(a_ids[ai], b_ids[bi])
+        hi = np.maximum(a_ids[ai], b_ids[bi])
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cos": np.round(cos[ai, bi], round_to)}
+        )
+
+    stacked = (
+        a.select("blk_a", "blk_b", F.lit(0).alias("side"),
+                 F.col("id_a").alias("id"), F.col("vec_a").alias("vec"))
+        .unionByName(
+            b.select("blk_a", "blk_b", F.lit(1).alias("side"),
+                     F.col("id_b").alias("id"), F.col("vec_b").alias("vec"))
+        )
+    )
+    return (
+        stacked.groupBy("blk_a", "blk_b")
+        .applyInPandas(_gemm, schema="id_a long, id_b long, cos double")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def cosine_pairs(
     vectors: DataFrame,
     *,

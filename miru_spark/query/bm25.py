@@ -137,9 +137,15 @@ def search(
     after: tuple[float, int] | None = None,
     locale: str | None = None,
     use_stopwords: bool | None = None,
+    gather_fields: list[str] | None = None,
 ) -> DataFrame:
     """Top-k BM25: returns DataFrame(doc_id long, score double), ordered
     (score desc, doc_id desc), limited to k.
+
+    ``gather_fields``: stored doc-store columns joined back AFTER the
+    top-k limit — the reference's lazy Promise gather, which only
+    materializes display fields for surviving hits
+    (``FullText.java:204-217, 316-333``; project-after-limit).
 
     ``after``: continuation cursor ``(score, doc_id)`` of the last hit of
     the previous page — only strictly-lower-ranked hits return (keyset
@@ -161,16 +167,32 @@ def search(
         return reader.spark.createDataFrame([], "doc_id long, score double")
     expansions = _expand(reader, ast, max_expansion)
 
+    # fielded leaves (``lang:en``) are exact-match candidate MASKS — they
+    # intersect the answer like the reference's constraints/authz filters
+    # but contribute no BM25 weight; only default-field text terms score.
     pos_terms: list[str] = []
     for leaf in qp.positive_leaves(ast):
+        if leaf.field is not None:
+            continue
         for t in _leaf_terms(leaf, expansions):
             if t not in pos_terms:
                 pos_terms.append(t)
     if not pos_terms:
-        return reader.spark.createDataFrame(
-            [], T.StructType([T.StructField("doc_id", T.LongType()),
-                              T.StructField("score", T.DoubleType())])
+        # pure-mask query (every positive leaf is fielded): no scoring
+        # terms, so fall back to the TIME ordering — newest-first with
+        # score 0 (the reference's prime ordering / TIME strategy,
+        # ``FullText.java:222-251``).
+        cands = _eval_candidates(reader, ast, expansions)
+        if constraint is not None:
+            mask = reader.doc_store().filter(constraint).select("doc_id")
+            cands = cands.join(mask, "doc_id", "left_semi")
+        cands = cands.join(reader.removed_docs(), "doc_id", "left_anti")
+        out = (
+            cands.withColumn("score", F.lit(0.0))
+            .orderBy(F.col("doc_id").desc())
+            .limit(k)
         )
+        return _gather(reader, out, gather_fields, time_order=True)
 
     stats = reader.term_stats(pos_terms)
     idf_rows = [(t, reader.idf(stats[t]["df"])) for t in pos_terms if t in stats]
@@ -200,7 +222,23 @@ def search(
             (F.col("score") < a_score)
             | ((F.col("score") == a_score) & (F.col("doc_id") < a_doc))
         )
-    return scored.orderBy(F.col("score").desc(), F.col("doc_id").desc()).limit(k)
+    out = scored.orderBy(F.col("score").desc(), F.col("doc_id").desc()).limit(k)
+    return _gather(reader, out, gather_fields)
+
+
+def _gather(reader: IndexReader, topk: DataFrame, gather_fields, *, time_order=False) -> DataFrame:
+    """Join stored display fields onto an already-limited top-k — the
+    gather runs over <= k rows, never over the candidate set."""
+    if not gather_fields:
+        return topk
+    # broadcast the <=k-row top-k side; inner join (every posting doc_id
+    # exists in the doc store) so the big side streams past the tiny hash
+    out = F.broadcast(topk).join(
+        reader.doc_store().select("doc_id", *gather_fields), "doc_id"
+    ).select("doc_id", "score", *gather_fields)
+    order = [F.col("doc_id").desc()] if time_order else [
+        F.col("score").desc(), F.col("doc_id").desc()]
+    return out.orderBy(*order)
 
 
 def search_time_newest(
@@ -277,9 +315,6 @@ def search_wand(
     idf = {t: reader.idf(stats[t]["df"]) for t in terms}
     avgdl, block_bits = reader.avgdl, reader.block_bits
     conjunctive = mode == "and"
-    # removal mask, shipped to the kernel via UDF closure (the removal
-    # log is a small delta; sorted for O(log n) membership via searchsorted)
-    removed = np.array(sorted(reader.removed_doc_ids()), dtype=np.int64)
     # continuation cursor: only items strictly below it in the
     # (score desc, doc_id desc) total order enter the heap
     cursor = (float(after[0]), int(after[1])) if after is not None else None
@@ -299,6 +334,19 @@ def search_wand(
     )
     if conjunctive:
         grouped = grouped.filter(F.col("n_terms_present") == len(terms))
+    # removal mask as a distributed equi-join on block_key (NOT a
+    # driver-collected closure — the removal log is usually a small
+    # delta, but nothing bounds it at 100x scale): each surviving block
+    # group carries only ITS removed ids, sorted for searchsorted
+    removals = (
+        reader.removed_docs()
+        .withColumn("block_key", F.shiftright(F.col("doc_id"), block_bits))
+        .groupBy("block_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("removed_ids"))
+    )
+    # no broadcast hint: AQE broadcasts the (tiny) removal relation when
+    # it is tiny and falls back to a shuffle join when it is not
+    grouped = grouped.join(removals, "block_key", "left")
     grouped = grouped.repartition(reader.spark.sparkContext.defaultParallelism, "block_key")
 
     def _ub(idf_t: float, max_tf: int, min_doclen: int) -> float:
@@ -314,7 +362,15 @@ def search_wand(
             return heap[0][0] if len(heap) >= k else -math.inf
 
         for pdf in pdf_iter:
-            for block_key, blocks in zip(pdf["block_key"], pdf["blocks"]):
+            for block_key, blocks, rem_ids in zip(
+                pdf["block_key"], pdf["blocks"], pdf["removed_ids"]
+            ):
+                # null from the left join arrives as None/NaN
+                removed = (
+                    np.asarray(rem_ids, dtype=np.int64)
+                    if isinstance(rem_ids, (list, np.ndarray)) and len(rem_ids)
+                    else np.empty(0, dtype=np.int64)
+                )
                 per_term_ub: dict[str, float] = {}
                 for blk in blocks:
                     u = _ub(idf[blk["term"]], blk["max_tf"], blk["min_doclen"])

@@ -31,11 +31,13 @@ class Node:
 @dataclass(frozen=True)
 class Term(Node):
     term: str
+    field: str | None = None  # non-None -> composite "field:value" term
 
 
 @dataclass(frozen=True)
 class Prefix(Node):
     prefix: str
+    field: str | None = None
 
 
 @dataclass
@@ -57,7 +59,12 @@ class Not(Node):
 # after '('): Lucene treats `foo -bar` as MUST_NOT but analyzes
 # `hello-world` into two AND'd terms — a mid-word hyphen is a token
 # separator, not a negation.
-_LEX = re.compile(r"\(|\)|&&|\|\||\w+\*?|(?<![\w*])-|!", re.UNICODE)
+# '!' gets the same boundary guard: `foo!bar` is two AND'd terms (the
+# analyzer treats '!' as a token separator), not foo AND NOT bar.
+# `field:value` (and `field:pre*`) lexes as ONE token — Lucene's fielded
+# TermQuery/PrefixQuery syntax (``LuceneBackedQueryParser.java:76-144``
+# routes term.field() into the field filter).
+_LEX = re.compile(r"\(|\)|&&|\|\||\w+:\w*\*?|\w+\*?|(?<![\w*])-|(?<![\w*])!", re.UNICODE)
 
 
 class QueryParseError(ValueError):
@@ -123,6 +130,16 @@ class _Parser:
             return node
         if t == ")":
             raise QueryParseError("unexpected ')'")
+        if ":" in t:
+            # fielded term: keyword fields are exact-match (no analysis,
+            # KeywordAnalyzer semantics) against the composite
+            # "field:value" posting term the builder wrote
+            fname, _, value = t.partition(":")
+            if t.endswith("*"):
+                return Prefix(f"{fname}:{value[:-1]}", field=fname)
+            if not value:
+                raise QueryParseError(f"bad fielded term {t!r}")
+            return Term(t, field=fname)
         if t.endswith("*"):
             body = t[:-1]
             toks = tokenize(body, locale=self.locale)
@@ -167,7 +184,8 @@ def prune_stopwords(node: Node, stopwords=None) -> Node | None:
         stopwords = STOPWORDS_EN
 
     if isinstance(node, Term):
-        return None if node.term in stopwords else node
+        # fielded terms are exact-match keyword values, never stopwords
+        return None if (node.field is None and node.term in stopwords) else node
     if isinstance(node, Prefix):
         return node
     if isinstance(node, Not):

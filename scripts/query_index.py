@@ -51,7 +51,8 @@ def main() -> None:
     if args.wand:
         from miru_spark.analysis.tokenizer import tokenize
 
-        out = search_wand(reader, tokenize(args.query), k=args.k,
+        terms = tokenize(args.query, locale=reader.stats.get("locale"))
+        out = search_wand(reader, terms, k=args.k,
                           mode="or" if args.use_or else "and", after=after)
     else:
         out = search(reader, args.query, k=args.k, after=after)

@@ -391,3 +391,107 @@ def test_stopword_wand_pruning(spark, tmp_path):
     ]
     # all-stopword query -> empty, not an error
     assert bm25.search_wand(r, ["the", "and"], k=5).count() == 0
+
+
+# ---------------------------------------------------------------------
+# fielded index / fielded queries (round 2)
+# ---------------------------------------------------------------------
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def fielded_reader(spark, corpus, tmp_path_factory):
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+
+    out = str(tmp_path_factory.mktemp("fielded") / "idx")
+    build_index(
+        spark, corpus, out,
+        stored_cols=["url", "lang", "warc_ts"],
+        keyword_fields={"lang": "lang"},
+        n_shards=3, block_bits=7, overwrite=True,
+    )
+    return IndexReader(spark, out)
+
+
+def test_fielded_term_equals_constraint_mask(spark, fielded_reader):
+    """`lang:en AND w00001` must equal the same text query with a stored-
+    column constraint mask — composite terms are exact-match masks."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.query.bm25 import search
+
+    a = search(fielded_reader, "lang:en AND w00001", k=20, round_to=6).collect()
+    b = search(fielded_reader, "w00001", k=20, round_to=6,
+               constraint=F.col("lang") == "en").collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b]
+    assert len(a) > 0
+
+
+def test_fielded_terms_do_not_score(spark, fielded_reader):
+    """Adding a mask that every candidate already satisfies must not
+    change any score (masks contribute no BM25 weight)."""
+    from miru_spark.query.bm25 import search
+
+    plain = {r["doc_id"]: r["score"] for r in
+             search(fielded_reader, "w00001", k=1000, round_to=6).collect()}
+    fielded = search(fielded_reader, "lang:en AND w00001", k=1000, round_to=6).collect()
+    for r in fielded:
+        assert plain[r["doc_id"]] == r["score"]
+
+
+def test_pure_mask_query_is_time_ordered(spark, corpus, fielded_reader):
+    """A query of only fielded masks has no scoring terms: newest-first,
+    score 0 (the reference's TIME strategy / prime ordering)."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.query.bm25 import search
+
+    out = search(fielded_reader, "lang:de", k=5).collect()
+    expect = [
+        r["doc_id"] for r in corpus.filter(F.col("lang") == "de")
+        .orderBy(F.col("doc_id").desc()).limit(5).collect()
+    ]
+    assert [r["doc_id"] for r in out] == expect
+    assert all(r["score"] == 0.0 for r in out)
+
+
+def test_fielded_prefix_expands(spark, fielded_reader):
+    """`lang:d* AND w00001` expands against the dictionary like any
+    wildcard, scoped to the composite-term prefix."""
+    from miru_spark.query.bm25 import search
+
+    a = search(fielded_reader, "lang:d* AND w00001", k=50, round_to=6).collect()
+    b = search(fielded_reader, "lang:de AND w00001", k=50, round_to=6).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b]
+
+
+def test_gather_fields_after_topk(spark, corpus, fielded_reader):
+    """gather_fields joins stored columns onto the <=k top-k only, in
+    rank order (FullText.java:204-217 lazy gather analogue)."""
+    from miru_spark.query.bm25 import search
+
+    plain = search(fielded_reader, "w00001 AND w00004", k=5, round_to=6).collect()
+    gathered = search(fielded_reader, "w00001 AND w00004", k=5, round_to=6,
+                      gather_fields=["lang", "url"]).collect()
+    assert [(r["doc_id"], r["score"]) for r in gathered] == [
+        (r["doc_id"], r["score"]) for r in plain]
+    by_id = {r["doc_id"]: (r["lang"], r["url"]) for r in corpus.select(
+        "doc_id", "lang", "url").collect()}
+    for r in gathered:
+        assert (r["lang"], r["url"]) == by_id[r["doc_id"]]
+
+
+def test_dictionary_composite_terms(spark, corpus, fielded_reader):
+    from pyspark.sql import functions as F
+
+    want = {
+        ("lang:" + r["lang"], r["n"])
+        for r in corpus.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {
+        (r["term"], r["df"])
+        for r in fielded_reader.dictionary().filter(F.col("term").startswith("lang:")).collect()
+    }
+    assert got == want

@@ -221,3 +221,61 @@ def test_bounded_waves_match_single_wave(spark, corpus, tmp_path):
     da = {(r["term"], r["df"], r["cf"]) for r in ra.dictionary().collect()}
     db = {(r["term"], r["df"], r["cf"]) for r in rb.dictionary().collect()}
     assert da == db
+
+
+def test_truncated_corpus_rebuild_drops_vanished_docs(spark, corpus, tmp_path):
+    """A shard whose doc range empties (or vanishes from the layout) on
+    rebuild must not keep serving its old postings; stats must track the
+    shrunken corpus (ADVICE r01: stale 'done'-with-empty-fp manifests left
+    data partitions behind)."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+
+    out = str(tmp_path / "idx_trunc")
+    build_index(spark, corpus.filter(F.col("doc_id") < 512), out,
+                block_bits=7, shard_span_blocks=1, overwrite=True)
+    # truncate to the first shard's range only (block 0 = ids 0..127)
+    truncated = corpus.filter(F.col("doc_id") < 128)
+    build_index(spark, truncated, out, block_bits=7, shard_span_blocks=1)
+    r = IndexReader(spark, out)
+    n_expect = truncated.count()
+    assert r.n_docs == n_expect
+    assert r.doc_store().count() == n_expect
+    assert r.doc_store().agg(F.max("doc_id")).collect()[0][0] < 128
+    # dictionary df can't exceed the surviving doc count
+    assert r.dictionary().agg(F.max("df")).collect()[0][0] <= n_expect
+    # equals a fresh build over the truncated corpus
+    fresh = str(tmp_path / "idx_trunc_fresh")
+    build_index(spark, truncated, fresh, block_bits=7, shard_span_blocks=1, overwrite=True)
+    rf = IndexReader(spark, fresh)
+    da = {(r_["term"], r_["df"], r_["cf"]) for r_ in r.dictionary().collect()}
+    db = {(r_["term"], r_["df"], r_["cf"]) for r_ in rf.dictionary().collect()}
+    assert da == db
+
+
+def test_empty_input_build_leaves_consistent_index(spark, corpus, tmp_path):
+    """Building with an empty input over an existing index wipes it to a
+    CONSISTENT empty index (no stale manifests/shard_stats), and a later
+    non-empty build over the same dir fully recovers (ADVICE r01:
+    layout-mixing + stale manifests made the rebuild skip every shard)."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+
+    out = str(tmp_path / "idx_empty")
+    build_index(spark, corpus.filter(F.col("doc_id") < 256), out,
+                block_bits=7, shard_span_blocks=1, overwrite=True)
+    empty = corpus.filter(F.lit(False))
+    meta = build_index(spark, empty, out, block_bits=7, shard_span_blocks=1)
+    assert meta.n_docs == 0
+    r = IndexReader(spark, out)
+    assert r.n_docs == 0 and r.dictionary().count() == 0 and r.doc_store().count() == 0
+    # rebuild over the wiped dir with real docs again: full recovery
+    build_index(spark, corpus.filter(F.col("doc_id") < 256), out,
+                block_bits=7, shard_span_blocks=1)
+    r2 = IndexReader(spark, out)
+    assert r2.n_docs == 256
+    assert r2.doc_store().count() == 256

@@ -121,3 +121,27 @@ def test_symbolic_operators():
     assert parse_query("a && b") == And([Term("a"), Term("b")])
     node = parse_query("a && !b")
     assert isinstance(node.children[1], Not)
+
+
+def test_bang_boundary_matches_hyphen_rule():
+    from miru_spark.query import parser as qp
+
+    # mid-word '!' = token separator, same rule as '-' (ADVICE r01)
+    assert qp.parse_query("foo!bar") == qp.And([qp.Term("foo"), qp.Term("bar")])
+    # boundary '!' = MUST_NOT
+    ast = qp.parse_query("foo !bar")
+    assert isinstance(ast.children[1], qp.Not)
+    ast2 = qp.parse_query("a (!b)")
+    assert isinstance(ast2.children[1], qp.Not)
+
+
+def test_fielded_term_and_prefix():
+    from miru_spark.query import parser as qp
+
+    ast = qp.parse_query("lang:en AND spark")
+    assert ast == qp.And([qp.Term("lang:en", field="lang"), qp.Term("spark")])
+    ast2 = qp.parse_query("lang:e* spark")
+    assert ast2.children[0] == qp.Prefix("lang:e", field="lang")
+    # fielded values are exact-match: no analysis, never stopword-pruned
+    pruned = qp.prune_stopwords(qp.parse_query("lang:the the spark"))
+    assert pruned == qp.And([qp.Term("lang:the", field="lang"), qp.Term("spark")])

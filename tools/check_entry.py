@@ -40,8 +40,32 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def driver_traps(pdf: pd.DataFrame) -> list[str]:
+    """Checks the real driver enforces but canon() would hide: object cells
+    holding lists/ndarrays crash its canonicalizer (unhashable type)."""
+    out = []
+    for c in pdf.columns:
+        if pdf[c].dtype == object and len(pdf) and isinstance(
+            pdf[c].iloc[0], (list, tuple, np.ndarray, dict)
+        ):
+            out.append(f"col {c}: non-scalar cells ({type(pdf[c].iloc[0]).__name__}) — driver canonicalizer crashes on these")
+    return out
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
+    # driver hashes raw dtypes: DuckDB HUGEINT sums arrive float64 while
+    # Spark bigint arrives int64 — flag any int/float family mismatch
+    for c in set(spark_pdf.columns) & set(duck_pdf.columns):
+        s_int = pd.api.types.is_integer_dtype(spark_pdf[c])
+        d_int = pd.api.types.is_integer_dtype(duck_pdf[c])
+        s_f = pd.api.types.is_float_dtype(spark_pdf[c])
+        d_f = pd.api.types.is_float_dtype(duck_pdf[c])
+        if (s_int and d_f) or (s_f and d_int):
+            problems.append(
+                f"col {c}: dtype family mismatch spark={spark_pdf[c].dtype} duck={duck_pdf[c].dtype}"
+                " (driver hash would mismatch — ::BIGINT-cast integer sums in the oracle)"
+            )
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         problems.append(f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
         return problems
@@ -100,6 +124,13 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             print(f"[FAIL] {name}: spark raised {type(e).__name__}: {e}")
+            continue
+        traps = driver_traps(spark_pdf)
+        if traps:
+            failed.append(name)
+            print(f"[FAIL] {name}:")
+            for p in traps:
+                print(f"    {p}")
             continue
         if name not in oracles:
             print(f"[rows-only] {name}: {len(spark_pdf)} rows ({time.monotonic()-t0:.1f}s)")
