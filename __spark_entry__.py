@@ -393,7 +393,10 @@ def q_uniques(spark, sf_dir):
 def q_gather(spark, sf_dir):
     from miru_spark.operators.aggregates import gather
 
-    return gather(_read(spark, sf_dir, "events"), "event_type", with_counts=True)
+    return gather(
+        _read(spark, sf_dir, "events"), "event_type", with_counts=True,
+        id_col="event_id",
+    )
 
 
 def q_aggregate_counts(spark, sf_dir):
@@ -492,6 +495,22 @@ def q_strut_score(spark, sf_dir):
     return strut_score(
         _read(spark, sf_dir, "events"), "event_id", _STRUT_MODEL, strategy="sum", k=25
     )
+
+
+def q_strut_unit_weighted(spark, sf_dir):
+    """UNIT_WEIGHTED Strut strategy (Strut.java:367-377): mean of positive
+    legs over the number of model features."""
+    from miru_spark.operators.aggregates import strut_score
+
+    model = dict(_STRUT_MODEL)
+    model["user_id"] = {"1": 1.0, "2": 0.5}
+    out = strut_score(
+        _read(spark, sf_dir, "events").withColumn(
+            "user_id", F.col("user_id").cast("string")
+        ),
+        "event_id", model, strategy="unit_weighted", k=25,
+    )
+    return out.withColumn("score", F.round("score", 6))
 
 
 def q_catwalk_model(spark, sf_dir):
@@ -786,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_counts": q_aggregate_counts,
         "gather_features": q_gather_features,
         "strut_score": q_strut_score,
+        "strut_unit_weighted": q_strut_unit_weighted,
         "catwalk_model": q_catwalk_model,
         "inbox_unread": q_inbox_unread,
         "trending_strategies": q_trending_strategies,
@@ -945,7 +965,11 @@ ORDER BY event_id
         "uniques": """
 SELECT event_type, count(DISTINCT user_id) AS n_distinct FROM events GROUP BY event_type ORDER BY event_type
 """,
-        "gather": "SELECT event_type AS term, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+        "gather": """
+SELECT event_type AS term, count(*) AS n,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events GROUP BY 1 ORDER BY 1
+""",
         "aggregate_counts": """
 WITH r AS (SELECT user_id, ts, event_id,
                   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
@@ -965,6 +989,14 @@ SELECT user_id, event_type, n, rank FROM r WHERE rank <= 3 ORDER BY user_id, ran
 SELECT event_id,
        (CASE event_type WHEN 'purchase' THEN 3.0 WHEN 'signup' THEN 2.0
              WHEN 'click' THEN 0.5 ELSE 0.0 END)::DOUBLE AS score
+FROM events ORDER BY score DESC, event_id LIMIT 25
+""",
+        "strut_unit_weighted": """
+SELECT event_id,
+       round(((CASE event_type WHEN 'purchase' THEN 3.0 WHEN 'signup' THEN 2.0
+                    WHEN 'click' THEN 0.5 ELSE 0.0 END)
+            + (CASE user_id::VARCHAR WHEN '1' THEN 1.0 WHEN '2' THEN 0.5
+                    ELSE 0.0 END)) / 2.0, 6)::DOUBLE AS score
 FROM events ORDER BY score DESC, event_id LIMIT 25
 """,
         "catwalk_model": """

@@ -52,18 +52,21 @@ def uniques(df: DataFrame, fld: str, by: str, *, flt: Filter | None = None) -> D
 
 
 def gather(
-    df: DataFrame, pivot: str, *, flt: Filter | None = None, with_counts: bool = True
+    df: DataFrame, pivot: str, *, flt: Filter | None = None, with_counts: bool = True,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Distinct pivot terms over matching rows (+counts, min/max doc ids).
 
-    For multi-valued pivots pass an exploded column upstream."""
+    ``id_col``: also emit min_id/max_id per term — the reference's gather
+    streams (firstId, termId, count) and tracks the id range per term
+    (``MiruAggregateUtil.java:654-768``). For multi-valued pivots pass an
+    exploded column upstream."""
     src = apply_filter(df, flt)
     if with_counts:
-        return (
-            src.groupBy(F.col(pivot).alias("term"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy("term")
-        )
+        aggs = [F.count(F.lit(1)).alias("n")]
+        if id_col:
+            aggs += [F.min(id_col).alias("min_id"), F.max(id_col).alias("max_id")]
+        return src.groupBy(F.col(pivot).alias("term")).agg(*aggs).orderBy("term")
     return src.select(F.col(pivot).alias("term")).distinct().orderBy("term")
 
 
@@ -153,17 +156,22 @@ def strut_score(
     feature_weights: dict[str, dict[str, float]],
     *,
     flt: Filter | None = None,
-    strategy: str = "sum",  # sum (REGRESSION_WEIGHTED-ish) | max (MAX)
+    strategy: str = "sum",  # sum (REGRESSION_WEIGHTED) | max (MAX) | unit_weighted
     k: int = 10,
 ) -> DataFrame:
     """Model-based scoring: broadcast feature->weight maps, score rows.
 
     Reference: Strut scoring multiplies gathered feature counts by a
     cached model's weights with UNIT_WEIGHTED/REGRESSION_WEIGHTED/MAX
-    strategies (miru-stream-plugins ``.../strut/Strut.java:72-260``,
-    model ``StrutModelScorer``). Spark recipe: the (small) model becomes
-    literal map lookups folded into one JVM expression — the broadcast
-    model cache without a join. Columns: <id_col>, score (desc, id asc).
+    strategies (miru-stream-plugins ``.../strut/Strut.java:367-397``
+    ``finalizeScore``: REGRESSION_WEIGHTED = Σ positive legs,
+    UNIT_WEIGHTED = Σ positive legs / number of legs, MAX = max positive
+    leg; model ``StrutModelScorer``). Spark recipe: the (small) model
+    becomes literal map lookups folded into one JVM expression — the
+    broadcast model cache without a join. Non-matching legs resolve to 0,
+    which matches the reference's scores[i] > 0 guard for all three
+    strategies since model weights are non-negative.
+    Columns: <id_col>, score (desc, id asc).
     """
     src = apply_filter(df, flt)
     legs = []
@@ -176,10 +184,12 @@ def strut_score(
         legs.append(F.coalesce(F.create_map(*pairs)[F.col(col)], F.lit(0.0)))
     if not legs:
         score = F.lit(0.0)
-    elif strategy == "sum":
+    elif strategy in ("sum", "unit_weighted"):
         score = legs[0]
         for leg in legs[1:]:
             score = score + leg
+        if strategy == "unit_weighted":
+            score = score / F.lit(float(len(legs)))
     elif strategy == "max":
         score = F.greatest(*legs) if len(legs) > 1 else legs[0]
     else:
