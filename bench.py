@@ -36,7 +36,11 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING_NDOCS = int(os.environ.get("SPARK_GRAFT_SCALING_NDOCS", "240000"))
+# 480k docs (~48M postings): big enough that fixed per-job costs (python
+# worker spin-up, commit latency, small stats jobs) are <10% of wall at
+# 16 cores — the probe then measures the scaling of the WORK, which is
+# what an executor-count change on a cluster scales
+SCALING_NDOCS = int(os.environ.get("SPARK_GRAFT_SCALING_NDOCS", "480000"))
 # N vs 4N parallelism pair for the scaling probe. (4,16) not (8,32): every
 # Spark task thread pairs with a Python UDF worker process, so local[N]
 # keeps ~2N threads busy — local[32] oversubscribes this 32-core box 2x
@@ -89,6 +93,15 @@ def synth_corpus(spark, n_docs: int):
     return docs.select("doc_id", "text")
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — the hypervisor's
+    capacity fingerprint for the run window."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    return (vals[7] if len(vals) > 7 else 0), sum(vals)
+
+
 def _scaling_probe(cores: int, n_docs: int) -> None:
     """Time the read-corpus -> build-index job only (corpus materialized
     untimed first, as the real pipeline reads a committed table).
@@ -98,7 +111,9 @@ def _scaling_probe(cores: int, n_docs: int) -> None:
     serializes all parallelism levels to the same ~wall time and the
     probe would measure the disk, not the job. Cluster executors bring
     their own local NVMe — RAM-backed local dirs are the closest
-    single-box proxy.
+    single-box proxy. Each run also reports the hypervisor steal
+    fraction observed during the build (this VM's deliverable capacity
+    swings 2-4x with co-tenant load; see BENCH/BASELINE.md).
     """
     from miru_spark.index.builder import build_index
     from miru_spark.session import get_spark
@@ -115,19 +130,35 @@ def _scaling_probe(cores: int, n_docs: int) -> None:
     docs = spark.read.parquet(corpus_dir)
     out_parent = tempfile.mkdtemp(prefix=f"bench_idx_{cores}_", dir=shm)
     out = os.path.join(out_parent, "idx")
+    s0, ticks0 = _cpu_ticks()
     t0 = time.monotonic()
-    meta = build_index(spark, docs, out, n_shards=4, overwrite=True)
+    # fixed shard layout = the scale path (one scan for layout+lineage,
+    # no separate bounds job); 16-block spans -> 4 shards at 480k docs
+    meta = build_index(spark, docs, out, shard_span_blocks=16, overwrite=True)
     dt = time.monotonic() - t0
+    s1, ticks1 = _cpu_ticks()
     print(json.dumps({"cores": cores, "docs_per_sec": meta.n_docs / dt, "sec": dt,
+                      "steal_frac": round((s1 - s0) / max(1, ticks1 - ticks0), 4),
                       "n_docs": meta.n_docs, "n_terms": meta.n_terms}))
     shutil.rmtree(out_parent, ignore_errors=True)
     spark.stop()
 
 
-def run_scaling(n_docs: int, cores_pair=(8, 32), repeats: int = 2) -> dict:
+def run_scaling(n_docs: int, cores_pair=(8, 32), repeats: int = 5) -> dict:
     """Same job at N and 4N cores; efficiency = throughput ratio / 4.
 
-    Best-of-``repeats`` per level (single-box turbo/GC noise suppression).
+    Methodology (variance control on a shared-host VM whose deliverable
+    capacity swings 2-4x with co-tenant steal — BENCH/BASELINE.md):
+    - levels run INTERLEAVED (lo,hi,lo,hi,...) so capacity drift hits
+      both levels alike;
+    - each level is CPU-PINNED to 2*cores CPUs (``taskset``): task slots
+      + Python UDF workers, the fixed-size-executor shape. Without
+      pinning, local[lo]'s JVM GC/shuffle/IO threads expand into the
+      box's idle cores — free capacity a cluster executor never gets,
+      which deflates measured scaling;
+    - best-of-N per level (multiplicative noise -> the max is the least
+      contended window); ALL runs + per-run hypervisor steal fractions
+      are published alongside.
     """
     lo, hi = cores_pair
     out = {}
@@ -140,6 +171,8 @@ def run_scaling(n_docs: int, cores_pair=(8, 32), repeats: int = 2) -> dict:
     # PATH (fresh JVM per level, the cluster submission protocol);
     # falls back to a plain python subprocess otherwise.
     spark_submit = shutil.which("spark-submit")
+    taskset = shutil.which("taskset")
+    n_cpus = os.cpu_count() or 32
     pyz = None
     if spark_submit:
         pyz = os.path.join(tempfile.mkdtemp(prefix="bench_pyz_"), "miru_spark.zip")
@@ -153,13 +186,18 @@ def run_scaling(n_docs: int, cores_pair=(8, 32), repeats: int = 2) -> dict:
         if spark_submit:
             # JVM-startup settings must ride the submit command: in-process
             # builder.config() is too late for driver memory / local dirs
-            return [spark_submit, "--master", f"local[{cores}]",
-                    "--driver-memory", os.environ.get("MIRU_SPARK_DRIVER_MEM", "32g"),
-                    "--conf", "spark.local.dir=/dev/shm/miru_bench/spark_local",
-                    "--py-files", pyz,
-                    os.path.abspath(__file__), "--scaling-probe", str(cores), str(n_docs)]
-        return [sys.executable, os.path.abspath(__file__), "--scaling-probe",
-                str(cores), str(n_docs)]
+            cmd = [spark_submit, "--master", f"local[{cores}]",
+                   "--driver-memory", os.environ.get("MIRU_SPARK_DRIVER_MEM", "32g"),
+                   "--conf", "spark.local.dir=/dev/shm/miru_bench/spark_local",
+                   "--py-files", pyz,
+                   os.path.abspath(__file__), "--scaling-probe", str(cores), str(n_docs)]
+        else:
+            cmd = [sys.executable, os.path.abspath(__file__), "--scaling-probe",
+                   str(cores), str(n_docs)]
+        slot_cpus = min(2 * cores, n_cpus)
+        if taskset:
+            cmd = [taskset, "-c", f"0-{slot_cpus - 1}", *cmd]
+        return cmd
 
     # interleave levels (lo,hi,lo,hi,…): the sandbox VM's throughput
     # drifts 2-3x over minutes (shared host), so back-to-back pairs +
@@ -174,11 +212,15 @@ def run_scaling(n_docs: int, cores_pair=(8, 32), repeats: int = 2) -> dict:
             )
             line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
             runs[cores].append(json.loads(line))
-    out["launcher"] = "spark-submit --py-files" if spark_submit else "python"
+    out["launcher"] = ("spark-submit --py-files" if spark_submit else "python") + (
+        " + taskset 2*cores" if taskset else "")
     for cores in cores_pair:
         out[f"local[{cores}]"] = max(runs[cores], key=lambda r: r["docs_per_sec"])
         out[f"local[{cores}]"]["all_docs_per_sec"] = [
             round(r["docs_per_sec"], 1) for r in runs[cores]
+        ]
+        out[f"local[{cores}]"]["all_steal_frac"] = [
+            r.get("steal_frac") for r in runs[cores]
         ]
     ratio = out[f"local[{hi}]"]["docs_per_sec"] / out[f"local[{lo}]"]["docs_per_sec"]
     out["efficiency"] = round(ratio / (hi / lo), 4)
@@ -277,7 +319,7 @@ def main() -> None:
     if not os.environ.get("SPARK_GRAFT_NO_SCALING"):
         spark.stop()  # free the JVM before the probes
         try:
-            result["scaling"] = run_scaling(SCALING_NDOCS, cores_pair=SCALING_PAIR, repeats=3)
+            result["scaling"] = run_scaling(SCALING_NDOCS, cores_pair=SCALING_PAIR, repeats=5)
         except Exception as e:  # noqa: BLE001
             result["scaling"] = {"error": f"{type(e).__name__}: {e}"}
 

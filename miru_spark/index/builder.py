@@ -255,26 +255,18 @@ def _input_fingerprint(docs: DataFrame, id_col: str, text_col: str) -> str:
 _EMPTY_FP = "n=0;lo=None;hi=None;chars=None"
 
 
-def _shard_fingerprints(
-    docs: DataFrame, id_col: str, indexed_cols: list[str], ranges: dict[int, tuple[int, int]]
-) -> dict[int, str]:
-    """Per-shard input fingerprints in ONE job — the lineage key that
-    makes bulk builds *incremental*: appending new docs beyond existing
-    shard ranges leaves old shards' fingerprints (hence their manifests
-    and data) untouched, while any change inside a shard's doc range
-    changes only that shard's fingerprint and rebuilds only it.
-    Hashes length over ALL indexed columns (text + keyword fields), so a
-    keyword-only change also re-fingerprints its shard."""
+def _collect_shard_stats(docs: DataFrame, id_col: str, indexed_cols: list[str], shard_col):
+    """One scan: per-shard (n, lo, hi, chars) over all indexed columns —
+    the input to both the incremental-build fingerprints and (in the
+    fixed-layout path) the layout itself. Hashing length over ALL indexed
+    columns (text + keyword fields) means a keyword-only change also
+    re-fingerprints its shard."""
     chars = None
     for c in indexed_cols:
         ln = F.coalesce(F.length(F.col(c).cast("string")), F.lit(0))
         chars = ln if chars is None else chars + ln
-    rows = (
-        docs.select(
-            _shard_expr(id_col, ranges).alias("shard"),
-            F.col(id_col).alias("id"),
-            chars.alias("chars"),
-        )
+    return (
+        docs.select(shard_col.alias("shard"), F.col(id_col).alias("id"), chars.alias("chars"))
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -284,6 +276,14 @@ def _shard_fingerprints(
         )
         .collect()
     )
+
+
+def _stats_to_fps(rows, ranges: dict[int, tuple[int, int]]) -> dict[int, str]:
+    """Per-shard input fingerprints — the lineage key that makes bulk
+    builds *incremental*: appending new docs beyond existing shard ranges
+    leaves old shards' fingerprints (hence their manifests and data)
+    untouched, while any change inside a shard's doc range changes only
+    that shard's fingerprint and rebuilds only it."""
     got = {
         int(r["shard"]): f"n={r['n']};lo={r['lo']};hi={r['hi']};chars={r['chars']}"
         for r in rows
@@ -326,8 +326,31 @@ def build_index(
         shutil.rmtree(index_dir)
     os.makedirs(index_dir, exist_ok=True)
 
-    bounds = docs.select(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).collect()[0]
-    if bounds["lo"] is None:  # empty input: a valid (empty) index
+    kw = dict(keyword_fields or {})
+    for fname in kw:
+        if not re.fullmatch(r"[a-z_][a-z0-9_]*", fname):
+            raise ValueError(f"keyword field name {fname!r} must be [a-z0-9_]")
+    indexed_cols = [text_col, *kw.values()]
+    block_size = 1 << block_bits
+
+    if shard_span_blocks is not None:
+        # fixed layout anchored at 0: the shard map needs no bounds job —
+        # per-shard stats + fingerprints + bounds all come from ONE scan
+        # (one less full pass over a 100 TB input per wave batch)
+        shard_span = shard_span_blocks * block_size
+        shard_base = 0
+        stat_rows = _collect_shard_stats(
+            docs, id_col, indexed_cols,
+            F.expr(f"CAST(CAST(`{id_col}` AS BIGINT) DIV {shard_span} AS INT)"),
+        )
+        stat_rows = [r for r in stat_rows if r["shard"] is not None]
+        empty_input = not stat_rows
+        if not empty_input:
+            n_shards = max(int(r["shard"]) for r in stat_rows) + 1
+    else:
+        bounds = docs.select(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).collect()[0]
+        empty_input = bounds["lo"] is None
+    if empty_input:  # empty input: a valid (empty) index
         # Wipe EVERYTHING first — manifests, shard_stats and the removal
         # log included. Leaving stale 'done' manifests behind would make a
         # later rebuild skip every shard over wiped data (a corrupt index),
@@ -368,14 +391,9 @@ def build_index(
                 f, indent=1, sort_keys=True,
             )
         return meta
-    doc_lo, doc_hi = int(bounds["lo"]), int(bounds["hi"])
-    block_size = 1 << block_bits
     # align shard boundaries to block boundaries so no block straddles shards
-    if shard_span_blocks is not None:
-        shard_span = shard_span_blocks * block_size
-        shard_base = 0
-        n_shards = max(1, math.ceil((doc_hi + 1) / shard_span))
-    else:
+    if shard_span_blocks is None:
+        doc_lo, doc_hi = int(bounds["lo"]), int(bounds["hi"])
         span = doc_hi - doc_lo + 1
         blocks_total = math.ceil(span / block_size)
         blocks_per_shard = max(1, math.ceil(blocks_total / n_shards))
@@ -386,11 +404,11 @@ def build_index(
         shard: (shard_base + shard * shard_span, shard_base + (shard + 1) * shard_span - 1)
         for shard in range(n_shards)
     }
-    kw = dict(keyword_fields or {})
-    for fname in kw:
-        if not re.fullmatch(r"[a-z_][a-z0-9_]*", fname):
-            raise ValueError(f"keyword field name {fname!r} must be [a-z0-9_]")
-    fps = _shard_fingerprints(docs, id_col, [text_col, *kw.values()], all_ranges)
+    if shard_span_blocks is None:
+        stat_rows = _collect_shard_stats(
+            docs, id_col, indexed_cols, _shard_expr(id_col, all_ranges)
+        )
+    fps = _stats_to_fps(stat_rows, all_ranges)
     fingerprint = "|".join(f"{s}:{fps[s]}" for s in sorted(fps))
 
     # A shrunken doc-id range can orphan whole high shards outside the new
@@ -537,18 +555,33 @@ def _build_wave(
         # cores while the equivalent JVM split/regexp chain is ~17x
         # slower (Java regex + per-token string churn), and persist()ing
         # tokenized arrays for reuse trades that for JVM old-gen GC — a
-        # cheap second UDF pass beats both.
+        # cheap second UDF pass beats both. The write runs CONCURRENTLY
+        # with the postings job (separate submitter thread): the two jobs
+        # read the same scan and write disjoint outputs, so the scheduler
+        # fills each other's straggler/latency gaps instead of paying two
+        # sequential job latencies per wave.
         docs_root = os.path.join(index_dir, "docs")
-        (
-            sliced.select(
-                _shard_expr(id_col, ranges).alias("shard"),
-                F.col(id_col).cast("long").alias("doc_id"),
-                F.size(tok(F.col(text_col))).alias("doclen"),
-                *[F.col(c) for c in stored],
-            )
-            .write.mode("overwrite").partitionBy("shard").parquet(docs_root)
-        )
-        phases["doc_store_write"] = round(time.monotonic() - wall_start, 2)
+        doc_errs: list[BaseException] = []
+
+        def _write_doc_store():
+            try:
+                (
+                    sliced.select(
+                        _shard_expr(id_col, ranges).alias("shard"),
+                        F.col(id_col).cast("long").alias("doc_id"),
+                        F.size(tok(F.col(text_col))).alias("doclen"),
+                        *[F.col(c) for c in stored],
+                    )
+                    .write.mode("overwrite").partitionBy("shard").parquet(docs_root)
+                )
+                phases["doc_store_write"] = round(time.monotonic() - wall_start, 2)
+            except BaseException as e:  # noqa: BLE001 - surfaced on join
+                doc_errs.append(e)
+
+        import threading
+
+        doc_thread = threading.Thread(target=_write_doc_store, name="doc_store_write")
+        doc_thread.start()
 
         # ONE exchange for the whole build: raw token occurrences shuffle
         # straight to their (term, doc-block) reducer; the sorted stream
@@ -598,9 +631,10 @@ def _build_wave(
         # files stay sorted by term -> parquet row-group min/max stats
         # prune term lookups
         blocks.write.mode("overwrite").partitionBy("shard").parquet(post_root)
-        phases["postings_write"] = round(
-            time.monotonic() - wall_start - phases["doc_store_write"], 2
-        )
+        phases["postings_write"] = round(time.monotonic() - wall_start, 2)
+        doc_thread.join()
+        if doc_errs:
+            raise doc_errs[0]
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
@@ -621,9 +655,11 @@ def _build_wave(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-    phases["shard_stats"] = round(
-        time.monotonic() - wall_start - sum(phases.values()), 2
-    )
+    # doc_store_write / postings_write are concurrent: each records the
+    # WALL OFFSET at which it finished (not a duration); later phases are
+    # deltas from the writes' completion point
+    writes_done = max(phases["doc_store_write"], phases["postings_write"])
+    phases["shard_stats"] = round(time.monotonic() - wall_start - writes_done, 2)
 
     # manifest aggregates from the (small) shard_stats table — one cheap
     # job instead of a second full postings scan
@@ -655,7 +691,7 @@ def _build_wave(
         .collect()
     }
     wall = time.monotonic() - wall_start
-    phases["manifest_aggs"] = round(wall - sum(phases.values()), 2)
+    phases["manifest_aggs"] = round(wall - writes_done - phases["shard_stats"], 2)
     for shard, (lo, hi) in ranges.items():
         a, d = agg_rows.get(shard), doc_rows.get(shard)
         write_manifest(

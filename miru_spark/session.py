@@ -42,7 +42,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 64Ki-row Arrow batches: the posting compressor streams tens of
+        # millions of rows through mapInPandas — 10k-row default batches
+        # pay per-batch Python/IPC overhead ~7x more for nothing (kernels
+        # are numpy-vectorized; 64Ki rows is still only a few MB)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("MIRU_SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
