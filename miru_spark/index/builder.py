@@ -80,6 +80,9 @@ _POSTINGS_SCHEMA = T.StructType(
         T.StructField("max_doc_id", T.LongType()),
         T.StructField("max_tf", T.IntegerType()),
         T.StructField("min_doclen", T.IntegerType()),
+        # per-block docId codec (the reference's run-optimize choice,
+        # MiruBitmaps.java:177): 0 = delta+varbyte, 1 = RLE runs
+        T.StructField("codec", T.ByteType()),
         T.StructField("doc_ids", T.BinaryType()),
         T.StructField("tfs", T.BinaryType()),
         T.StructField("doclens", T.BinaryType()),
@@ -155,16 +158,35 @@ def _compress_groups(pdf: pd.DataFrame, block_bits: int) -> pd.DataFrame:
         gs[1:] = ge[:-1]
         return [buf[a:b] for a, b in zip(gs, ge)]
 
+    id_slices = group_slices(id_buf, id_sizes)
+    # codec choice per block (the reference's run-optimize,
+    # MiruBitmaps.java:177): dense blocks (few consecutive-id runs)
+    # re-encode as RLE. Heuristic: the run stream holds 2 varbytes per
+    # run vs >=1 byte per posting, so RLE wins when 2*n_runs < n.
+    # Head-term blocks are few but big — per-group python cost is fine.
+    n_counts = ends - starts
+    run_break = np.empty(len(t), dtype=bool)
+    run_break[0] = True
+    run_break[1:] = change[1:] | (deltas[1:] != 1)
+    n_runs = np.add.reduceat(run_break.astype(np.int64), starts)
+    codec_col = (2 * n_runs < n_counts).astype(np.int8)
+    for gi in np.flatnonzero(codec_col):
+        gs_, ge_ = starts[gi], ends[gi]
+        id_slices[gi] = codec.encode_block_runs(
+            ids_all[gs_:ge_], int(bk[gs_]) << block_bits
+        )
+
     return pd.DataFrame(
         {
             "term": t[starts],
             "block_key": bk[starts],
-            "n": (ends - starts).astype(np.int32),
+            "n": n_counts.astype(np.int32),
             "sum_tf": np.add.reduceat(tfs_all, starts),
             "max_doc_id": ids_all[ends - 1],
             "max_tf": np.maximum.reduceat(tfs_all, starts).astype(np.int32),
             "min_doclen": np.minimum.reduceat(dls_all, starts).astype(np.int32),
-            "doc_ids": group_slices(id_buf, id_sizes),
+            "codec": codec_col,
+            "doc_ids": id_slices,
             "tfs": group_slices(tf_buf, tf_sizes),
             "doclens": group_slices(dl_buf, dl_sizes),
         }

@@ -107,6 +107,59 @@ def decode_block_docids(buf: bytes, base: int) -> np.ndarray:
     return np.cumsum(deltas) + base
 
 
+CODEC_VARBYTE = 0
+CODEC_RLE = 1
+
+
+def encode_block_runs(doc_ids: np.ndarray, base: int) -> bytes:
+    """Run-length encode sorted docIds: interleaved varbyte stream of
+    (gap-to-run-start, run-length) pairs.
+
+    The reference run-optimizes bitmap containers the same way
+    (``MiruBitmaps.optimize`` -> Roaring RLE containers,
+    ``MiruBitmaps.java:177``); dense head-term blocks ("the" present in
+    nearly every doc of a block) collapse from ~1 byte/posting to a few
+    bytes/run. First gap is from ``base``; later gaps are from the
+    previous run's end (>= 2 by construction).
+    """
+    d = np.asarray(doc_ids, dtype=np.int64)
+    breaks = np.flatnonzero(np.diff(d) != 1)
+    starts = d[np.concatenate(([0], breaks + 1))]
+    ends = d[np.concatenate((breaks, [d.size - 1]))]
+    lens = ends - starts + 1
+    gaps = np.empty_like(starts)
+    gaps[0] = starts[0] - base
+    gaps[1:] = starts[1:] - ends[:-1]
+    stream = np.empty(2 * starts.size, dtype=np.uint64)
+    stream[0::2] = gaps.astype(np.uint64)
+    stream[1::2] = lens.astype(np.uint64)
+    return varbyte_encode(stream)
+
+
+def decode_block_runs(buf: bytes, base: int) -> np.ndarray:
+    stream = varbyte_decode(buf).astype(np.int64)
+    if stream.size == 0:
+        return stream
+    gaps = stream[0::2]
+    lens = stream[1::2]
+    # start_i = end_{i-1} + gap_i ; end_i = start_i + len_i - 1
+    inc = gaps.copy()
+    inc[1:] += lens[:-1] - 1
+    starts = base + np.cumsum(inc)
+    total = int(lens.sum())
+    # segmented arange: 0..len_i-1 within each run
+    seg_starts = np.zeros(lens.size, dtype=np.int64)
+    seg_starts[1:] = np.cumsum(lens)[:-1]
+    offsets = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, lens)
+    return np.repeat(starts, lens) + offsets
+
+
+def decode_block_docids_codec(buf: bytes, base: int, codec: int) -> np.ndarray:
+    if codec == CODEC_RLE:
+        return decode_block_runs(buf, base)
+    return decode_block_docids(buf, base)
+
+
 def encode_counts(counts: np.ndarray) -> bytes:
     """Varbyte-encode a small-int stream (tf / doclen)."""
     return varbyte_encode(np.asarray(counts, dtype=np.uint64))

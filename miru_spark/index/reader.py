@@ -80,24 +80,43 @@ class IndexReader:
             for pdf in pdf_iter:
                 if len(pdf) == 0:
                     continue
-                n = pdf["n"].to_numpy(dtype=np.int64)
-                bk = pdf["block_key"].to_numpy(dtype=np.int64)
-                deltas = codec.varbyte_decode(b"".join(pdf["doc_ids"])).astype(np.int64)
-                tf = codec.varbyte_decode(b"".join(pdf["tfs"])).astype(np.int32)
-                dl = codec.varbyte_decode(b"".join(pdf["doclens"])).astype(np.int32)
-                # segmented cumsum: global cumsum, then per segment
-                # subtract the running total before it and add its base
-                starts = np.zeros(len(n), dtype=np.int64)
-                starts[1:] = np.cumsum(n)[:-1]
-                csum = np.cumsum(deltas)
-                seg_prev = np.zeros(len(n), dtype=np.int64)
-                seg_prev[1:] = csum[starts[1:] - 1]
-                bases = bk << block_bits
-                ids = csum + np.repeat(bases - seg_prev, n)
-                terms = np.repeat(pdf["term"].to_numpy(), n)
-                yield pd.DataFrame(
-                    {"term": terms, "doc_id": ids, "tf": tf, "doclen": dl}
-                )
+                # RLE blocks (dense head-term ranges, codec=1) decode
+                # per-block; they are few but big. The varbyte mass
+                # (codec=0) keeps the one-pass concatenated decode.
+                cdc = pdf["codec"].to_numpy(dtype=np.int8)
+                rle = pdf[cdc == codec.CODEC_RLE]
+                pdf = pdf[cdc != codec.CODEC_RLE]
+                if len(pdf):
+                    n = pdf["n"].to_numpy(dtype=np.int64)
+                    bk = pdf["block_key"].to_numpy(dtype=np.int64)
+                    deltas = codec.varbyte_decode(b"".join(pdf["doc_ids"])).astype(np.int64)
+                    tf = codec.varbyte_decode(b"".join(pdf["tfs"])).astype(np.int32)
+                    dl = codec.varbyte_decode(b"".join(pdf["doclens"])).astype(np.int32)
+                    # segmented cumsum: global cumsum, then per segment
+                    # subtract the running total before it and add its base
+                    starts = np.zeros(len(n), dtype=np.int64)
+                    starts[1:] = np.cumsum(n)[:-1]
+                    csum = np.cumsum(deltas)
+                    seg_prev = np.zeros(len(n), dtype=np.int64)
+                    seg_prev[1:] = csum[starts[1:] - 1]
+                    bases = bk << block_bits
+                    ids = csum + np.repeat(bases - seg_prev, n)
+                    terms = np.repeat(pdf["term"].to_numpy(), n)
+                    yield pd.DataFrame(
+                        {"term": terms, "doc_id": ids, "tf": tf, "doclen": dl}
+                    )
+                for _, row in rle.iterrows():
+                    ids = codec.decode_block_runs(
+                        row["doc_ids"], int(row["block_key"]) << block_bits
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "term": np.repeat(row["term"], ids.size),
+                            "doc_id": ids,
+                            "tf": codec.varbyte_decode(row["tfs"]).astype(np.int32),
+                            "doclen": codec.varbyte_decode(row["doclens"]).astype(np.int32),
+                        }
+                    )
             yield pd.DataFrame(
                 {
                     "term": pd.Series([], dtype=object),
@@ -107,7 +126,7 @@ class IndexReader:
                 }
             )
 
-        cols = ["term", "block_key", "n", "doc_ids", "tfs", "doclens"]
+        cols = ["term", "block_key", "n", "codec", "doc_ids", "tfs", "doclens"]
         return blocks_df.select(*cols).mapInPandas(_decode, schema=_DECODED_SCHEMA)
 
     def postings(self, terms: list[str] | None = None, prefixes: list[str] | None = None) -> DataFrame:

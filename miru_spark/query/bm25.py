@@ -328,7 +328,8 @@ def search_wand(
         .agg(
             F.countDistinct("term").alias("n_terms_present"),
             F.collect_list(
-                F.struct("term", "n", "max_tf", "min_doclen", "doc_ids", "tfs", "doclens")
+                F.struct("term", "n", "max_tf", "min_doclen", "codec",
+                         "doc_ids", "tfs", "doclens")
             ).alias("blocks"),
         )
     )
@@ -384,7 +385,9 @@ def search_wand(
                 for blk in blocks:
                     parts.setdefault(blk["term"], []).append(
                         (
-                            codec.decode_block_docids(blk["doc_ids"], base),
+                            codec.decode_block_docids_codec(
+                                blk["doc_ids"], base, int(blk["codec"])
+                            ),
                             codec.decode_counts(blk["tfs"]),
                             codec.decode_counts(blk["doclens"]),
                         )
