@@ -30,10 +30,20 @@ Spark design:
   ``mapInPandas`` kernel over sorted partitions (numpy group-boundary
   scan), never via ``collect_list``/``sort_array`` — JVM array-object
   churn throttles multi-core scaling with GC pressure.
-- **Blocks carry doclen** so BM25 scoring needs no doc-side join at query
-  time; block headers keep (max_doc_id, n, max_tf, min_doclen) for
-  block-max pruning — the reference's lastId zone-map skip
-  (``LabFieldIndex.multiTxIndex:371-383``), upgraded per block.
+- **tf is counted map-side** (``term_counts_udf``): a term's tf is a pure
+  function of its doc's token stream, so the dominant shuffle ships one
+  row per *distinct* (term, doc), not one per occurrence — the map-side
+  combine of the reference's per-activity tf extraction
+  (``MiruIndexPrimaryFields.java:62-75``) with zero extra exchanges.
+- **doclens live in a per-block sidecar, not in the postings**: a doc's
+  length depends only on the doc, but a per-posting doclen stream stores
+  (and shuffles) it once per matching term — df-times redundant. The
+  ``doclens/`` sidecar keeps (doc_ids, doclens) once per 8Ki-doc block
+  (built from the doc store, off the hot shuffle); readers equi-join it
+  per block at query time. Block headers keep (max_doc_id, n, max_tf)
+  for block-max pruning — the reference's lastId zone-map skip
+  (``LabFieldIndex.multiTxIndex:371-383``), upgraded per block — with
+  the block's min_doclen coming from the sidecar.
 - **Global stats are additive across disjoint shards**: per-shard
   (term, df, cf) and (n_docs, sum_doclen) partials are merged by a small
   finalize job into the dictionary + stats.json; df/cf/N/avgdl therefore
@@ -65,7 +75,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from miru_spark.analysis.tokenizer import tokenize_udf
+from miru_spark.analysis.tokenizer import term_counts_udf, tokenize_udf
 from miru_spark.index import codec
 from miru_spark.index.manifest import ShardManifest, read_manifest, shard_is_done, write_manifest
 
@@ -79,12 +89,25 @@ _POSTINGS_SCHEMA = T.StructType(
         T.StructField("sum_tf", T.LongType()),
         T.StructField("max_doc_id", T.LongType()),
         T.StructField("max_tf", T.IntegerType()),
-        T.StructField("min_doclen", T.IntegerType()),
         # per-block docId codec (the reference's run-optimize choice,
         # MiruBitmaps.java:177): 0 = delta+varbyte, 1 = RLE runs
         T.StructField("codec", T.ByteType()),
         T.StructField("doc_ids", T.BinaryType()),
         T.StructField("tfs", T.BinaryType()),
+    ]
+)
+
+# doclens sidecar: one row per (shard, block) holding every stored doc's
+# (doc_id, doclen) in that 2^block_bits doc range — delta+varbyte ids,
+# varbyte doclens. min_doclen feeds the WAND upper bound (min over the
+# block's docs: <= any term's per-posting min, so the bound stays
+# admissible).
+_DOCLENS_SCHEMA = T.StructType(
+    [
+        T.StructField("block_key", T.LongType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("min_doclen", T.IntegerType()),
+        T.StructField("doc_ids", T.BinaryType()),
         T.StructField("doclens", T.BinaryType()),
     ]
 )
@@ -112,26 +135,25 @@ class IndexMeta:
 def _compress_groups(pdf: pd.DataFrame, block_bits: int) -> pd.DataFrame:
     """Compress raw posting rows into block rows.
 
-    Input: one row per TOKEN OCCURRENCE (term, doc_id, doclen), sorted by
-    (term, doc_id). block_key is re-derived here (doc_id >> block_bits) —
-    it is never shipped through the shuffle. tf is the run length of equal
-    (term, doc_id) rows — aggregated here with one numpy diff instead of a
-    dedicated groupBy shuffle upstream (one exchange for the whole build).
+    Input: one row per DISTINCT (term, doc_id) carrying its map-side tf
+    (``term_counts_udf``), sorted by (term, doc_id). block_key is
+    re-derived here (doc_id >> block_bits) — it is never shipped through
+    the shuffle. Duplicate (term, doc_id) rows (e.g. a term arriving from
+    several input relations) still merge: tf sums over equal runs.
     """
     rt = pdf["term"].to_numpy()
     rids = pdf["doc_id"].to_numpy(dtype=np.int64)
     rbk = rids >> block_bits
-    rdls = pdf["doclen"].to_numpy(dtype=np.int64)
+    rtfs = pdf["tf"].to_numpy(dtype=np.int64)
     n_rows = len(rt)
     run = np.empty(n_rows, dtype=bool)
     run[0] = True
     run[1:] = (rids[1:] != rids[:-1]) | (rt[1:] != rt[:-1]) | (rbk[1:] != rbk[:-1])
     run_starts = np.nonzero(run)[0]
-    tfs_all = np.diff(np.append(run_starts, n_rows)).astype(np.int64)
+    tfs_all = np.add.reduceat(rtfs, run_starts)
     t = rt[run_starts]
     bk = rbk[run_starts]
     ids_all = rids[run_starts]
-    dls_all = rdls[run_starts]
 
     change = np.empty(len(t), dtype=bool)
     change[0] = True
@@ -148,7 +170,6 @@ def _compress_groups(pdf: pd.DataFrame, block_bits: int) -> pd.DataFrame:
     deltas = np.where(change, ids_all - (bk << block_bits), ids_all - prev)
     id_buf, id_sizes = codec.varbyte_encode_with_sizes(deltas.astype(np.uint64))
     tf_buf, tf_sizes = codec.varbyte_encode_with_sizes(tfs_all.astype(np.uint64))
-    dl_buf, dl_sizes = codec.varbyte_encode_with_sizes(dls_all.astype(np.uint64))
 
     def group_slices(buf: bytes, sizes: np.ndarray) -> list[bytes]:
         byte_ends = np.cumsum(sizes)
@@ -184,13 +205,82 @@ def _compress_groups(pdf: pd.DataFrame, block_bits: int) -> pd.DataFrame:
             "sum_tf": np.add.reduceat(tfs_all, starts),
             "max_doc_id": ids_all[ends - 1],
             "max_tf": np.maximum.reduceat(tfs_all, starts).astype(np.int32),
-            "min_doclen": np.minimum.reduceat(dls_all, starts).astype(np.int32),
             "codec": codec_col,
             "doc_ids": id_slices,
             "tfs": group_slices(tf_buf, tf_sizes),
+        }
+    )
+
+
+def _compress_doclen_groups(pdf: pd.DataFrame, block_bits: int) -> pd.DataFrame:
+    """Compress (doc_id, doclen) rows (sorted by doc_id, partitioned by
+    block) into one sidecar row per block: delta+varbyte doc ids from the
+    block base, varbyte doclens, plus the block's min doclen for WAND
+    upper bounds."""
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    dls = pdf["doclen"].to_numpy(dtype=np.int64)
+    bk = ids >> block_bits
+    change = np.empty(len(ids), dtype=bool)
+    change[0] = True
+    change[1:] = bk[1:] != bk[:-1]
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], len(ids))
+
+    prev = np.empty_like(ids)
+    prev[0] = 0
+    prev[1:] = ids[:-1]
+    deltas = np.where(change, ids - (bk << block_bits), ids - prev)
+    id_buf, id_sizes = codec.varbyte_encode_with_sizes(deltas.astype(np.uint64))
+    dl_buf, dl_sizes = codec.varbyte_encode_with_sizes(dls.astype(np.uint64))
+
+    def group_slices(buf: bytes, sizes: np.ndarray) -> list[bytes]:
+        byte_ends = np.cumsum(sizes)
+        ge = byte_ends[ends - 1]
+        gs = np.empty_like(ge)
+        gs[0] = 0
+        gs[1:] = ge[:-1]
+        return [buf[a:b] for a, b in zip(gs, ge)]
+
+    return pd.DataFrame(
+        {
+            "block_key": bk[starts],
+            "n": (ends - starts).astype(np.int32),
+            "min_doclen": np.minimum.reduceat(dls, starts).astype(np.int32),
+            "doc_ids": group_slices(id_buf, id_sizes),
             "doclens": group_slices(dl_buf, dl_sizes),
         }
     )
+
+
+def _make_doclen_compressor(block_bits: int):
+    """Streaming kernel over partitions sorted by doc_id: same
+    carry-across-Arrow-batch discipline as the postings compressor."""
+
+    def _compress(pdf_iter):
+        buf: list[pd.DataFrame] = []
+        buffered = 0
+        for pdf in pdf_iter:
+            if len(pdf):
+                buf.append(pdf)
+                buffered += len(pdf)
+            if buffered < 200_000:
+                continue
+            whole = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            bk = whole["doc_id"].to_numpy(dtype=np.int64) >> block_bits
+            eq_last = bk == bk[-1]
+            not_eq = np.nonzero(~eq_last)[0]
+            start_last = int(not_eq[-1]) + 1 if not_eq.size else 0
+            body = whole.iloc[:start_last]
+            carry = whole.iloc[start_last:]
+            if len(body):
+                yield _compress_doclen_groups(body, block_bits)
+            buf = [carry] if len(carry) else []
+            buffered = len(carry)
+        if buffered:
+            whole = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            yield _compress_doclen_groups(whole, block_bits)
+
+    return _compress
 
 
 def _make_compressor(block_bits: int):
@@ -389,6 +479,9 @@ def build_index(
         spark.createDataFrame([], _POSTINGS_SCHEMA).write.parquet(
             os.path.join(index_dir, "postings", "shard=0")
         )
+        spark.createDataFrame([], _DOCLENS_SCHEMA).write.parquet(
+            os.path.join(index_dir, "doclens", "shard=0")
+        )
         spark.createDataFrame([], "term string, df long, cf long").write.parquet(
             os.path.join(index_dir, "dictionary")
         )
@@ -443,7 +536,7 @@ def build_index(
                 continue
             s = int(fn[len("shard_"):-len(".json")])
             if s not in all_ranges:
-                for sub in ("postings", "docs", "shard_stats"):
+                for sub in ("postings", "docs", "doclens", "shard_stats"):
                     leaf = os.path.join(index_dir, sub, f"shard={s}")
                     if os.path.exists(leaf):
                         shutil.rmtree(leaf)
@@ -459,7 +552,7 @@ def build_index(
             # exist — the wave's dynamic overwrite never touches a shard
             # it writes no rows for, so clear them explicitly or queries
             # keep returning the vanished docs and df/avgdl stay wrong.
-            for sub in ("postings", "docs", "shard_stats"):
+            for sub in ("postings", "docs", "doclens", "shard_stats"):
                 leaf = os.path.join(index_dir, sub, f"shard={shard}")
                 if os.path.exists(leaf):
                     shutil.rmtree(leaf)
@@ -583,6 +676,9 @@ def _build_wave(
         # fills each other's straggler/latency gaps instead of paying two
         # sequential job latencies per wave.
         docs_root = os.path.join(index_dir, "docs")
+        doclens_root = os.path.join(index_dir, "doclens")
+        wave_shards_list = list(ranges)
+        block_ranges = {s: (lo >> block_bits, hi >> block_bits) for s, (lo, hi) in ranges.items()}
         doc_errs: list[BaseException] = []
 
         def _write_doc_store():
@@ -597,6 +693,26 @@ def _build_wave(
                     .write.mode("overwrite").partitionBy("shard").parquet(docs_root)
                 )
                 phases["doc_store_write"] = round(time.monotonic() - wall_start, 2)
+                # doclens sidecar: (doc_ids, doclens) ONCE per 8Ki-doc
+                # block, built from the just-written doc store (still
+                # overlapped with the postings job on this thread). The
+                # shuffle is n_docs narrow rows — noise next to the
+                # postings exchange this sidecar slims (which no longer
+                # carries a doclen per posting).
+                (
+                    spark.read.parquet(docs_root)
+                    .filter(F.col("shard").isin(wave_shards_list))
+                    .select("doc_id", "doclen")
+                    .repartition(
+                        spark.sparkContext.defaultParallelism,
+                        F.shiftright("doc_id", block_bits),
+                    )
+                    .sortWithinPartitions("doc_id")
+                    .mapInPandas(_make_doclen_compressor(block_bits), schema=_DOCLENS_SCHEMA)
+                    .withColumn("shard", _shard_expr("block_key", block_ranges))
+                    .write.mode("overwrite").partitionBy("shard").parquet(doclens_root)
+                )
+                phases["doclens_write"] = round(time.monotonic() - wall_start, 2)
             except BaseException as e:  # noqa: BLE001 - surfaced on join
                 doc_errs.append(e)
 
@@ -605,13 +721,15 @@ def _build_wave(
         doc_thread = threading.Thread(target=_write_doc_store, name="doc_store_write")
         doc_thread.start()
 
-        # ONE exchange for the whole build: raw token occurrences shuffle
-        # straight to their (term, doc-block) reducer; the sorted stream
-        # compressor aggregates tf as run lengths (no groupBy stage)
-        block_ranges = {s: (lo >> block_bits, hi >> block_bits) for s, (lo, hi) in ranges.items()}
+        # ONE exchange for the whole build: per-doc (term, tf) pairs —
+        # counted map-side in the Arrow UDF — shuffle straight to their
+        # (term, doc-block) reducer (no groupBy stage, no occurrence
+        # blow-up: one row per distinct term per doc)
+        tc = term_counts_udf(use_stopwords=use_stopwords, locale=locale)
         token_rows = (
-            sliced.select(F.col(id_col).cast("long").alias("doc_id"), tok(F.col(text_col)).alias("tokens"))
-            .select("doc_id", F.size("tokens").alias("doclen"), F.explode("tokens").alias("term"))
+            sliced.select(F.col(id_col).cast("long").alias("doc_id"), tc(F.col(text_col)).alias("tc"))
+            .select("doc_id", F.explode(F.arrays_zip("tc.terms", "tc.tfs")).alias("z"))
+            .select("doc_id", F.col("z.terms").alias("term"), F.col("z.tfs").cast("int").alias("tf"))
         )
         # keyword fields index as FIELD-PREFIXED composite terms
         # ("lang:en") in the same postings relation — the reference's term
@@ -626,8 +744,8 @@ def _build_wave(
             kw_rows = (
                 sliced.select(
                     F.col(id_col).cast("long").alias("doc_id"),
-                    F.lit(1).cast("int").alias("doclen"),
                     F.concat(F.lit(fname + ":"), val.cast("string")).alias("term"),
+                    F.lit(1).cast("int").alias("tf"),
                 )
                 .filter(F.col("term").isNotNull())
             )
@@ -645,7 +763,7 @@ def _build_wave(
                 "term", F.shiftright("doc_id", block_bits),
             )
             .sortWithinPartitions("term", "doc_id")
-            .select("term", "doc_id", "doclen")
+            .select("term", "doc_id", "tf")
             .mapInPandas(_make_compressor(block_bits), schema=_POSTINGS_SCHEMA)
             .withColumn("shard", _shard_expr("block_key", block_ranges))
         )
@@ -680,7 +798,7 @@ def _build_wave(
     # doc_store_write / postings_write are concurrent: each records the
     # WALL OFFSET at which it finished (not a duration); later phases are
     # deltas from the writes' completion point
-    writes_done = max(phases["doc_store_write"], phases["postings_write"])
+    writes_done = max(phases["doclens_write"], phases["postings_write"])
     phases["shard_stats"] = round(time.monotonic() - wall_start - writes_done, 2)
 
     # manifest aggregates from the (small) shard_stats table — one cheap

@@ -49,6 +49,49 @@ class IndexReader:
     def doc_store(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
 
+    def doclens_blocks(self) -> DataFrame:
+        """Per-block doclens sidecar: (shard, block_key, n, min_doclen,
+        doc_ids, doclens). Doc lengths are stored ONCE per doc here, not
+        per posting — readers equi-join it per block (doclen depends only
+        on the doc, so a per-posting copy would be df-times redundant in
+        storage and shuffle)."""
+        return self.spark.read.parquet(os.path.join(self.index_dir, "doclens"))
+
+    def pruned_doclens(
+        self, terms: list[str] | None = None, prefixes: list[str] | None = None,
+        cap: int = 8192,
+    ) -> DataFrame:
+        """Sidecar slice covering the blocks the given terms touch.
+
+        The postings scan prunes by term at the parquet level, but the
+        sidecar has no term column — a bare join would scan EVERY block's
+        doclens (the whole corpus, per query). So: one header-only job
+        (term + block_key columns, term filter pushed down) collects the
+        touched (shard, block_key) set; when it is small (<= ``cap``,
+        the typical non-head-term query) it becomes a static pushed-down
+        predicate on the sidecar scan. Above the cap the query genuinely
+        touches a corpus-scale block set and the full sidecar join's scan
+        is proportional to work the query already does on the postings
+        side — shard-level pruning still applies.
+        """
+        side = self.doclens_blocks()
+        light = self.blocks(terms, prefixes).select("shard", "block_key").distinct()
+        rows = light.limit(cap + 1).collect()
+        if len(rows) <= cap:
+            keys = sorted({int(r["block_key"]) for r in rows})
+            shards = sorted({int(r["shard"]) for r in rows})
+            if not rows:
+                return side.filter(F.lit(False))
+            return side.filter(
+                F.col("shard").isin(shards) & F.col("block_key").isin(keys)
+            )
+        light_shards = (
+            self.blocks(terms, prefixes).select("shard").distinct().collect()
+        )
+        return side.filter(
+            F.col("shard").isin(sorted({int(r["shard"]) for r in light_shards}))
+        )
+
     def blocks(self, terms: list[str] | None = None, prefixes: list[str] | None = None) -> DataFrame:
         """Posting blocks, filtered by exact terms and/or prefixes (pushed down)."""
         df = self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
@@ -65,16 +108,37 @@ class IndexReader:
         return df
 
     # ---- decode ------------------------------------------------------
-    def decode(self, blocks_df: DataFrame) -> DataFrame:
+    def decode(self, blocks_df: DataFrame, sidecar: DataFrame | None = None) -> DataFrame:
         """Expand compressed blocks to (term, doc_id, tf, doclen) rows.
+
+        ``blocks_df`` must carry the ``shard`` partition column (any
+        slice of :meth:`blocks` does): doclens come from the per-block
+        sidecar via a (shard, block_key) equi-join — postings store no
+        doclen stream of their own.
 
         Whole-batch decode: LEB128 streams are self-delimiting, so all
         blocks' buffers concatenate into ONE varbyte_decode pass per
         stream; per-block docId bases are restored with a segmented
         cumsum (per-block numpy calls on ~30-element arrays cost ~100x
         the byte work — same lesson as the build-side compressor).
+        Sidecar alignment is also one pass: posting and sidecar ids are
+        reduced to block-local offsets (< 2^block_bits), composed with
+        their row index into a single sorted key space, and matched with
+        one global ``searchsorted``.
         """
         block_bits = self.block_bits
+
+        if sidecar is None:
+            sidecar = self.doclens_blocks()
+        joined = blocks_df.join(
+            sidecar.select(
+                "shard", "block_key",
+                F.col("n").alias("side_n"),
+                F.col("doc_ids").alias("side_doc_ids"),
+                F.col("doclens").alias("side_doclens"),
+            ),
+            ["shard", "block_key"],
+        )
 
         def _decode(pdf_iter):
             for pdf in pdf_iter:
@@ -91,30 +155,52 @@ class IndexReader:
                     bk = pdf["block_key"].to_numpy(dtype=np.int64)
                     deltas = codec.varbyte_decode(b"".join(pdf["doc_ids"])).astype(np.int64)
                     tf = codec.varbyte_decode(b"".join(pdf["tfs"])).astype(np.int32)
-                    dl = codec.varbyte_decode(b"".join(pdf["doclens"])).astype(np.int32)
                     # segmented cumsum: global cumsum, then per segment
-                    # subtract the running total before it and add its base
+                    # subtract the running total before it (yields
+                    # block-local offsets; add the base for absolute ids)
                     starts = np.zeros(len(n), dtype=np.int64)
                     starts[1:] = np.cumsum(n)[:-1]
                     csum = np.cumsum(deltas)
                     seg_prev = np.zeros(len(n), dtype=np.int64)
                     seg_prev[1:] = csum[starts[1:] - 1]
-                    bases = bk << block_bits
-                    ids = csum + np.repeat(bases - seg_prev, n)
+                    local = csum - np.repeat(seg_prev, n)
+                    ids = local + np.repeat(bk << block_bits, n)
+                    # sidecar doclens: same segmented decode, then ONE
+                    # searchsorted over (row, local-offset) keys
+                    sn = pdf["side_n"].to_numpy(dtype=np.int64)
+                    sdeltas = codec.varbyte_decode(
+                        b"".join(pdf["side_doc_ids"])
+                    ).astype(np.int64)
+                    sdl = codec.varbyte_decode(
+                        b"".join(pdf["side_doclens"])
+                    ).astype(np.int32)
+                    sstarts = np.zeros(len(sn), dtype=np.int64)
+                    sstarts[1:] = np.cumsum(sn)[:-1]
+                    scsum = np.cumsum(sdeltas)
+                    sprev = np.zeros(len(sn), dtype=np.int64)
+                    sprev[1:] = scsum[sstarts[1:] - 1]
+                    slocal = scsum - np.repeat(sprev, sn)
+                    seg_ids = np.arange(len(n), dtype=np.int64)
+                    post_key = (np.repeat(seg_ids, n) << block_bits) | local
+                    side_key = (np.repeat(seg_ids, sn) << block_bits) | slocal
+                    dl = sdl[np.searchsorted(side_key, post_key)]
                     terms = np.repeat(pdf["term"].to_numpy(), n)
                     yield pd.DataFrame(
                         {"term": terms, "doc_id": ids, "tf": tf, "doclen": dl}
                     )
                 for _, row in rle.iterrows():
-                    ids = codec.decode_block_runs(
-                        row["doc_ids"], int(row["block_key"]) << block_bits
-                    )
+                    base = int(row["block_key"]) << block_bits
+                    ids = codec.decode_block_runs(row["doc_ids"], base)
+                    side_ids = np.cumsum(
+                        codec.varbyte_decode(row["side_doc_ids"]).astype(np.int64)
+                    ) + base
+                    side_dls = codec.varbyte_decode(row["side_doclens"]).astype(np.int32)
                     yield pd.DataFrame(
                         {
                             "term": np.repeat(row["term"], ids.size),
                             "doc_id": ids,
                             "tf": codec.varbyte_decode(row["tfs"]).astype(np.int32),
-                            "doclen": codec.varbyte_decode(row["doclens"]).astype(np.int32),
+                            "doclen": side_dls[np.searchsorted(side_ids, ids)],
                         }
                     )
             yield pd.DataFrame(
@@ -126,11 +212,15 @@ class IndexReader:
                 }
             )
 
-        cols = ["term", "block_key", "n", "codec", "doc_ids", "tfs", "doclens"]
-        return blocks_df.select(*cols).mapInPandas(_decode, schema=_DECODED_SCHEMA)
+        cols = ["term", "block_key", "n", "codec", "doc_ids", "tfs",
+                "side_n", "side_doc_ids", "side_doclens"]
+        return joined.select(*cols).mapInPandas(_decode, schema=_DECODED_SCHEMA)
 
     def postings(self, terms: list[str] | None = None, prefixes: list[str] | None = None) -> DataFrame:
-        return self.decode(self.blocks(terms, prefixes))
+        return self.decode(
+            self.blocks(terms, prefixes),
+            sidecar=self.pruned_doclens(terms, prefixes),
+        )
 
     def removed_docs(self) -> DataFrame:
         """Doc ids currently hidden by the removal log (REMOVE without a

@@ -328,13 +328,29 @@ def search_wand(
         .agg(
             F.countDistinct("term").alias("n_terms_present"),
             F.collect_list(
-                F.struct("term", "n", "max_tf", "min_doclen", "codec",
-                         "doc_ids", "tfs", "doclens")
+                F.struct("term", "n", "max_tf", "codec", "doc_ids", "tfs")
             ).alias("blocks"),
         )
     )
     if conjunctive:
         grouped = grouped.filter(F.col("n_terms_present") == len(terms))
+    # doclens ride the per-block sidecar, not the postings: join ONE
+    # (doc_ids, doclens) copy per block group (vs one per term-block when
+    # postings carried them). min over the sidecar's block docs is <= any
+    # term's per-posting min, so the block-max upper bound stays
+    # admissible. collect_list: an incrementally-built index may hold one
+    # sidecar row per shard touching the doc range. pruned_doclens pushes
+    # the touched-block set down to the sidecar scan (the sidecar has no
+    # term column to prune by on its own).
+    side = (
+        reader.pruned_doclens(terms=terms)
+        .groupBy("block_key")
+        .agg(
+            F.min("min_doclen").alias("min_doclen"),
+            F.collect_list(F.struct("doc_ids", "doclens")).alias("side"),
+        )
+    )
+    grouped = grouped.join(side, "block_key")
     # removal mask as a distributed equi-join on block_key (NOT a
     # driver-collected closure — the removal log is usually a small
     # delta, but nothing bounds it at 100x scale): each surviving block
@@ -363,8 +379,9 @@ def search_wand(
             return heap[0][0] if len(heap) >= k else -math.inf
 
         for pdf in pdf_iter:
-            for block_key, blocks, rem_ids in zip(
-                pdf["block_key"], pdf["blocks"], pdf["removed_ids"]
+            for block_key, blocks, rem_ids, min_dl, side_chunks in zip(
+                pdf["block_key"], pdf["blocks"], pdf["removed_ids"],
+                pdf["min_doclen"], pdf["side"]
             ):
                 # null from the left join arrives as None/NaN
                 removed = (
@@ -374,13 +391,31 @@ def search_wand(
                 )
                 per_term_ub: dict[str, float] = {}
                 for blk in blocks:
-                    u = _ub(idf[blk["term"]], blk["max_tf"], blk["min_doclen"])
+                    u = _ub(idf[blk["term"]], blk["max_tf"], int(min_dl))
                     t = blk["term"]
                     per_term_ub[t] = max(per_term_ub.get(t, 0.0), u)
                 ub = sum(per_term_ub.values())
                 if ub <= theta():
                     continue  # block-max skip: cannot beat current top-k
                 base = int(block_key) << block_bits
+                # sidecar doclens decode only AFTER the block survives
+                # pruning (one copy per block, shared by every term)
+                s_parts = [
+                    (
+                        np.cumsum(
+                            codec.varbyte_decode(sc["doc_ids"]).astype(np.int64)
+                        ) + base,
+                        codec.decode_counts(sc["doclens"]),
+                    )
+                    for sc in side_chunks
+                ]
+                if len(s_parts) == 1:
+                    side_ids, side_dls = s_parts[0]
+                else:
+                    side_ids = np.concatenate([c[0] for c in s_parts])
+                    side_dls = np.concatenate([c[1] for c in s_parts])
+                    s_order = np.argsort(side_ids, kind="stable")
+                    side_ids, side_dls = side_ids[s_order], side_dls[s_order]
                 parts: dict[str, list] = {}
                 for blk in blocks:
                     parts.setdefault(blk["term"], []).append(
@@ -389,7 +424,6 @@ def search_wand(
                                 blk["doc_ids"], base, int(blk["codec"])
                             ),
                             codec.decode_counts(blk["tfs"]),
-                            codec.decode_counts(blk["doclens"]),
                         )
                     )
                 decoded = {}
@@ -401,9 +435,8 @@ def search_wand(
                         # (disjoint ids within one doc range): concat + sort
                         ids = np.concatenate([c[0] for c in chunks])
                         tfs = np.concatenate([c[1] for c in chunks])
-                        dls = np.concatenate([c[2] for c in chunks])
                         order = np.argsort(ids, kind="stable")
-                        decoded[term] = (ids[order], tfs[order], dls[order])
+                        decoded[term] = (ids[order], tfs[order])
                 present = [t for t in terms if t in decoded]
                 if conjunctive:
                     # intersect doc ids across terms (AND)
@@ -423,9 +456,13 @@ def search_wand(
                     inter = inter[~hit]
                 if inter.size == 0:
                     continue
+                # one doclen gather per block group — doclen depends only
+                # on the doc, so it is NOT re-fetched per term
+                dl = side_dls[np.searchsorted(side_ids, inter)].astype(np.float64)
+                norm = k1 * (1.0 - b + b * dl / avgdl)
                 scores = np.zeros(inter.size, dtype=np.float64)
                 for t in present:
-                    ids, tfs, dls = decoded[t]
+                    ids, tfs = decoded[t]
                     if conjunctive:
                         member = np.full(inter.size, True)
                         pos = np.searchsorted(ids, inter)
@@ -434,8 +471,7 @@ def search_wand(
                         member = (pos < ids.size) & (ids[np.minimum(pos, ids.size - 1)] == inter)
                         pos = np.minimum(pos, ids.size - 1)
                     tf = tfs[pos].astype(np.float64)
-                    dl = dls[pos].astype(np.float64)
-                    contrib = idf[t] * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    contrib = idf[t] * tf * (k1 + 1.0) / (tf + norm)
                     scores += np.where(member, contrib, 0.0)
                 for s, d in zip(scores, inter):
                     item = (float(s), int(d))
