@@ -637,10 +637,12 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact Jaccard pairs with hot-shingle pruning (df > 100 dropped on
-    BOTH sides — candidate-pruning is part of the algorithm at scale;
-    join cost is Σ df² over shingles, so near-universal shingles from the
-    tiny synthetic vocab dominate it)."""
+    """Exact Jaccard pairs, AllPairs/PPJoin prefix-filtered: candidates
+    join only on each doc's rarest ``sz - ceil(t*sz) + 1`` shingles
+    (provably no recall loss), then verify exactly via sorted-set
+    intersection — candidate cost is Σ df² over PREFIX occurrences, not
+    all shingles. Hot-shingle pruning (df > 100 dropped on BOTH sides)
+    additionally bounds skew, mirrored in the oracle."""
     from miru_spark.pipeline.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(

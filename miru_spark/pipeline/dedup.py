@@ -100,34 +100,89 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs via shingle inverted-index self-join.
+    """Exact Jaccard-similar pairs over n-gram shingle sets.
 
-    Columns: id_a, id_b (id_a < id_b), jaccard. |A∩B| from the join,
-    |A|,|B| from per-doc shingle counts; J = inter / (|A|+|B|-inter).
+    Columns: id_a, id_b (id_a < id_b), jaccard.
+
+    ``prefix_filter=True`` (default) is the scale path: AllPairs/PPJoin
+    prefix filtering (Bayardo et al., WWW'07; Xiao et al., WWW'08).
+    Shingles are globally ordered by (df asc, h) — rarest first — and
+    each doc joins only on its first ``sz - ceil(t*sz) + 1`` shingles:
+    any pair with J >= t must share a prefix shingle under a common
+    total order, so the candidate join's cost is Σ df² over PREFIX
+    occurrences (the rarest shingles) instead of over every shingle.
+    Candidates also pass the length filter (t·|A| <= |B| and vice
+    versa, since J >= t forces min(|A|,|B|) >= t·max(|A|,|B|)), then
+    verify EXACTLY via sorted-array intersection of the two docs'
+    full shingle sets — no recall loss, identical output to the naive
+    inverted-index self-join (``prefix_filter=False``, kept as the
+    test oracle).
     """
-    # the hashed shingle relation feeds four consumers (hot-df count,
-    # sizes, both self-join sides) — materialize it once. At cluster
-    # scale this is the step you'd write to a table (it IS the shingle
-    # inverted index); in-process, persist() gives the same single-eval.
+    # the hashed shingle relation feeds several consumers (hot-df count,
+    # sizes/df, join sides) — materialize it once. At cluster scale this
+    # is the step you'd write to a table (it IS the shingle inverted
+    # index); in-process, persist() gives the same single-eval.
     sh = shingles(df, id_col, text_col, n).withColumn(
         "h", F.xxhash64("shingle")
     ).select("id", "h").persist()
     if max_shingle_df is not None:
         hot = sh.groupBy("h").count().filter(F.col("count") > max_shingle_df).select("h")
-        sh = sh.join(F.broadcast(hot), "h", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        sh = sh.join(F.broadcast(hot), "h", "left_anti").persist()
+
+    if not prefix_filter:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        return (
+            inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+            .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("id_a", "id_b")
+        )
+
+    from pyspark.sql import Window
+
+    # each doc's full (sorted) shingle set — verification input AND the
+    # source of |A| (size(hs)); one groupBy(id) shuffle
+    sets = sh.groupBy("id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    # global rarity order: df per shingle, ties broken by h
+    dfh = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    t = float(threshold)
+    pre = (
+        sh.join(dfh, "h")
+        .withColumn("rnk", F.row_number().over(Window.partitionBy("id").orderBy("df", "h")))
+        .join(sets.select("id", F.size("hs").alias("sz")), "id")
+        .filter(F.col("rnk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
+        .select("id", "sz", "h")
+    )
+    cand = (
+        pre.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "h")
+        .join(pre.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "h"), "h")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") >= F.ceil(F.lit(t) * F.col("sz_a")))
+            & (F.col("sz_a") >= F.ceil(F.lit(t) * F.col("sz_b")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
     )
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        cand.join(sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")

@@ -59,6 +59,23 @@ def test_ngram_jaccard_pairs(docs_with_dups):
     assert (0, 5) in {(a, b) for a, b, _ in got}
 
 
+def test_ngram_jaccard_prefix_filter_matches_naive(spark):
+    """AllPairs prefix filtering is exact: identical output to the naive
+    inverted-index self-join on the real documents table, including the
+    hot-shingle cap interaction and lower thresholds (more pairs)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for thr, cap in [(0.8, 100), (0.5, 100), (0.8, None)]:
+        fast = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=thr, max_shingle_df=cap,
+            prefix_filter=True,
+        ).collect()
+        naive = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=thr, max_shingle_df=cap,
+            prefix_filter=False,
+        ).collect()
+        assert [tuple(r) for r in fast] == [tuple(r) for r in naive], (thr, cap)
+
+
 def test_minhash_lsh_finds_near_dups(docs_with_dups):
     pairs = {
         (r["id_a"], r["id_b"])
