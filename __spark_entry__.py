@@ -247,6 +247,20 @@ def q_bm25_lang_constraint(spark, sf_dir):
     )
 
 
+def q_bm25_authz(spark, sf_dir):
+    """Composite authz mask: doc survives if any of its authz labels is in
+    the caller's list — the union of the labels' composite-term posting
+    lists resolved INDEX-side (MiruAuthzIndex.getCompositeAuthz: OR of the
+    per-label bitmaps, MiruAuthzIndex.java:13; MiruAuthzExpression is a
+    flat value list). Here the label field is `source`."""
+    from miru_spark.query.bm25 import search
+
+    return search(
+        _reader(spark, sf_dir), "spark AND query", k=10, round_to=4,
+        authz=["src3", "src7", "src11", "src15"], authz_field="source",
+    )
+
+
 def q_bm25_fielded(spark, sf_dir):
     """Fielded query `lang:en AND spark AND query`: the keyword-field
     composite term (LuceneBackedQueryParser.java:76-144 TermQuery.field;
@@ -789,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_query_stopwords": q_bm25_query_stopwords,
         "bm25_prefix": q_bm25_prefix,
         "bm25_lang_constraint": q_bm25_lang_constraint,
+        "bm25_authz": q_bm25_authz,
         "bm25_fielded": q_bm25_fielded,
         "bm25_gather_fields": q_bm25_gather_fields,
         "fulltext_time_newest": q_fulltext_time_newest,
@@ -886,6 +901,12 @@ scored AS (
 SELECT doc_id, round(score, 4) AS score FROM scored ORDER BY score DESC, doc_id DESC LIMIT 10
 """,
         "bm25_lang_constraint": lang_en_sql,
+        # composite authz = OR of per-label posting lists; labels here are
+        # `source` values, so the oracle predicate is source IN (...)
+        "bm25_authz": lang_en_sql.replace(
+            "d.lang = 'en'",
+            "d.source IN ('src3', 'src7', 'src11', 'src15')",
+        ),
         # the fielded query `lang:en AND spark AND query` is semantically
         # the constraint-mask query — same oracle
         "bm25_fielded": lang_en_sql,

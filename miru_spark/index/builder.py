@@ -740,11 +740,23 @@ def _build_wave(
         # terms are candidate masks, not BM25-scored text.
         for fname, colname in sorted((keyword_fields or {}).items()):
             src_t = dict(sliced.dtypes)[colname]
-            val = F.explode(F.col(colname)) if src_t.startswith("array") else F.col(colname)
-            kw_rows = (
-                sliced.select(
+            if src_t.startswith("array"):
+                # multi-valued field (e.g. per-doc authz labels -> one
+                # posting list per label, LabAuthzIndex.java); generators
+                # must be top-level, so explode BEFORE the concat
+                vals = sliced.select(
                     F.col(id_col).cast("long").alias("doc_id"),
-                    F.concat(F.lit(fname + ":"), val.cast("string")).alias("term"),
+                    F.explode(colname).alias("_kwval"),
+                )
+            else:
+                vals = sliced.select(
+                    F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(colname).alias("_kwval"),
+                )
+            kw_rows = (
+                vals.select(
+                    "doc_id",
+                    F.concat(F.lit(fname + ":"), F.col("_kwval").cast("string")).alias("term"),
                     F.lit(1).cast("int").alias("tf"),
                 )
                 .filter(F.col("term").isNotNull())

@@ -56,6 +56,27 @@ class SearchError(ValueError):
     pass
 
 
+def composite_authz(
+    reader: IndexReader, values: list[str], field: str = "authz"
+) -> DataFrame:
+    """Union of per-label posting lists — the reference's
+    ``MiruAuthzIndex.getCompositeAuthz`` (OR of the label bitmaps,
+    ``MiruAuthzIndex.java:13``; per-label inverted indexes
+    ``LabAuthzIndex.java``; the expression is a flat value list,
+    ``MiruAuthzExpression.java:11-18``).
+
+    Each label's "bitmap" is the posting list of the composite keyword
+    term ``field:value`` (built by ``build_index(keyword_fields=...)`` —
+    array-typed columns give multi-label docs). The composite is their
+    distinct union; removals are folded by the caller's answer mask, as
+    in the reference (authz AND ¬removal applied to the answer)."""
+    if not values:  # empty expression grants nothing (terms=[] would
+        # mean "no term filter" to the reader, i.e. everything)
+        return reader.spark.createDataFrame([], "doc_id long")
+    terms = [f"{field}:{v}" for v in values]
+    return reader.postings(terms=terms).select("doc_id").distinct()
+
+
 def _expand(reader: IndexReader, node, max_expansion: int) -> dict:
     """Map each Prefix leaf to its dictionary expansion (cached per query)."""
     out = {}
@@ -138,6 +159,8 @@ def search(
     locale: str | None = None,
     use_stopwords: bool | None = None,
     gather_fields: list[str] | None = None,
+    authz: list[str] | None = None,
+    authz_field: str = "authz",
 ) -> DataFrame:
     """Top-k BM25: returns DataFrame(doc_id long, score double), ordered
     (score desc, doc_id desc), limited to k.
@@ -153,6 +176,13 @@ def search(
     ``report.lowestScore`` + collected ids (``FullText.java:113-135``,
     ``FullTextQuery/Report``); a keyset cursor needs no id list because
     our (score desc, doc_id desc) order is total.
+
+    ``authz``: visibility label list — a doc survives if ANY of its
+    indexed ``authz_field`` labels is in the list. Resolved INDEX-side
+    as the union of the labels' composite-term posting lists
+    (:func:`composite_authz`), never by scanning the doc store — the
+    reference ANDs the composite authz bitmap into every answer
+    (``MiruAuthzIndex.getCompositeAuthz``).
 
     ``constraint``: optional mask over the doc store's stored columns
     (a Column expression, e.g. ``F.col("lang") == "en"`` or a
@@ -186,6 +216,9 @@ def search(
         if constraint is not None:
             mask = reader.doc_store().filter(constraint).select("doc_id")
             cands = cands.join(mask, "doc_id", "left_semi")
+        if authz is not None:
+            cands = cands.join(
+                composite_authz(reader, authz, authz_field), "doc_id", "left_semi")
         cands = cands.join(reader.removed_docs(), "doc_id", "left_anti")
         out = (
             cands.withColumn("score", F.lit(0.0))
@@ -202,6 +235,9 @@ def search(
     if constraint is not None:
         mask = reader.doc_store().filter(constraint).select("doc_id")
         candidates = candidates.join(mask, "doc_id", "left_semi")
+    if authz is not None:
+        candidates = candidates.join(
+            composite_authz(reader, authz, authz_field), "doc_id", "left_semi")
     # removal mask: tombstoned docs never reach the scorer (the
     # reference ANDs ¬removal into every answer, FullTextCustomQuestion.java:89)
     candidates = candidates.join(reader.removed_docs(), "doc_id", "left_anti")
@@ -244,6 +280,7 @@ def _gather(reader: IndexReader, topk: DataFrame, gather_fields, *, time_order=F
 def search_time_newest(
     reader: IndexReader, query: str, k: int = 10, *, max_expansion: int = 100,
     constraint=None, locale: str | None = None, use_stopwords: bool | None = None,
+    authz: list[str] | None = None, authz_field: str = "authz",
 ) -> DataFrame:
     """TIME strategy: newest-k matching docs, score = 0 (reference:
     ``FullText.java:222-251`` — descending docId, zero scores)."""
@@ -255,6 +292,9 @@ def search_time_newest(
     if constraint is not None:
         mask = reader.doc_store().filter(constraint).select("doc_id")
         cands = cands.join(mask, "doc_id", "left_semi")
+    if authz is not None:
+        cands = cands.join(
+            composite_authz(reader, authz, authz_field), "doc_id", "left_semi")
     cands = cands.join(reader.removed_docs(), "doc_id", "left_anti")
     return (
         cands.withColumn("score", F.lit(0.0))

@@ -495,3 +495,66 @@ def test_dictionary_composite_terms(spark, corpus, fielded_reader):
         for r in fielded_reader.dictionary().filter(F.col("term").startswith("lang:")).collect()
     }
     assert got == want
+
+
+@_pytest.fixture(scope="module")
+def authz_reader(spark, corpus, tmp_path_factory):
+    """Index with a MULTI-VALUED authz label column (array<string>): each
+    doc carries [g{doc_id%5}, lang] — the per-label posting lists are the
+    reference's per-label authz bitmaps (LabAuthzIndex.java)."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+
+    out = str(tmp_path_factory.mktemp("authz") / "idx")
+    docs = corpus.withColumn(
+        "labels",
+        F.array(F.concat(F.lit("g"), (F.col("doc_id") % 5).cast("string")), F.col("lang")),
+    )
+    build_index(
+        spark, docs, out,
+        stored_cols=["lang"],
+        keyword_fields={"authz": "labels"},
+        n_shards=3, block_bits=7, overwrite=True,
+    )
+    return IndexReader(spark, out)
+
+
+def test_composite_authz_is_union_of_labels(spark, corpus, authz_reader):
+    """getCompositeAuthz = OR of the per-label posting lists
+    (MiruAuthzIndex.java:13): docs match if ANY label matches."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.query.bm25 import composite_authz
+
+    got = {r["doc_id"] for r in
+           composite_authz(authz_reader, ["g2", "de"]).collect()}
+    want = {r["doc_id"] for r in corpus.filter(
+        (F.col("doc_id") % 5 == 2) | (F.col("lang") == "de")).collect()}
+    assert got == want
+
+
+def test_search_with_authz_mask(spark, corpus, authz_reader):
+    """search(authz=[...]) must equal the same query constrained to the
+    label-visible doc set, with identical scores (masks don't score)."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.query.bm25 import search
+
+    a = search(authz_reader, "w00001", k=1000, round_to=6,
+               authz=["g1", "g3"]).collect()
+    visible = {r["doc_id"] for r in corpus.filter(
+        (F.col("doc_id") % 5).isin(1, 3)).collect()}
+    plain = {r["doc_id"]: r["score"] for r in
+             search(authz_reader, "w00001", k=1000, round_to=6).collect()}
+    assert len(a) > 0
+    assert {r["doc_id"] for r in a} == {d for d in plain if d in visible}
+    for r in a:
+        assert r["score"] == plain[r["doc_id"]]
+
+
+def test_authz_empty_labels_hides_everything(spark, authz_reader):
+    from miru_spark.query.bm25 import search
+
+    assert search(authz_reader, "w00001", k=10, authz=[]).count() == 0
