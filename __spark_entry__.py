@@ -769,17 +769,26 @@ def q_multimodal_frames(spark, sf_dir):
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     out = frame_sample(docs, "doc_id", "payload", frame_bytes=64, every=2)
-    return out.select("id", "frame_no", F.length("frame").alias("frame_len"))
+    return out.select(
+        "id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.length("frame").cast("long").alias("frame_len"),
+    )
 
 
 def q_multimodal_meta(spark, sf_dir):
-    """Binary-column plumbing (sha1 via Python hashlib) — rows-only."""
+    """Binary-column plumbing: typed metadata (length, content hash,
+    magic-byte sniff) over an opaque payload column. Oracle-checkable:
+    DuckDB's sha256(varchar) hashes the same UTF-8 bytes the entry's
+    encode(text,'utf-8') payload carries."""
     from miru_spark.pipeline.multimodal import binary_meta
 
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
-    return binary_meta(docs, "doc_id", "payload")
+    return binary_meta(docs, "doc_id", "payload").select(
+        "id", "n_bytes", "sha256", "sniffed_type"
+    )
 
 
 # ---------------------------------------------------------------------
@@ -1245,5 +1254,30 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
 ORDER BY id_a, id_b
+""",
+        # payload = encode(text,'utf-8'): octet_length(encode(..)) and
+        # sha256(varchar) in DuckDB operate on the same UTF-8 bytes.
+        # sniff_type for string payloads can only hit the printable magic
+        # prefixes (GIF8/RIFF/ID3) or the defaults — spelled out here.
+        "multimodal_meta": """
+SELECT doc_id AS id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       CASE WHEN text IS NULL OR text = '' THEN '' ELSE sha256(text) END AS sha256,
+       CASE WHEN text IS NULL OR text = '' THEN 'empty'
+            WHEN starts_with(text, 'GIF8') THEN 'image/gif'
+            WHEN starts_with(text, 'RIFF') THEN 'audio/wav-or-avi'
+            WHEN starts_with(text, 'ID3') THEN 'audio/mp3'
+            ELSE 'application/octet-stream' END AS sniffed_type
+FROM documents
+""",
+        # frame_sample(frame_bytes=64, every=2): frames fno=0,2,4,... of
+        # ceil(n_bytes/64) total; each frame is min(64, n_bytes - fno*64)
+        # bytes — pure byte-slicing arithmetic, exactly SQL-expressible.
+        "multimodal_frames": """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents WHERE text IS NOT NULL)
+SELECT doc_id AS id, fno AS frame_no,
+       least(64, n - fno * 64)::BIGINT AS frame_len
+FROM b, LATERAL unnest(generate_series(0, ((n + 63) // 64 - 1)::BIGINT, 2)) AS t(fno)
+WHERE n > 0
 """,
     }

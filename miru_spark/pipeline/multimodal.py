@@ -43,8 +43,8 @@ def sniff_type(data: bytes | None) -> str:
 def binary_meta(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
     """Typed metadata for a binary media column.
 
-    Columns: id, n_bytes, sha1, sniffed_type. One Arrow pass; bytes never
-    leave the executor."""
+    Columns: id, n_bytes, sha1, sha256, sniffed_type. One Arrow pass;
+    bytes never leave the executor."""
 
     def _meta(pdf_iter):
         for pdf in pdf_iter:
@@ -56,12 +56,17 @@ def binary_meta(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
                     "sha1": [
                         hashlib.sha1(d).hexdigest() if d is not None else "" for d in datas
                     ],
+                    "sha256": [
+                        hashlib.sha256(d).hexdigest() if d is not None else "" for d in datas
+                    ],
                     "sniffed_type": [sniff_type(d) for d in datas],
                 }
             )
 
     src = df.select(F.col(id_col).alias("id"), F.col(data_col).alias("data"))
-    return src.mapInPandas(_meta, schema="id long, n_bytes long, sha1 string, sniffed_type string")
+    return src.mapInPandas(
+        _meta, schema="id long, n_bytes long, sha1 string, sha256 string, sniffed_type string"
+    )
 
 
 def _fake_decode_features(data: bytes, n_bins: int = 8) -> list[float]:

@@ -40,9 +40,9 @@ def test_oracle_keys_subset_of_queries(entry):
     # the rows-only set is intentional and documented — keep it small
     rows_only = set(qs) - set(osql)
     assert rows_only == {
-        "minhash_lsh", "simhash", "winnow", "ann_lsh_topk", "multimodal_meta",
+        "minhash_lsh", "simhash", "winnow", "ann_lsh_topk",
         "cosine_pairs_lsh",
-        "multimodal_features", "multimodal_frames", "fulltext_highlight",
+        "multimodal_features", "fulltext_highlight",
         "distinct_count_approx",
     }
 
