@@ -120,9 +120,18 @@ def _scaling_probe(cores: int, n_docs: int) -> None:
 
     shm = "/dev/shm/miru_bench"
     os.makedirs(shm, exist_ok=True)
+    # experiment knobs (inherited by the probe subprocess environment):
+    # exchange-partition multiple, shuffle IO codec, parquet codec
+    ex_mult = float(os.environ.get("MIRU_BENCH_EXCHANGE_MULT", "1"))
+    extra = {"spark.local.dir": os.path.join(shm, "spark_local")}
+    if os.environ.get("MIRU_BENCH_IO_CODEC"):
+        extra["spark.io.compression.codec"] = os.environ["MIRU_BENCH_IO_CODEC"]
+    if os.environ.get("MIRU_BENCH_PARQUET_CODEC"):
+        extra["spark.sql.parquet.compression.codec"] = os.environ["MIRU_BENCH_PARQUET_CODEC"]
     spark = get_spark(
-        f"bench_probe_{cores}", cores=cores, shuffle_partitions=cores,
-        extra_conf={"spark.local.dir": os.path.join(shm, "spark_local")},
+        f"bench_probe_{cores}", cores=cores,
+        shuffle_partitions=max(cores, int(cores * ex_mult)),
+        extra_conf=extra,
     )
     corpus_dir = os.path.join(shm, f"corpus_{n_docs}")
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
@@ -134,11 +143,26 @@ def _scaling_probe(cores: int, n_docs: int) -> None:
     t0 = time.monotonic()
     # fixed shard layout = the scale path (one scan for layout+lineage,
     # no separate bounds job); 16-block spans -> 4 shards at 480k docs
-    meta = build_index(spark, docs, out, shard_span_blocks=16, overwrite=True)
+    meta = build_index(spark, docs, out, shard_span_blocks=16, overwrite=True,
+                       exchange_partitions=max(cores, int(cores * ex_mult)))
     dt = time.monotonic() - t0
     s1, ticks1 = _cpu_ticks()
+    # per-phase wall offsets from the wave manifest (the same numbers the
+    # build records for lineage): which stage stops scaling is the datum
+    phases = {}
+    try:
+        import glob
+
+        for fn in glob.glob(os.path.join(out, "manifests", "*.json")):
+            with open(fn) as f:
+                m = json.load(f)
+            for k, v in (m.get("extra", {}).get("phases") or {}).items():
+                phases[k] = max(phases.get(k, 0.0), v)
+    except Exception:  # noqa: BLE001
+        pass
     print(json.dumps({"cores": cores, "docs_per_sec": meta.n_docs / dt, "sec": dt,
                       "steal_frac": round((s1 - s0) / max(1, ticks1 - ticks0), 4),
+                      "phases": phases,
                       "n_docs": meta.n_docs, "n_terms": meta.n_terms}))
     shutil.rmtree(out_parent, ignore_errors=True)
     spark.stop()
@@ -296,10 +320,30 @@ def main() -> None:
         "ann_cosine_topk", "ann_lsh_topk", "cosine_pairs",
     ]
     qs = E.queries()
+    collected: dict[str, list] = {}
     for name in bench_queries:
         t0 = time.monotonic()
-        qs[name](spark, SF_DIR).collect()
+        collected[name] = qs[name](spark, SF_DIR).collect()
         timings[name] = round(time.monotonic() - t0, 3)
+
+    # rank-identity across the three physical BM25 plans (north rule:
+    # "top-k docIDs and scores rank-identical"): the inline DataFrame
+    # scorer, the disk-index exact scorer, and block-max WAND all answer
+    # the SAME query — compare their ordered (doc_id, score) lists.
+    def _ranks(rows):
+        return [(r["doc_id"], round(float(r["score"]), 4)) for r in rows]
+
+    or_rows = qs["bm25_or"](spark, SF_DIR).collect()
+    plan_sets = [
+        ("and", [collected["bm25_and"], collected["bm25_index_search"],
+                 collected["bm25_index_wand"]]),
+        ("or", [or_rows, collected["bm25_index_wand_or"]]),
+    ]
+    rank_ok = sum(
+        1 for _, plans in plan_sets
+        if all(_ranks(p) == _ranks(plans[0]) for p in plans[1:])
+    )
+    bm25_rank_match_rate = round(rank_ok / len(plan_sets), 4)
 
     result = {
         "metric": "headline_total",
@@ -313,6 +357,7 @@ def main() -> None:
             "build_sec": round(t_build, 3),
             "docs_per_sec": round(meta.n_docs / t_build, 1),
         },
+        "bm25_rank_match_rate": bm25_rank_match_rate,
         "cores": CPUS,
     }
 

@@ -420,9 +420,15 @@ def build_index(
     overwrite: bool = False,
     shard_span_blocks: int | None = None,
     max_wave_shards: int | None = None,
+    exchange_partitions: int | None = None,
     fail_after_shard: int | None = None,  # test hook: simulate a crash between shards
 ) -> IndexMeta:
     """Build (or resume) the inverted index for ``docs`` under ``index_dir``.
+
+    ``exchange_partitions``: partition count for the dominant postings
+    exchange (default: ``sparkContext.defaultParallelism``). On a cluster,
+    size to 2-4x total executor cores so reducer stragglers and skewed
+    (term, block) groups smooth out instead of extending the stage tail.
 
     ``shard_span_blocks``: fix every shard to this many posting blocks,
     anchored at doc_id 0 (``n_shards`` is then derived from the doc-id
@@ -584,6 +590,7 @@ def build_index(
             keyword_fields=kw,
             block_bits=block_bits, use_stopwords=use_stopwords, locale=locale,
             fingerprints={s: fps[s] for s in wave},
+            exchange_partitions=exchange_partitions,
         )
         if fail_after_shard is not None and max(wave) >= fail_after_shard:
             raise RuntimeError(f"simulated crash after shard {max(wave)}")
@@ -629,7 +636,7 @@ def _shard_expr(col_name: str, ranges: dict[int, tuple[int, int]]):
 def _build_wave(
     spark, docs, index_dir, ranges: dict[int, tuple[int, int]], *,
     id_col, text_col, stored, block_bits, use_stopwords, fingerprints,
-    locale=None, keyword_fields=None,
+    locale=None, keyword_fields=None, exchange_partitions=None,
 ) -> None:
     """Build every shard in ``ranges`` with ONE tokenize + ONE shuffle.
 
@@ -704,7 +711,7 @@ def _build_wave(
                     .filter(F.col("shard").isin(wave_shards_list))
                     .select("doc_id", "doclen")
                     .repartition(
-                        spark.sparkContext.defaultParallelism,
+                        exchange_partitions or spark.sparkContext.defaultParallelism,
                         F.shiftright("doc_id", block_bits),
                     )
                     .sortWithinPartitions("doc_id")
@@ -771,7 +778,7 @@ def _build_wave(
             # (term, doc_id) preserves (term, block, doc_id) order since
             # block_key is monotone in doc_id.
             .repartition(
-                spark.sparkContext.defaultParallelism,
+                exchange_partitions or spark.sparkContext.defaultParallelism,
                 "term", F.shiftright("doc_id", block_bits),
             )
             .sortWithinPartitions("term", "doc_id")
