@@ -697,7 +697,8 @@ def _build_wave(
                         F.size(tok(F.col(text_col))).alias("doclen"),
                         *[F.col(c) for c in stored],
                     )
-                    .write.mode("overwrite").partitionBy("shard").parquet(docs_root)
+                    .write.mode("overwrite").option("compression", "zstd")
+                    .partitionBy("shard").parquet(docs_root)
                 )
                 phases["doc_store_write"] = round(time.monotonic() - wall_start, 2)
                 # doclens sidecar: (doc_ids, doclens) ONCE per 8Ki-doc
@@ -717,7 +718,8 @@ def _build_wave(
                     .sortWithinPartitions("doc_id")
                     .mapInPandas(_make_doclen_compressor(block_bits), schema=_DOCLENS_SCHEMA)
                     .withColumn("shard", _shard_expr("block_key", block_ranges))
-                    .write.mode("overwrite").partitionBy("shard").parquet(doclens_root)
+                    .write.mode("overwrite").option("compression", "zstd")
+                    .partitionBy("shard").parquet(doclens_root)
                 )
                 phases["doclens_write"] = round(time.monotonic() - wall_start, 2)
             except BaseException as e:  # noqa: BLE001 - surfaced on join
@@ -789,7 +791,8 @@ def _build_wave(
         post_root = os.path.join(index_dir, "postings")
         # files stay sorted by term -> parquet row-group min/max stats
         # prune term lookups
-        blocks.write.mode("overwrite").partitionBy("shard").parquet(post_root)
+        blocks.write.mode("overwrite").option("compression", "zstd") \
+            .partitionBy("shard").parquet(post_root)
         phases["postings_write"] = round(time.monotonic() - wall_start, 2)
         doc_thread.join()
         if doc_errs:
