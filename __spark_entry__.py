@@ -1280,4 +1280,24 @@ SELECT doc_id AS id, fno AS frame_no,
 FROM b, LATERAL unnest(generate_series(0, ((n + 63) // 64 - 1)::BIGINT, 2)) AS t(fno)
 WHERE n > 0
 """,
+        # decode_features(decoder="fake"): normalized histogram of
+        # (byte >> 5) over 8 bins. The corpus text is pure ASCII (verified:
+        # length == octet_length for every row), so ascii(char) // 32
+        # reproduces the byte-level bins exactly.
+        "multimodal_features": """
+WITH chars AS (
+  SELECT doc_id, (ascii(substr(text, CAST(i AS INT), 1)) // 32)::BIGINT AS feature_no
+  FROM documents, LATERAL unnest(generate_series(1, length(text))) AS t(i)
+),
+hist AS (
+  SELECT doc_id, feature_no, count(*)::DOUBLE AS c FROM chars GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, sum(c) AS s FROM hist GROUP BY 1),
+bins AS (SELECT unnest(generate_series(0, 7)) AS feature_no)
+SELECT d.doc_id AS id, b.feature_no::BIGINT AS feature_no,
+       round(coalesce(h.c / t.s, 0.0), 6) AS feature
+FROM documents d CROSS JOIN bins b
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.feature_no = b.feature_no
+""",
     }
