@@ -282,6 +282,20 @@ def q_bm25_gather_fields(spark, sf_dir):
     )
 
 
+def q_bm25_phrase(spark, sf_dir):
+    """Quoted-phrase query: posting-list AND candidates + one JVM
+    adjacency-verify expression against the source table (no positional
+    index, no Python in the verify path). Phrase terms score like
+    ordinary BM25 terms; the oracle reproduces both the adjacency
+    predicate and the scoring in SQL."""
+    from miru_spark.query.bm25 import search
+
+    return search(
+        _reader(spark, sf_dir), 'data AND "table hash"', k=10, round_to=4,
+        text_df=_read(spark, sf_dir, "documents"),
+    )
+
+
 def q_fulltext_time_newest(spark, sf_dir):
     """TIME strategy: newest-k matching docs, score = 0."""
     from miru_spark.query.bm25 import search_time_newest
@@ -815,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_authz": q_bm25_authz,
         "bm25_fielded": q_bm25_fielded,
         "bm25_gather_fields": q_bm25_gather_fields,
+        "bm25_phrase": q_bm25_phrase,
         "fulltext_time_newest": q_fulltext_time_newest,
         "fulltext_highlight": q_fulltext_highlight,
         "index_dictionary": q_index_dictionary,
@@ -939,6 +954,30 @@ topk AS (SELECT doc_id, round(score, 4) AS score FROM scored WHERE nt = {len(_BM
 SELECT t.doc_id, t.score, d.lang, d.source
 FROM topk t JOIN documents d USING (doc_id)
 ORDER BY t.score DESC, t.doc_id DESC
+""",
+        # phrase semantics: doc contains the consecutive token pair AND
+        # the other terms; scoring = BM25 over all three terms (phrase
+        # terms weigh like ordinary terms)
+        "bm25_phrase": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
+st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+ph AS (SELECT doc_id FROM base
+       WHERE len(list_filter(generate_series(1, len(toks) - 1),
+                             i -> toks[i] = 'table' AND toks[i + 1] = 'hash')) > 0),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
+q(term) AS (VALUES ('data'), ('table'), ('hash')),
+tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * {K1 + 1.0}
+              / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / st.avgdl)) ) AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT s.doc_id, round(s.score, 4) AS score FROM scored s JOIN ph USING (doc_id)
+WHERE nt = 3 ORDER BY score DESC, doc_id DESC LIMIT 10
 """,
         "fulltext_time_newest": f"""
 WITH base AS ({toks_base}),

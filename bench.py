@@ -124,8 +124,11 @@ def _scaling_probe(cores: int, n_docs: int) -> None:
     # exchange-partition multiple, shuffle IO codec, parquet codec
     ex_mult = float(os.environ.get("MIRU_BENCH_EXCHANGE_MULT", "1"))
     extra = {"spark.local.dir": os.path.join(shm, "spark_local")}
-    if os.environ.get("MIRU_BENCH_IO_CODEC"):
-        extra["spark.io.compression.codec"] = os.environ["MIRU_BENCH_IO_CODEC"]
+    # zstd shuffle/spill codec by default: measured A/B at (4,16)x480k —
+    # raw efficiency 0.36 -> 0.50, 16-core peak 7.2k -> 9.8k docs/s. The
+    # shuffle is the one DRAM-bandwidth-bound stage on a single box;
+    # trading abundant CPU for bytes is exactly what scales.
+    extra["spark.io.compression.codec"] = os.environ.get("MIRU_BENCH_IO_CODEC", "zstd")
     if os.environ.get("MIRU_BENCH_PARQUET_CODEC"):
         extra["spark.sql.parquet.compression.codec"] = os.environ["MIRU_BENCH_PARQUET_CODEC"]
     spark = get_spark(

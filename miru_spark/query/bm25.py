@@ -89,7 +89,25 @@ def _expand(reader: IndexReader, node, max_expansion: int) -> dict:
 def _leaf_terms(leaf, expansions) -> list[str]:
     if isinstance(leaf, qp.Term):
         return [leaf.term]
+    if isinstance(leaf, qp.Phrase):
+        return list(leaf.terms)
     return expansions.get(leaf.prefix, [])
+
+
+def _phrase_hit_col(terms: list[str], text_col: str, use_stopwords: bool):
+    """JVM predicate: the analyzed token stream of ``text_col`` contains
+    ``terms`` consecutively. Whole-stage-codegen expression (tokens_col is
+    the parity-tested JVM twin of the Arrow tokenizer) — no Python in the
+    verify path."""
+    from miru_spark.analysis.tokenizer import tokens_col
+
+    toks = tokens_col(F.col(text_col), use_stopwords=use_stopwords)
+    n = len(terms)
+    pat = F.array(*[F.lit(t) for t in terms])
+    # greatest(...,1) keeps the sequence ascending for docs shorter than
+    # the phrase; their (short) slice never equals pat
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.exists(idx, lambda i: F.slice(toks, i, n) == pat)
 
 
 def _parse_for_index(reader: IndexReader, query, *, locale=None, use_stopwords=None):
@@ -115,8 +133,32 @@ def _parse_for_index(reader: IndexReader, query, *, locale=None, use_stopwords=N
     return ast
 
 
-def _eval_candidates(reader: IndexReader, node, expansions) -> DataFrame:
+def _eval_candidates(reader: IndexReader, node, expansions, phrase_ctx=None) -> DataFrame:
     """Boolean evaluation -> DataFrame of distinct candidate doc_ids."""
+    if isinstance(node, qp.Phrase):
+        # candidates: posting-list AND over the phrase's terms (cheap,
+        # index-side); adjacency then verified against the doc TEXT with
+        # one codegen expression — verification cost is O(candidates),
+        # never a corpus scan. This is the positional-index-free phrase
+        # plan: the AND intersection is exactly what a positional index
+        # would walk, and the verify join replaces position-list decode.
+        if phrase_ctx is None:
+            raise SearchError(
+                "phrase query needs text_df= (a (doc_id, text) relation — "
+                "the doc store or source table) for adjacency verification"
+            )
+        text_df, text_col, use_stop = phrase_ctx
+        acc = None
+        for t in dict.fromkeys(node.terms):
+            df = reader.postings(terms=[t]).select("doc_id")
+            acc = df if acc is None else acc.join(df, "doc_id", "inner")
+        verified = (
+            text_df.select(F.col("doc_id").cast("long").alias("doc_id"), F.col(text_col))
+            .join(acc, "doc_id", "left_semi")
+            .filter(_phrase_hit_col(list(node.terms), text_col, use_stop))
+            .select("doc_id")
+        )
+        return verified
     if isinstance(node, (qp.Term, qp.Prefix)):
         terms = _leaf_terms(node, expansions)
         if not terms:
@@ -129,18 +171,20 @@ def _eval_candidates(reader: IndexReader, node, expansions) -> DataFrame:
         negatives = [c.child for c in node.children if isinstance(c, qp.Not)]
         if not positives:
             raise SearchError("pure-negation query not supported (as in Lucene)")
-        acc = _eval_candidates(reader, positives[0], expansions)
+        acc = _eval_candidates(reader, positives[0], expansions, phrase_ctx)
         for c in positives[1:]:
-            acc = acc.join(_eval_candidates(reader, c, expansions), "doc_id", "inner")
+            acc = acc.join(
+                _eval_candidates(reader, c, expansions, phrase_ctx), "doc_id", "inner")
         for c in negatives:
-            acc = acc.join(_eval_candidates(reader, c, expansions), "doc_id", "left_anti")
+            acc = acc.join(
+                _eval_candidates(reader, c, expansions, phrase_ctx), "doc_id", "left_anti")
         return acc
     if isinstance(node, qp.Or):
         if any(isinstance(c, qp.Not) for c in node.children):
             raise SearchError("NOT directly under OR not supported")
-        acc = _eval_candidates(reader, node.children[0], expansions)
+        acc = _eval_candidates(reader, node.children[0], expansions, phrase_ctx)
         for c in node.children[1:]:
-            acc = acc.union(_eval_candidates(reader, c, expansions))
+            acc = acc.union(_eval_candidates(reader, c, expansions, phrase_ctx))
         return acc.distinct()
     raise SearchError(f"cannot evaluate node {node!r}")
 
@@ -161,9 +205,18 @@ def search(
     gather_fields: list[str] | None = None,
     authz: list[str] | None = None,
     authz_field: str = "authz",
+    text_df: DataFrame | None = None,
+    text_col: str = "text",
 ) -> DataFrame:
     """Top-k BM25: returns DataFrame(doc_id long, score double), ordered
     (score desc, doc_id desc), limited to k.
+
+    ``text_df``: (doc_id, <text_col>) relation — the doc store or the
+    source table — required only when the query contains a quoted
+    ``"exact phrase"``. Phrase candidates come from the posting-list AND
+    of the phrase's terms; adjacency is then verified against this
+    relation with one JVM expression (O(candidates), no corpus scan).
+    Phrase terms also contribute BM25 weight like ordinary terms.
 
     ``gather_fields``: stored doc-store columns joined back AFTER the
     top-k limit — the reference's lazy Promise gather, which only
@@ -197,6 +250,26 @@ def search(
         return reader.spark.createDataFrame([], "doc_id long, score double")
     expansions = _expand(reader, ast, max_expansion)
 
+    phrase_ctx = None
+    if any(isinstance(l, qp.Phrase) for l in qp._all_leaves(ast)):
+        from miru_spark.analysis.tokenizer import _DEFAULT_ANALYZER, find_analyzer
+
+        eff_locale = locale if locale is not None else reader.stats.get("locale")
+        if find_analyzer(eff_locale) is not _DEFAULT_ANALYZER:
+            raise SearchError(
+                "phrase verification uses the JVM twin of the frozen ASCII "
+                "analyzer; non-'en' locale indexes are not supported for phrases"
+            )
+        if text_df is None:
+            raise SearchError(
+                "phrase query needs text_df= (doc store or source table)"
+            )
+        eff_stop = (
+            use_stopwords if use_stopwords is not None
+            else bool(reader.stats.get("use_stopwords"))
+        )
+        phrase_ctx = (text_df, text_col, eff_stop)
+
     # fielded leaves (``lang:en``) are exact-match candidate MASKS — they
     # intersect the answer like the reference's constraints/authz filters
     # but contribute no BM25 weight; only default-field text terms score.
@@ -212,7 +285,7 @@ def search(
         # terms, so fall back to the TIME ordering — newest-first with
         # score 0 (the reference's prime ordering / TIME strategy,
         # ``FullText.java:222-251``).
-        cands = _eval_candidates(reader, ast, expansions)
+        cands = _eval_candidates(reader, ast, expansions, phrase_ctx)
         if constraint is not None:
             mask = reader.doc_store().filter(constraint).select("doc_id")
             cands = cands.join(mask, "doc_id", "left_semi")
@@ -231,7 +304,7 @@ def search(
     idf_rows = [(t, reader.idf(stats[t]["df"])) for t in pos_terms if t in stats]
     idf_df = reader.spark.createDataFrame(idf_rows, "term string, idf double")
 
-    candidates = _eval_candidates(reader, ast, expansions)
+    candidates = _eval_candidates(reader, ast, expansions, phrase_ctx)
     if constraint is not None:
         mask = reader.doc_store().filter(constraint).select("doc_id")
         candidates = candidates.join(mask, "doc_id", "left_semi")

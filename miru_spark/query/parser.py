@@ -40,6 +40,19 @@ class Prefix(Node):
     field: str | None = None
 
 
+@dataclass(frozen=True)
+class Phrase(Node):
+    """Quoted ``"exact phrase"``: consecutive analyzed tokens. The
+    reference's makeFilter handles only Term/Prefix/Boolean
+    (``LuceneBackedQueryParser.java:76-144``) — phrases are an extension
+    this engine adds for web-corpus search. ``field`` is always the
+    default text field (fielded keyword values are exact-match already).
+    """
+
+    terms: tuple = ()
+    field = None  # class attr: phrases always live in the default field
+
+
 @dataclass
 class And(Node):
     children: list = field(default_factory=list)
@@ -64,7 +77,9 @@ class Not(Node):
 # `field:value` (and `field:pre*`) lexes as ONE token — Lucene's fielded
 # TermQuery/PrefixQuery syntax (``LuceneBackedQueryParser.java:76-144``
 # routes term.field() into the field filter).
-_LEX = re.compile(r"\(|\)|&&|\|\||\w+:\w*\*?|\w+\*?|(?<![\w*])-|(?<![\w*])!", re.UNICODE)
+_LEX = re.compile(
+    r"\"[^\"]*\"|\(|\)|&&|\|\||\w+:\w*\*?|\w+\*?|(?<![\w*])-|(?<![\w*])!", re.UNICODE
+)
 
 
 class QueryParseError(ValueError):
@@ -130,6 +145,13 @@ class _Parser:
             return node
         if t == ")":
             raise QueryParseError("unexpected ')'")
+        if t.startswith('"'):
+            toks = tokenize(t.strip('"'), locale=self.locale)
+            if not toks:
+                raise QueryParseError(f"empty phrase {t!r}")
+            if len(toks) == 1:  # one-token "phrase" degrades to a Term
+                return Term(toks[0])
+            return Phrase(tuple(toks))
         if ":" in t:
             # fielded term: keyword fields are exact-match (no analysis,
             # KeywordAnalyzer semantics) against the composite
@@ -188,6 +210,16 @@ def prune_stopwords(node: Node, stopwords=None) -> Node | None:
         return None if (node.field is None and node.term in stopwords) else node
     if isinstance(node, Prefix):
         return node
+    if isinstance(node, Phrase):
+        # a stopword-stripped index has no stopword tokens to be adjacent
+        # to — the phrase matches over the stripped token stream, so the
+        # query side strips too (Lucene's stopword analyzers leave a
+        # position gap; over a stripped index the gap-free match is the
+        # only answerable semantics)
+        kept = tuple(t for t in node.terms if t not in stopwords)
+        if not kept:
+            return None
+        return Term(kept[0]) if len(kept) == 1 else Phrase(kept)
     if isinstance(node, Not):
         child = prune_stopwords(node.child, stopwords)
         return Not(child) if child is not None else None
@@ -203,8 +235,8 @@ def prune_stopwords(node: Node, stopwords=None) -> Node | None:
 
 
 def positive_leaves(node: Node) -> list[Node]:
-    """All Term/Prefix leaves not under a NOT — the scoring terms."""
-    if isinstance(node, (Term, Prefix)):
+    """All Term/Prefix/Phrase leaves not under a NOT — the scoring terms."""
+    if isinstance(node, (Term, Prefix, Phrase)):
         return [node]
     if isinstance(node, Not):
         return []
@@ -215,7 +247,7 @@ def positive_leaves(node: Node) -> list[Node]:
 
 
 def negative_leaves(node: Node) -> list[Node]:
-    if isinstance(node, (Term, Prefix)):
+    if isinstance(node, (Term, Prefix, Phrase)):
         return []
     if isinstance(node, Not):
         return [leaf for leaf in _all_leaves(node.child)]
@@ -226,7 +258,7 @@ def negative_leaves(node: Node) -> list[Node]:
 
 
 def _all_leaves(node: Node) -> list[Node]:
-    if isinstance(node, (Term, Prefix)):
+    if isinstance(node, (Term, Prefix, Phrase)):
         return [node]
     if isinstance(node, Not):
         return _all_leaves(node.child)

@@ -50,6 +50,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("MIRU_SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # zstd shuffle/spill blocks (lz4 default): the postings exchange
+        # is text-heavy and compresses ~2x better under zstd — measured
+        # (4,16)-core A/B on the 480k-doc build: raw scaling efficiency
+        # 0.36 -> 0.50, 16-core peak 7.2k -> 9.8k docs/s. Shuffle volume
+        # is the scarce resource at cluster scale; CPU for the codec is not.
+        .config("spark.io.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -558,3 +558,84 @@ def test_authz_empty_labels_hides_everything(spark, authz_reader):
     from miru_spark.query.bm25 import search
 
     assert search(authz_reader, "w00001", k=10, authz=[]).count() == 0
+
+
+# ---------------------------------------------------------------------
+# phrase queries
+# ---------------------------------------------------------------------
+
+def _top_bigram(oracle):
+    """Most frequent adjacent token pair in the fixture corpus."""
+    from collections import Counter
+
+    big = Counter()
+    for toks in oracle.tokens.values():
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] += 1
+    (t1, t2), cnt = big.most_common(1)[0]
+    assert cnt >= 3  # fixture sanity: the phrase actually occurs
+    return t1, t2
+
+
+def _phrase_docs(oracle, t1, t2):
+    return {
+        d for d, toks in oracle.tokens.items()
+        if any(a == t1 and b == t2 for a, b in zip(toks, toks[1:]))
+    }
+
+
+def test_phrase_matches_python_oracle(reader, oracle, corpus):
+    t1, t2 = _top_bigram(oracle)
+    cands = _phrase_docs(oracle, t1, t2)
+    expected = oracle.topk(cands, [t1, t2], 10)
+    got = bm25.search(reader, f'"{t1} {t2}"', k=10, text_df=corpus).collect()
+    _assert_rank_identical(got, expected)
+
+
+def test_phrase_is_stricter_than_and(reader, oracle, corpus):
+    t1, t2 = _top_bigram(oracle)
+    phrase_docs = _phrase_docs(oracle, t1, t2)
+    and_docs = oracle.candidates_and([t1, t2])
+    assert phrase_docs <= and_docs
+    k = len(and_docs) + 5
+    got_phrase = {r["doc_id"] for r in
+                  bm25.search(reader, f'"{t1} {t2}"', k=k, text_df=corpus).collect()}
+    assert got_phrase == phrase_docs
+
+
+def test_phrase_combined_with_term(reader, oracle, corpus):
+    t1, t2 = _top_bigram(oracle)
+    other = "the0"
+    cands = _phrase_docs(oracle, t1, t2) & oracle.postings(other)
+    expected = oracle.topk(cands, [other, t1, t2], 10)
+    got = bm25.search(
+        reader, f'{other} AND "{t1} {t2}"', k=10, text_df=corpus
+    ).collect()
+    _assert_rank_identical(got, expected)
+
+
+def test_phrase_requires_text_df(reader):
+    with pytest.raises(bm25.SearchError, match="text_df"):
+        bm25.search(reader, '"w00000 w00001"', k=5)
+
+
+def test_phrase_absent_bigram_empty(reader, oracle, corpus):
+    # two real terms that never occur adjacently in this direction
+    from collections import Counter
+
+    big = Counter()
+    for toks in oracle.tokens.values():
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] += 1
+    t1, t2 = "w00000", "w00001"
+    for cand1 in sorted(oracle.df):
+        for cand2 in sorted(oracle.df):
+            if cand1 != cand2 and (cand1, cand2) not in big:
+                t1, t2 = cand1, cand2
+                break
+        else:
+            continue
+        break
+    assert (t1, t2) not in big
+    got = bm25.search(reader, f'"{t1} {t2}"', k=10, text_df=corpus).collect()
+    assert got == []

@@ -145,3 +145,35 @@ def test_fielded_term_and_prefix():
     # fielded values are exact-match: no analysis, never stopword-pruned
     pruned = qp.prune_stopwords(qp.parse_query("lang:the the spark"))
     assert pruned == qp.And([qp.Term("lang:the", field="lang"), qp.Term("spark")])
+
+
+def test_phrase_parses_quoted():
+    from miru_spark.query.parser import And, Phrase, Term, parse_query
+
+    node = parse_query('"Big Data" AND fast')
+    assert isinstance(node, And)
+    assert node.children[0] == Phrase(("big", "data"))
+    assert node.children[1] == Term("fast")
+
+
+def test_single_word_phrase_degrades_to_term():
+    from miru_spark.query.parser import Term, parse_query
+
+    assert parse_query('"Spark"') == Term("spark")
+
+
+def test_phrase_stopword_pruning():
+    from miru_spark.query.parser import Phrase, Term, prune_stopwords
+
+    assert prune_stopwords(Phrase(("the", "data"))) == Term("data")
+    assert prune_stopwords(Phrase(("the", "a"))) is None
+    assert prune_stopwords(Phrase(("big", "the", "data"))) == Phrase(("big", "data"))
+
+
+def test_empty_phrase_raises():
+    import pytest
+
+    from miru_spark.query.parser import QueryParseError, parse_query
+
+    with pytest.raises(QueryParseError):
+        parse_query('""')

@@ -29,27 +29,48 @@ def _burn(n: int) -> int:
     return x
 
 
-def throughput(procs: int, per: int = 3_000_000, chunks_per_proc: int = 4, repeats: int = 3) -> float:
-    best = None
-    for _ in range(repeats):
+def _throughput_once(procs: int, per: int, chunks_per_proc: int) -> float:
+    # pin to `procs` CPUs, mirroring the probe's taskset shape: the
+    # ceiling must measure what a FIXED CPU budget delivers, not what a
+    # pool that sprawls into the box's idle cores delivers
+    try:
+        import os
+
+        prev = os.sched_getaffinity(0)
+        os.sched_setaffinity(0, set(range(min(procs, os.cpu_count() or procs))))
+    except (AttributeError, OSError):
+        prev = None
+    try:
         t0 = time.monotonic()
         with mp.Pool(procs) as p:
             p.map(_burn, [per] * procs * chunks_per_proc)
         dt = time.monotonic() - t0
-        thr = procs * chunks_per_proc / dt
-        best = thr if best is None else max(best, thr)
-    return best
+        return procs * chunks_per_proc / dt
+    finally:
+        if prev is not None:
+            import os
+
+            os.sched_setaffinity(0, prev)
 
 
-def measure(lo: int = 8, hi: int = 32) -> dict:
-    thr_lo = throughput(lo)
-    thr_hi = throughput(hi)
+def measure(lo: int = 8, hi: int = 32, per: int = 3_000_000,
+            chunks_per_proc: int = 4, repeats: int = 3) -> dict:
+    # INTERLEAVED best-of-N: this host's deliverable capacity drifts 2-4x
+    # over minutes; measuring all-lo-then-all-hi lets that drift land on
+    # one level and produce a nonsense ratio (super-linear "ceilings"
+    # observed). Interleave (lo,hi) pairs and take the best per level —
+    # and clamp to 1.0: >1x/core scaling is measurement noise by
+    # definition for this workload.
+    thr_lo = thr_hi = 0.0
+    for _ in range(repeats):
+        thr_lo = max(thr_lo, _throughput_once(lo, per, chunks_per_proc))
+        thr_hi = max(thr_hi, _throughput_once(hi, per, chunks_per_proc))
     return {
         "lo": lo,
         "hi": hi,
         "thr_lo": round(thr_lo, 2),
         "thr_hi": round(thr_hi, 2),
-        "ceiling": round((thr_hi / thr_lo) / (hi / lo), 4),
+        "ceiling": min(1.0, round((thr_hi / thr_lo) / (hi / lo), 4)),
     }
 
 

@@ -115,6 +115,16 @@ def main() -> int:
     if "partial_" not in plan:
         failures.append("catwalk_model: missing partial_ aggregation")
 
+    # phrase plan: pushed term filters feed the posting AND; the verify
+    # join against the source table must hash-join (broadcast or shuffle,
+    # keyed on doc_id), never a nested-loop over the corpus
+    check(
+        "bm25_phrase",
+        E.q_bm25_phrase(spark, sf_dir),
+        must=["PushedFilters", "TakeOrderedAndProject"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
     from miru_spark.query.bm25 import search_wand
 
     check(
