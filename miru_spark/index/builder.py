@@ -317,6 +317,221 @@ def _make_compressor(block_bits: int):
     return _compress
 
 
+# ---------------------------------------------------------------------
+# map-side partial packing ("merged map-side-combine-style", the north
+# star's words): the tokenize kernel itself emits delta+varbyte-packed
+# (term, block) PARTIAL posting runs, so the dominant exchange ships
+# ~2-4 B/posting of packed bytes instead of ~25 B/row of raw
+# (term string, doc_id, tf) rows, and the reduce side merges a handful
+# of sorted runs per block instead of external-sorting every posting.
+# The shuffle key is unchanged — (term, block_key) — so skew safety and
+# the physical layout are identical; only the exchanged representation
+# shrinks. Reduce-side output is byte-identical to the row path
+# (asserted by tests): partials decode back to the same sorted
+# (term, doc_id, tf) stream that feeds the same _compress_groups.
+# ---------------------------------------------------------------------
+
+_PARTIALS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("block_key", T.LongType()),
+        T.StructField("min_doc", T.LongType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("doc_ids", T.BinaryType()),
+        T.StructField("tfs", T.BinaryType()),
+    ]
+)
+
+
+def _pack_partials(
+    term_arr: np.ndarray, doc_arr: np.ndarray, tf_arr: np.ndarray, block_bits: int
+) -> pd.DataFrame:
+    """Group flat (term, doc_id, tf) arrays by (term, block) and encode
+    each group as one packed partial row. One varbyte pass for the whole
+    batch (per-group calls on tiny arrays cost ~100x the byte work)."""
+    codes, uniques = pd.factorize(term_arr, sort=False)
+    block = doc_arr >> block_bits
+    order = np.lexsort((doc_arr, block, codes))
+    codes = codes[order]
+    doc_s = doc_arr[order]
+    tf_s = tf_arr[order]
+    block_s = block[order]
+
+    change = np.empty(len(codes), dtype=bool)
+    change[0] = True
+    change[1:] = (codes[1:] != codes[:-1]) | (block_s[1:] != block_s[:-1])
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], len(codes))
+
+    deltas = np.empty_like(doc_s)
+    deltas[0] = 0
+    deltas[1:] = doc_s[1:] - doc_s[:-1]
+    np.putmask(deltas, change, doc_s - (block_s << block_bits))
+    id_buf, id_sizes = codec.varbyte_encode_with_sizes(deltas.astype(np.uint64))
+    tf_buf, tf_sizes = codec.varbyte_encode_with_sizes(tf_s.astype(np.uint64))
+
+    def group_slices(buf: bytes, sizes: np.ndarray) -> list[bytes]:
+        byte_ends = np.cumsum(sizes)
+        ge = byte_ends[ends - 1]
+        gs = np.empty_like(ge)
+        gs[0] = 0
+        gs[1:] = ge[:-1]
+        return [buf[a:b] for a, b in zip(gs, ge)]
+
+    return pd.DataFrame(
+        {
+            "term": uniques[codes[starts]],
+            "block_key": block_s[starts],
+            "min_doc": doc_s[starts],
+            "n": (ends - starts).astype(np.int32),
+            "doc_ids": group_slices(id_buf, id_sizes),
+            "tfs": group_slices(tf_buf, tf_sizes),
+        }
+    )
+
+
+def _make_packer(
+    block_bits: int,
+    *,
+    use_stopwords: bool,
+    locale: str | None,
+    id_col: str,
+    text_col: str,
+    keyword_fields: dict[str, str] | None = None,
+):
+    """mapInPandas kernel: docs -> packed (term, block) partial postings.
+
+    Tokenizes + counts per-doc tf (the map-side combine), derives keyword
+    composite terms ("lang:en", tf=1, exact-match — the reference's
+    field-prefixed term compose, ``MiruTermComposer.java:35-83``), then
+    packs every (term, block) group in the batch into ONE delta+varbyte
+    row. Works best when input partitions are doc-id-clustered (parquet
+    written in id order — the normal case); with fully shuffled ids it
+    degrades gracefully to near one-posting partials, which the merger
+    still handles."""
+    from collections import Counter
+
+    from miru_spark.analysis.tokenizer import tokenize
+
+    kw = sorted((keyword_fields or {}).items())
+
+    def _pack(pdf_iter):
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            term_parts: list[np.ndarray] = []
+            doc_parts: list[np.ndarray] = []
+            tf_parts: list[np.ndarray] = []
+            for did, s in zip(ids, pdf[text_col]):
+                c = Counter(tokenize(s, use_stopwords=use_stopwords, locale=locale))
+                if not c:
+                    continue
+                term_parts.append(np.array(list(c.keys()), dtype=object))
+                tf_parts.append(np.fromiter(c.values(), dtype=np.int64, count=len(c)))
+                doc_parts.append(np.full(len(c), did, dtype=np.int64))
+            for fname, _colname in kw:
+                vals = pdf[f"__kw_{fname}"]
+                for did, v in zip(ids, vals):
+                    if v is None:
+                        continue
+                    if isinstance(v, (list, np.ndarray)):
+                        labels = [x for x in v if x is not None]
+                        if not labels:
+                            continue
+                        term_parts.append(
+                            np.array([f"{fname}:{x}" for x in labels], dtype=object)
+                        )
+                        tf_parts.append(np.ones(len(labels), dtype=np.int64))
+                        doc_parts.append(np.full(len(labels), did, dtype=np.int64))
+                    else:
+                        term_parts.append(np.array([f"{fname}:{v}"], dtype=object))
+                        tf_parts.append(np.ones(1, dtype=np.int64))
+                        doc_parts.append(np.full(1, did, dtype=np.int64))
+            if not term_parts:
+                continue
+            yield _pack_partials(
+                np.concatenate(term_parts),
+                np.concatenate(doc_parts),
+                np.concatenate(tf_parts),
+                block_bits,
+            )
+
+    return _pack
+
+
+def _decode_partials(pdf: pd.DataFrame, block_bits: int) -> pd.DataFrame:
+    """Packed partial rows (sorted so equal (term, block_key) groups are
+    contiguous, partials ordered by min_doc) -> flat (term, doc_id, tf)
+    rows sorted the way ``_compress_groups`` requires. Whole-batch
+    decode: varbyte streams are self-delimiting, so ALL partials decode
+    in one pass; per-partial delta bases restart via a segmented
+    cumsum."""
+    n = pdf["n"].to_numpy(dtype=np.int64)
+    starts = np.zeros(len(n), dtype=np.int64)
+    starts[1:] = np.cumsum(n)[:-1]
+    deltas = codec.varbyte_decode(b"".join(pdf["doc_ids"])).astype(np.int64)
+    tfs = codec.varbyte_decode(b"".join(pdf["tfs"])).astype(np.int64)
+    base = pdf["block_key"].to_numpy(dtype=np.int64) << block_bits
+    cs = np.cumsum(deltas)
+    # ids[i] = cs[i] - (cs[start_p] - deltas[start_p] - base_p) for i in partial p
+    off = cs[starts] - deltas[starts] - base
+    ids = cs - np.repeat(off, n)
+    terms = np.repeat(pdf["term"].to_numpy(), n)
+
+    # cross-partial doc ranges can interleave when input partitions are
+    # not id-clustered; detect and re-sort within the delivered stream
+    # order (gid preserves (term, block) contiguity from the sort)
+    gid = np.repeat(np.arange(len(n), dtype=np.int64), n)
+    t_np = pdf["term"].to_numpy()
+    bk_np = pdf["block_key"].to_numpy()
+    same_grp = np.empty(len(n), dtype=bool)
+    same_grp[0] = False
+    same_grp[1:] = (t_np[1:] == t_np[:-1]) & (bk_np[1:] == bk_np[:-1])
+    grp_no = np.cumsum(~same_grp)  # per-partial group ordinal
+    grp_elem = np.repeat(grp_no, n)
+    unsorted = np.any((ids[1:] <= ids[:-1]) & (grp_elem[1:] == grp_elem[:-1]))
+    if unsorted:
+        order = np.lexsort((ids, grp_elem))
+        ids, tfs, terms = ids[order], tfs[order], terms[order]
+    return pd.DataFrame({"term": terms, "doc_id": ids, "tf": tfs})
+
+
+def _make_merger(block_bits: int):
+    """Streaming mapInPandas kernel over partitions sorted by
+    (term, block_key, min_doc): decodes packed partials and feeds the
+    same ``_compress_groups`` as the row path — output blocks are
+    byte-identical. Carry discipline buffers a partial (term, block)
+    group across Arrow-batch boundaries."""
+
+    def _merge(pdf_iter):
+        buf: list[pd.DataFrame] = []
+        buffered = 0
+        for pdf in pdf_iter:
+            if len(pdf):
+                buf.append(pdf)
+                buffered += int(pdf["n"].sum())
+            if buffered < 200_000:
+                continue
+            whole = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            t = whole["term"].to_numpy()
+            bk = whole["block_key"].to_numpy(dtype=np.int64)
+            eq_last = (t == t[-1]) & (bk == bk[-1])
+            not_eq = np.nonzero(~eq_last)[0]
+            start_last = int(not_eq[-1]) + 1 if not_eq.size else 0
+            body = whole.iloc[:start_last]
+            carry = whole.iloc[start_last:]
+            if len(body):
+                yield _compress_groups(_decode_partials(body, block_bits), block_bits)
+            buf = [carry.reset_index(drop=True)] if len(carry) else []
+            buffered = int(carry["n"].sum()) if len(carry) else 0
+        if buffered:
+            whole = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            yield _compress_groups(_decode_partials(whole, block_bits), block_bits)
+
+    return _merge
+
+
 def assign_doc_ids(df: DataFrame, order_col: str = "url", partitions: int = 64) -> DataFrame:
     """Assign dense, deterministic docIds by global order of ``order_col``.
 
@@ -421,6 +636,7 @@ def build_index(
     shard_span_blocks: int | None = None,
     max_wave_shards: int | None = None,
     exchange_partitions: int | None = None,
+    map_pack: bool = True,
     fail_after_shard: int | None = None,  # test hook: simulate a crash between shards
 ) -> IndexMeta:
     """Build (or resume) the inverted index for ``docs`` under ``index_dir``.
@@ -590,7 +806,7 @@ def build_index(
             keyword_fields=kw,
             block_bits=block_bits, use_stopwords=use_stopwords, locale=locale,
             fingerprints={s: fps[s] for s in wave},
-            exchange_partitions=exchange_partitions,
+            exchange_partitions=exchange_partitions, map_pack=map_pack,
         )
         if fail_after_shard is not None and max(wave) >= fail_after_shard:
             raise RuntimeError(f"simulated crash after shard {max(wave)}")
@@ -633,10 +849,72 @@ def _shard_expr(col_name: str, ranges: dict[int, tuple[int, int]]):
     return expr.cast("int")
 
 
+def _row_path_blocks(
+    spark, sliced, ranges, *, id_col, text_col, block_bits, use_stopwords,
+    locale, keyword_fields, n_parts, block_ranges,
+):
+    """Legacy raw-row exchange (kept for A/B against the packed path):
+    one row per distinct (term, doc) through the shuffle, external-sorted
+    reduce-side, compressed by the streaming row compressor. Output is
+    byte-identical to the packed path."""
+    tc = term_counts_udf(use_stopwords=use_stopwords, locale=locale)
+    token_rows = (
+        sliced.select(F.col(id_col).cast("long").alias("doc_id"), tc(F.col(text_col)).alias("tc"))
+        .select("doc_id", F.explode(F.arrays_zip("tc.terms", "tc.tfs")).alias("z"))
+        .select("doc_id", F.col("z.terms").alias("term"), F.col("z.tfs").cast("int").alias("tf"))
+    )
+    # keyword fields index as FIELD-PREFIXED composite terms
+    # ("lang:en") in the same postings relation — the reference's term
+    # composer packs a field prefix into the term bytes the same way
+    # (``MiruTermComposer.java:35-83``; per-field posting keys
+    # ``LabFieldIndex.java:163-171``). Exact-match semantics (no
+    # analysis, KeywordAnalyzer-style); doclen=1 because composite
+    # terms are candidate masks, not BM25-scored text.
+    for fname, colname in sorted((keyword_fields or {}).items()):
+        src_t = dict(sliced.dtypes)[colname]
+        if src_t.startswith("array"):
+            # multi-valued field (e.g. per-doc authz labels -> one
+            # posting list per label, LabAuthzIndex.java); generators
+            # must be top-level, so explode BEFORE the concat
+            vals = sliced.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.explode(colname).alias("_kwval"),
+            )
+        else:
+            vals = sliced.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.col(colname).alias("_kwval"),
+            )
+        kw_rows = (
+            vals.select(
+                "doc_id",
+                F.concat(F.lit(fname + ":"), F.col("_kwval").cast("string")).alias("term"),
+                F.lit(1).cast("int").alias("tf"),
+            )
+            .filter(F.col("term").isNotNull())
+        )
+        token_rows = token_rows.unionByName(kw_rows)
+    return (
+        token_rows
+        # partition on the block EXPRESSION but never materialize it:
+        # block_key is a pure function of doc_id, so shipping it
+        # through the dominant shuffle would waste ~8 bytes/row; the
+        # compressor re-derives it with one numpy shift. Sorting by
+        # (term, doc_id) preserves (term, block, doc_id) order since
+        # block_key is monotone in doc_id.
+        .repartition(n_parts, "term", F.shiftright("doc_id", block_bits))
+        .sortWithinPartitions("term", "doc_id")
+        .select("term", "doc_id", "tf")
+        .mapInPandas(_make_compressor(block_bits), schema=_POSTINGS_SCHEMA)
+        .withColumn("shard", _shard_expr("block_key", block_ranges))
+    )
+
+
 def _build_wave(
     spark, docs, index_dir, ranges: dict[int, tuple[int, int]], *,
     id_col, text_col, stored, block_bits, use_stopwords, fingerprints,
     locale=None, keyword_fields=None, exchange_partitions=None,
+    map_pack: bool = True,
 ) -> None:
     """Build every shard in ``ranges`` with ONE tokenize + ONE shuffle.
 
@@ -730,64 +1008,48 @@ def _build_wave(
         doc_thread = threading.Thread(target=_write_doc_store, name="doc_store_write")
         doc_thread.start()
 
-        # ONE exchange for the whole build: per-doc (term, tf) pairs —
-        # counted map-side in the Arrow UDF — shuffle straight to their
-        # (term, doc-block) reducer (no groupBy stage, no occurrence
-        # blow-up: one row per distinct term per doc)
-        tc = term_counts_udf(use_stopwords=use_stopwords, locale=locale)
-        token_rows = (
-            sliced.select(F.col(id_col).cast("long").alias("doc_id"), tc(F.col(text_col)).alias("tc"))
-            .select("doc_id", F.explode(F.arrays_zip("tc.terms", "tc.tfs")).alias("z"))
-            .select("doc_id", F.col("z.terms").alias("term"), F.col("z.tfs").cast("int").alias("tf"))
-        )
-        # keyword fields index as FIELD-PREFIXED composite terms
-        # ("lang:en") in the same postings relation — the reference's term
-        # composer packs a field prefix into the term bytes the same way
-        # (``MiruTermComposer.java:35-83``; per-field posting keys
-        # ``LabFieldIndex.java:163-171``). Exact-match semantics (no
-        # analysis, KeywordAnalyzer-style); doclen=1 because composite
-        # terms are candidate masks, not BM25-scored text.
-        for fname, colname in sorted((keyword_fields or {}).items()):
-            src_t = dict(sliced.dtypes)[colname]
-            if src_t.startswith("array"):
-                # multi-valued field (e.g. per-doc authz labels -> one
-                # posting list per label, LabAuthzIndex.java); generators
-                # must be top-level, so explode BEFORE the concat
-                vals = sliced.select(
-                    F.col(id_col).cast("long").alias("doc_id"),
-                    F.explode(colname).alias("_kwval"),
-                )
-            else:
-                vals = sliced.select(
-                    F.col(id_col).cast("long").alias("doc_id"),
-                    F.col(colname).alias("_kwval"),
-                )
-            kw_rows = (
-                vals.select(
-                    "doc_id",
-                    F.concat(F.lit(fname + ":"), F.col("_kwval").cast("string")).alias("term"),
-                    F.lit(1).cast("int").alias("tf"),
-                )
-                .filter(F.col("term").isNotNull())
+        n_parts = exchange_partitions or spark.sparkContext.defaultParallelism
+        if map_pack:
+            # ONE exchange, packed: the tokenize kernel emits
+            # delta+varbyte (term, block) PARTIAL posting runs, so the
+            # exchange ships ~2-4 B/posting of packed bytes instead of
+            # ~25 B/row, and the reduce side merges a few sorted runs per
+            # block instead of external-sorting every posting. Same
+            # (term, block_key) shuffle key -> identical skew bound and
+            # physical layout; byte-identical output (tests assert it).
+            pack_cols = [
+                F.col(id_col).cast("long").alias("__pack_id"),
+                F.col(text_col).alias("__pack_text"),
+            ]
+            for fname, colname in sorted((keyword_fields or {}).items()):
+                src_t = dict(sliced.dtypes)[colname]
+                c = F.col(colname)
+                if src_t.startswith("array"):
+                    pack_cols.append(c.cast("array<string>").alias(f"__kw_{fname}"))
+                else:
+                    pack_cols.append(c.cast("string").alias(f"__kw_{fname}"))
+            partials = sliced.select(*pack_cols).mapInPandas(
+                _make_packer(
+                    block_bits, use_stopwords=use_stopwords, locale=locale,
+                    id_col="__pack_id", text_col="__pack_text",
+                    keyword_fields=keyword_fields,
+                ),
+                schema=_PARTIALS_SCHEMA,
             )
-            token_rows = token_rows.unionByName(kw_rows)
-        blocks = (
-            token_rows
-            # partition on the block EXPRESSION but never materialize it:
-            # block_key is a pure function of doc_id, so shipping it
-            # through the dominant shuffle would waste ~8 bytes/row; the
-            # compressor re-derives it with one numpy shift. Sorting by
-            # (term, doc_id) preserves (term, block, doc_id) order since
-            # block_key is monotone in doc_id.
-            .repartition(
-                exchange_partitions or spark.sparkContext.defaultParallelism,
-                "term", F.shiftright("doc_id", block_bits),
+            blocks = (
+                partials
+                .repartition(n_parts, "term", "block_key")
+                .sortWithinPartitions("term", "block_key", "min_doc")
+                .mapInPandas(_make_merger(block_bits), schema=_POSTINGS_SCHEMA)
+                .withColumn("shard", _shard_expr("block_key", block_ranges))
             )
-            .sortWithinPartitions("term", "doc_id")
-            .select("term", "doc_id", "tf")
-            .mapInPandas(_make_compressor(block_bits), schema=_POSTINGS_SCHEMA)
-            .withColumn("shard", _shard_expr("block_key", block_ranges))
-        )
+        else:
+            blocks = _row_path_blocks(
+                spark, sliced, ranges, id_col=id_col, text_col=text_col,
+                block_bits=block_bits, use_stopwords=use_stopwords,
+                locale=locale, keyword_fields=keyword_fields,
+                n_parts=n_parts, block_ranges=block_ranges,
+            )
         post_root = os.path.join(index_dir, "postings")
         # files stay sorted by term -> parquet row-group min/max stats
         # prune term lookups

@@ -42,7 +42,7 @@ def test_oracle_keys_subset_of_queries(entry):
     assert rows_only == {
         "minhash_lsh", "simhash", "winnow", "ann_lsh_topk",
         "cosine_pairs_lsh",
-        "multimodal_features", "fulltext_highlight",
+        "fulltext_highlight",
         "distinct_count_approx",
     }
 

@@ -279,3 +279,67 @@ def test_empty_input_build_leaves_consistent_index(spark, corpus, tmp_path):
     r2 = IndexReader(spark, out)
     assert r2.n_docs == 256
     assert r2.doc_store().count() == 256
+
+
+def test_map_pack_matches_row_path_byte_identical(spark, corpus, built_index, tmp_path):
+    """The packed map-side-combine exchange (default) and the legacy
+    raw-row exchange must produce BYTE-identical posting blocks, stats,
+    and dictionary — the representation through the shuffle is the only
+    thing that changes."""
+    import json
+
+    from miru_spark.index.builder import build_index
+
+    out = str(tmp_path / "idx_rows")
+    meta = build_index(
+        spark, corpus, out,
+        stored_cols=["url", "lang", "warc_ts"],
+        n_shards=3, block_bits=7,
+        overwrite=True, map_pack=False,
+    )
+    cols = ["shard", "term", "block_key", "n", "sum_tf", "max_doc_id",
+            "max_tf", "codec"]
+    sig = [*cols, F.md5(F.hex("doc_ids")).alias("ids_md5"),
+           F.md5(F.hex("tfs")).alias("tfs_md5")]
+    a = spark.read.parquet(os.path.join(built_index.index_dir, "postings")).select(*sig)
+    b = spark.read.parquet(os.path.join(out, "postings")).select(*sig)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    sa = json.load(open(built_index.stats_path))
+    sb = json.load(open(meta.stats_path))
+    assert sa == sb
+
+
+def test_map_pack_parity_with_keyword_fields_and_scattered_ids(spark, corpus, tmp_path):
+    """Parity must also hold when (a) keyword fields (scalar + array) ride
+    the same exchange and (b) input partitions are NOT doc-id-clustered
+    (the packer's partials then interleave across batches and the merger's
+    re-sort path kicks in)."""
+    import json
+
+    from miru_spark.index.builder import build_index
+
+    scattered = (
+        corpus.withColumn("authz", F.array(F.lit("g1"), F.concat(F.lit("g"), (F.col("doc_id") % 3).cast("string"))))
+        .repartition(8)  # round-robin: destroys id clustering
+    )
+    outs = {}
+    for flag in (True, False):
+        out = str(tmp_path / f"idx_kw_{flag}")
+        build_index(
+            spark, scattered, out,
+            stored_cols=["lang"],
+            keyword_fields={"lang": "lang", "authz": "authz"},
+            n_shards=3, block_bits=7, overwrite=True, map_pack=flag,
+        )
+        outs[flag] = out
+    sig = ["shard", "term", "block_key", "n", "sum_tf", "max_doc_id",
+           "max_tf", "codec",
+           F.md5(F.hex("doc_ids")).alias("ids_md5"), F.md5(F.hex("tfs")).alias("tfs_md5")]
+    a = spark.read.parquet(os.path.join(outs[True], "postings")).select(*sig)
+    b = spark.read.parquet(os.path.join(outs[False], "postings")).select(*sig)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    sa = json.load(open(os.path.join(outs[True], "stats.json")))
+    sb = json.load(open(os.path.join(outs[False], "stats.json")))
+    assert sa == sb
