@@ -138,7 +138,13 @@ def _scaling_probe(cores: int, n_docs: int) -> None:
     )
     corpus_dir = os.path.join(shm, f"corpus_{n_docs}")
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
-        synth_corpus(spark, n_docs).repartition(32).write.mode("overwrite").parquet(corpus_dir)
+        # range-partitioned by doc_id: crawl/ingest tables are id- (or
+        # time-) clustered in practice, and the map-side partial packer
+        # gets its best compression from id-contiguous input batches
+        # (parity with scattered ids is still tested in
+        # test_index_build.py)
+        synth_corpus(spark, n_docs).repartitionByRange(32, "doc_id") \
+            .write.mode("overwrite").parquet(corpus_dir)
     docs = spark.read.parquet(corpus_dir)
     out_parent = tempfile.mkdtemp(prefix=f"bench_idx_{cores}_", dir=shm)
     out = os.path.join(out_parent, "idx")
@@ -147,7 +153,8 @@ def _scaling_probe(cores: int, n_docs: int) -> None:
     # fixed shard layout = the scale path (one scan for layout+lineage,
     # no separate bounds job); 16-block spans -> 4 shards at 480k docs
     meta = build_index(spark, docs, out, shard_span_blocks=16, overwrite=True,
-                       exchange_partitions=max(cores, int(cores * ex_mult)))
+                       exchange_partitions=max(cores, int(cores * ex_mult)),
+                       map_pack=os.environ.get("MIRU_BENCH_MAP_PACK", "1") != "0")
     dt = time.monotonic() - t0
     s1, ticks1 = _cpu_ticks()
     # per-phase wall offsets from the wave manifest (the same numbers the

@@ -81,6 +81,18 @@ from miru_spark.index.manifest import ShardManifest, read_manifest, shard_is_don
 
 BLOCK_BITS_DEFAULT = 13  # 8192-doc ranges per block (Roaring container analogue)
 
+# Reserved pseudo-term carrying per-doc doclens through the SAME packed
+# exchange as the postings (map_pack path): one marker group per block
+# whose (doc_ids, tfs) streams are (every doc in the block, its doclen).
+# The analyzer emits only [a-z0-9]+ and keyword terms are
+# "field:value" — a NUL-prefixed term can never collide. After the
+# postings write, a tiny transform turns marker rows into the doclens/
+# sidecar; every reader path excludes the marker. This removes the doc
+# store's second tokenize pass entirely: doclen is a byproduct of tf
+# counting, so re-deriving it in a second Arrow pass doubled the
+# pipeline's text-processing CPU and DRAM traffic for no information.
+DOCLEN_TERM = "\x00dl"
+
 _POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
@@ -423,13 +435,22 @@ def _make_packer(
             term_parts: list[np.ndarray] = []
             doc_parts: list[np.ndarray] = []
             tf_parts: list[np.ndarray] = []
-            for did, s in zip(ids, pdf[text_col]):
+            doclens = np.zeros(len(ids), dtype=np.int64)
+            for i, (did, s) in enumerate(zip(ids, pdf[text_col])):
                 c = Counter(tokenize(s, use_stopwords=use_stopwords, locale=locale))
                 if not c:
                     continue
+                tfv = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+                doclens[i] = tfv.sum()
                 term_parts.append(np.array(list(c.keys()), dtype=object))
-                tf_parts.append(np.fromiter(c.values(), dtype=np.int64, count=len(c)))
+                tf_parts.append(tfv)
                 doc_parts.append(np.full(len(c), did, dtype=np.int64))
+            # doclen marker entries: EVERY doc (empty docs included, dl=0)
+            # — doclen is a byproduct of the tf counting above, shipped
+            # through the same exchange under the reserved pseudo-term
+            term_parts.append(np.full(len(ids), DOCLEN_TERM, dtype=object))
+            tf_parts.append(doclens)
+            doc_parts.append(ids)
             for fname, _colname in kw:
                 vals = pdf[f"__kw_{fname}"]
                 for did, v in zip(ids, vals):
@@ -495,6 +516,42 @@ def _decode_partials(pdf: pd.DataFrame, block_bits: int) -> pd.DataFrame:
         order = np.lexsort((ids, grp_elem))
         ids, tfs, terms = ids[order], tfs[order], terms[order]
     return pd.DataFrame({"term": terms, "doc_id": ids, "tf": tfs})
+
+
+def _marker_to_doclens(block_bits: int):
+    """DOCLEN_TERM marker blocks -> doclens sidecar rows. The marker's
+    tfs stream is already the varbyte doclen stream; ids pass through
+    unless the block compressor chose RLE (re-encoded to the sidecar's
+    plain delta+varbyte)."""
+
+    def _xform(pdf_iter):
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            out_ids: list[bytes] = []
+            mins: list[int] = []
+            for ids_buf, dl_buf, cdc, bk in zip(
+                pdf["doc_ids"], pdf["doclens"], pdf["codec"], pdf["block_key"]
+            ):
+                dls = codec.varbyte_decode(dl_buf)
+                mins.append(int(dls.min()) if dls.size else 0)
+                if int(cdc) == codec.CODEC_RLE:
+                    ids = codec.decode_block_runs(ids_buf, int(bk) << block_bits)
+                    out_ids.append(codec.encode_block_docids(ids, int(bk) << block_bits))
+                else:
+                    out_ids.append(bytes(ids_buf))
+            yield pd.DataFrame(
+                {
+                    "shard": pdf["shard"].astype("int32"),
+                    "block_key": pdf["block_key"],
+                    "n": pdf["n"],
+                    "min_doclen": pd.Series(mins, dtype="int32"),
+                    "doc_ids": out_ids,
+                    "doclens": pdf["doclens"],
+                }
+            )
+
+    return _xform
 
 
 def _make_merger(block_bits: int):
@@ -968,6 +1025,21 @@ def _build_wave(
 
         def _write_doc_store():
             try:
+                if map_pack:
+                    # doclen rides the packed postings exchange (DOCLEN_TERM
+                    # marker) — the doc store is a Python-free projection,
+                    # eliminating the second tokenize pass over the corpus
+                    (
+                        sliced.select(
+                            _shard_expr(id_col, ranges).alias("shard"),
+                            F.col(id_col).cast("long").alias("doc_id"),
+                            *[F.col(c) for c in stored],
+                        )
+                        .write.mode("overwrite").option("compression", "zstd")
+                        .partitionBy("shard").parquet(docs_root)
+                    )
+                    phases["doc_store_write"] = round(time.monotonic() - wall_start, 2)
+                    return
                 (
                     sliced.select(
                         _shard_expr(id_col, ranges).alias("shard"),
@@ -1056,6 +1128,28 @@ def _build_wave(
         blocks.write.mode("overwrite").option("compression", "zstd") \
             .partitionBy("shard").parquet(post_root)
         phases["postings_write"] = round(time.monotonic() - wall_start, 2)
+        if map_pack:
+            # doclens sidecar from the DOCLEN_TERM marker blocks: a tiny
+            # transform over one row per (shard, block) — the marker's
+            # (doc_ids, tfs) streams ARE (doc ids, doclens); only
+            # min_doclen needs a decode, and an RLE-chosen id stream is
+            # re-encoded to the sidecar's plain delta+varbyte form
+            (
+                spark.read.parquet(post_root)
+                .filter(F.col("shard").isin(wave_shards_list)
+                        & (F.col("term") == DOCLEN_TERM))
+                .select("shard", "block_key", "n", "codec", "doc_ids",
+                        F.col("tfs").alias("doclens"))
+                .mapInPandas(
+                    _marker_to_doclens(block_bits),
+                    schema=T.StructType(
+                        [T.StructField("shard", T.IntegerType()), *_DOCLENS_SCHEMA]
+                    ),
+                )
+                .write.mode("overwrite").option("compression", "zstd")
+                .partitionBy("shard").parquet(doclens_root)
+            )
+            phases["doclens_write"] = round(time.monotonic() - wall_start, 2)
         doc_thread.join()
         if doc_errs:
             raise doc_errs[0]
@@ -1066,7 +1160,9 @@ def _build_wave(
     wave_shards = list(ranges)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        written = spark.read.parquet(post_root).filter(F.col("shard").isin(wave_shards))
+        written = spark.read.parquet(post_root).filter(
+            F.col("shard").isin(wave_shards) & (F.col("term") != DOCLEN_TERM)
+        )
         (
             written.groupBy("shard", "term")
             .agg(
@@ -1103,17 +1199,32 @@ def _build_wave(
         )
         .collect()
     }
-    doc_rows = {
-        int(r["shard"]): r
-        for r in spark.read.parquet(os.path.join(index_dir, "docs"))
-        .filter(F.col("shard").isin(wave_shards))
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum("doclen"), F.lit(0)).alias("sum_doclen"),
-        )
-        .collect()
-    }
+    if map_pack:
+        # per-shard (n_docs, sum_doclen) straight from the marker blocks
+        # — no doc-store scan (the pack-path doc store carries no doclen)
+        doc_rows = {
+            int(r["shard"]): r
+            for r in spark.read.parquet(post_root)
+            .filter(F.col("shard").isin(wave_shards) & (F.col("term") == DOCLEN_TERM))
+            .groupBy("shard")
+            .agg(
+                F.coalesce(F.sum("n"), F.lit(0)).alias("n_docs"),
+                F.coalesce(F.sum("sum_tf"), F.lit(0)).alias("sum_doclen"),
+            )
+            .collect()
+        }
+    else:
+        doc_rows = {
+            int(r["shard"]): r
+            for r in spark.read.parquet(os.path.join(index_dir, "docs"))
+            .filter(F.col("shard").isin(wave_shards))
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("doclen"), F.lit(0)).alias("sum_doclen"),
+            )
+            .collect()
+        }
     wall = time.monotonic() - wall_start
     phases["manifest_aggs"] = round(wall - writes_done - phases["shard_stats"], 2)
     for shard, (lo, hi) in ranges.items():

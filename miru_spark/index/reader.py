@@ -93,7 +93,15 @@ class IndexReader:
         )
 
     def blocks(self, terms: list[str] | None = None, prefixes: list[str] | None = None) -> DataFrame:
-        """Posting blocks, filtered by exact terms and/or prefixes (pushed down)."""
+        """Posting blocks, filtered by exact terms and/or prefixes (pushed down).
+
+        The DOCLEN_TERM marker blocks (doclen carrier of the packed
+        build exchange) are never postings: excluded here, on every
+        path. Term/prefix conditions can't match it anyway (queries
+        produce only analyzed/keyword terms), so the exclusion only
+        costs anything on full scans."""
+        from miru_spark.index.builder import DOCLEN_TERM
+
         df = self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
         conds = []
         if terms:
@@ -105,6 +113,8 @@ class IndexReader:
             for c in conds[1:]:
                 cond = cond | c
             df = df.filter(cond)
+        else:
+            df = df.filter(F.col("term") != DOCLEN_TERM)
         return df
 
     # ---- decode ------------------------------------------------------

@@ -281,6 +281,19 @@ def test_empty_input_build_leaves_consistent_index(spark, corpus, tmp_path):
     assert r2.doc_store().count() == 256
 
 
+def _postings_sig(spark, index_dir, sig):
+    """Postings signature relation, DOCLEN_TERM marker excluded (the
+    pack path carries doclens through the postings exchange; the row
+    path never writes the marker)."""
+    from miru_spark.index.builder import DOCLEN_TERM
+
+    return (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("term") != DOCLEN_TERM)
+        .select(*sig)
+    )
+
+
 def test_map_pack_matches_row_path_byte_identical(spark, corpus, built_index, tmp_path):
     """The packed map-side-combine exchange (default) and the legacy
     raw-row exchange must produce BYTE-identical posting blocks, stats,
@@ -301,13 +314,22 @@ def test_map_pack_matches_row_path_byte_identical(spark, corpus, built_index, tm
             "max_tf", "codec"]
     sig = [*cols, F.md5(F.hex("doc_ids")).alias("ids_md5"),
            F.md5(F.hex("tfs")).alias("tfs_md5")]
-    a = spark.read.parquet(os.path.join(built_index.index_dir, "postings")).select(*sig)
-    b = spark.read.parquet(os.path.join(out, "postings")).select(*sig)
+    a = _postings_sig(spark, built_index.index_dir, sig)
+    b = _postings_sig(spark, out, sig)
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     sa = json.load(open(built_index.stats_path))
     sb = json.load(open(meta.stats_path))
     assert sa == sb
+    # the doclens sidecar must also be byte-identical, whether built from
+    # the doc store (row path) or the DOCLEN_TERM marker (pack path)
+    dsig = ["shard", "block_key", "n", "min_doclen",
+            F.md5(F.hex("doc_ids")).alias("ids_md5"),
+            F.md5(F.hex("doclens")).alias("dls_md5")]
+    da = spark.read.parquet(os.path.join(built_index.index_dir, "doclens")).select(*dsig)
+    db = spark.read.parquet(os.path.join(out, "doclens")).select(*dsig)
+    assert da.count() == db.count()
+    assert da.exceptAll(db).count() == 0 and db.exceptAll(da).count() == 0
 
 
 def test_map_pack_parity_with_keyword_fields_and_scattered_ids(spark, corpus, tmp_path):
@@ -336,8 +358,8 @@ def test_map_pack_parity_with_keyword_fields_and_scattered_ids(spark, corpus, tm
     sig = ["shard", "term", "block_key", "n", "sum_tf", "max_doc_id",
            "max_tf", "codec",
            F.md5(F.hex("doc_ids")).alias("ids_md5"), F.md5(F.hex("tfs")).alias("tfs_md5")]
-    a = spark.read.parquet(os.path.join(outs[True], "postings")).select(*sig)
-    b = spark.read.parquet(os.path.join(outs[False], "postings")).select(*sig)
+    a = _postings_sig(spark, outs[True], sig)
+    b = _postings_sig(spark, outs[False], sig)
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     sa = json.load(open(os.path.join(outs[True], "stats.json")))
