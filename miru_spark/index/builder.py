@@ -1128,105 +1128,140 @@ def _build_wave(
         blocks.write.mode("overwrite").option("compression", "zstd") \
             .partitionBy("shard").parquet(post_root)
         phases["postings_write"] = round(time.monotonic() - wall_start, 2)
-        if map_pack:
+
+        # Post-write tail, PARALLEL: the doclens-marker transform, the
+        # shard_stats relation (+ its manifest aggregate), and the
+        # per-shard doc aggregate are small independent jobs over the
+        # just-committed postings (or doc store). Submitting them from
+        # threads overlaps their job latencies with each other and with
+        # the doc-store writer still in flight; the tail costs ~one job
+        # latency instead of four. That matters because the tail is pure
+        # serial time appended to EVERY wave — at high core counts it is
+        # the Amdahl term (phases record completion offsets from
+        # wall_start, not durations).
+        wave_shards = list(ranges)
+        tail_errs: list[BaseException] = []
+        agg_out: dict[str, dict] = {}
+
+        def _doclens_tail():
             # doclens sidecar from the DOCLEN_TERM marker blocks: a tiny
             # transform over one row per (shard, block) — the marker's
             # (doc_ids, tfs) streams ARE (doc ids, doclens); only
             # min_doclen needs a decode, and an RLE-chosen id stream is
             # re-encoded to the sidecar's plain delta+varbyte form
-            (
-                spark.read.parquet(post_root)
-                .filter(F.col("shard").isin(wave_shards_list)
-                        & (F.col("term") == DOCLEN_TERM))
-                .select("shard", "block_key", "n", "codec", "doc_ids",
-                        F.col("tfs").alias("doclens"))
-                .mapInPandas(
-                    _marker_to_doclens(block_bits),
-                    schema=T.StructType(
-                        [T.StructField("shard", T.IntegerType()), *_DOCLENS_SCHEMA]
-                    ),
+            try:
+                (
+                    spark.read.parquet(post_root)
+                    .filter(F.col("shard").isin(wave_shards_list)
+                            & (F.col("term") == DOCLEN_TERM))
+                    .select("shard", "block_key", "n", "codec", "doc_ids",
+                            F.col("tfs").alias("doclens"))
+                    .mapInPandas(
+                        _marker_to_doclens(block_bits),
+                        schema=T.StructType(
+                            [T.StructField("shard", T.IntegerType()), *_DOCLENS_SCHEMA]
+                        ),
+                    )
+                    .write.mode("overwrite").option("compression", "zstd")
+                    .partitionBy("shard").parquet(doclens_root)
                 )
-                .write.mode("overwrite").option("compression", "zstd")
-                .partitionBy("shard").parquet(doclens_root)
-            )
-            phases["doclens_write"] = round(time.monotonic() - wall_start, 2)
+                phases["doclens_write"] = round(time.monotonic() - wall_start, 2)
+            except BaseException as e:  # noqa: BLE001 - surfaced on join
+                tail_errs.append(e)
+
+        def _stats_tail():
+            # stats derived from the *written* blocks: no re-tokenize,
+            # resume-consistent; the manifest aggregate then reads the
+            # (small) shard_stats table instead of re-scanning postings
+            try:
+                written = spark.read.parquet(post_root).filter(
+                    F.col("shard").isin(wave_shards) & (F.col("term") != DOCLEN_TERM)
+                )
+                (
+                    written.groupBy("shard", "term")
+                    .agg(
+                        F.sum("n").alias("df"),
+                        F.sum("sum_tf").alias("cf"),
+                        F.count(F.lit(1)).alias("n_blocks"),
+                    )
+                    .write.mode("overwrite").partitionBy("shard")
+                    .parquet(os.path.join(index_dir, "shard_stats"))
+                )
+                phases["shard_stats"] = round(time.monotonic() - wall_start, 2)
+                agg_out["agg"] = {
+                    int(r["shard"]): r
+                    for r in spark.read.parquet(os.path.join(index_dir, "shard_stats"))
+                    .filter(F.col("shard").isin(wave_shards))
+                    .groupBy("shard")
+                    .agg(
+                        F.coalesce(F.sum("df"), F.lit(0)).alias("n_postings"),
+                        F.coalesce(F.sum("n_blocks"), F.lit(0)).alias("n_blocks"),
+                        F.count(F.lit(1)).alias("n_terms"),
+                        F.coalesce(
+                            F.sum(F.pmod(F.xxhash64("term", "df", "cf"), F.lit(2**31))),
+                            F.lit(0),
+                        ).alias("checksum"),
+                    )
+                    .collect()
+                }
+            except BaseException as e:  # noqa: BLE001
+                tail_errs.append(e)
+
+        def _docagg_tail():
+            try:
+                if map_pack:
+                    # per-shard (n_docs, sum_doclen) straight from the
+                    # marker blocks — no doc-store scan (the pack-path
+                    # doc store carries no doclen)
+                    src = (
+                        spark.read.parquet(post_root)
+                        .filter(F.col("shard").isin(wave_shards)
+                                & (F.col("term") == DOCLEN_TERM))
+                        .groupBy("shard")
+                        .agg(
+                            F.coalesce(F.sum("n"), F.lit(0)).alias("n_docs"),
+                            F.coalesce(F.sum("sum_tf"), F.lit(0)).alias("sum_doclen"),
+                        )
+                    )
+                else:
+                    doc_thread.join()  # needs the committed doc store
+                    if doc_errs:
+                        return  # primary error raised below
+                    src = (
+                        spark.read.parquet(os.path.join(index_dir, "docs"))
+                        .filter(F.col("shard").isin(wave_shards))
+                        .groupBy("shard")
+                        .agg(
+                            F.count(F.lit(1)).alias("n_docs"),
+                            F.coalesce(F.sum("doclen"), F.lit(0)).alias("sum_doclen"),
+                        )
+                    )
+                agg_out["doc"] = {int(r["shard"]): r for r in src.collect()}
+            except BaseException as e:  # noqa: BLE001
+                tail_errs.append(e)
+
+        tails = [
+            threading.Thread(target=_stats_tail, name="stats_tail"),
+            threading.Thread(target=_docagg_tail, name="docagg_tail"),
+        ]
+        if map_pack:
+            tails.append(threading.Thread(target=_doclens_tail, name="doclens_tail"))
+        for t in tails:
+            t.start()
+        for t in tails:
+            t.join()
         doc_thread.join()
         if doc_errs:
             raise doc_errs[0]
+        if tail_errs:
+            raise tail_errs[0]
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
-    # stats derived from the *written* blocks: no re-tokenize, resume-consistent
-    wave_shards = list(ranges)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        written = spark.read.parquet(post_root).filter(
-            F.col("shard").isin(wave_shards) & (F.col("term") != DOCLEN_TERM)
-        )
-        (
-            written.groupBy("shard", "term")
-            .agg(
-                F.sum("n").alias("df"),
-                F.sum("sum_tf").alias("cf"),
-                F.count(F.lit(1)).alias("n_blocks"),
-            )
-            .write.mode("overwrite").partitionBy("shard")
-            .parquet(os.path.join(index_dir, "shard_stats"))
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-    # doc_store_write / postings_write are concurrent: each records the
-    # WALL OFFSET at which it finished (not a duration); later phases are
-    # deltas from the writes' completion point
-    writes_done = max(phases["doclens_write"], phases["postings_write"])
-    phases["shard_stats"] = round(time.monotonic() - wall_start - writes_done, 2)
-
-    # manifest aggregates from the (small) shard_stats table — one cheap
-    # job instead of a second full postings scan
-    agg_rows = {
-        int(r["shard"]): r
-        for r in spark.read.parquet(os.path.join(index_dir, "shard_stats"))
-        .filter(F.col("shard").isin(wave_shards))
-        .groupBy("shard")
-        .agg(
-            F.coalesce(F.sum("df"), F.lit(0)).alias("n_postings"),
-            F.coalesce(F.sum("n_blocks"), F.lit(0)).alias("n_blocks"),
-            F.count(F.lit(1)).alias("n_terms"),
-            F.coalesce(
-                F.sum(F.pmod(F.xxhash64("term", "df", "cf"), F.lit(2**31))),
-                F.lit(0),
-            ).alias("checksum"),
-        )
-        .collect()
-    }
-    if map_pack:
-        # per-shard (n_docs, sum_doclen) straight from the marker blocks
-        # — no doc-store scan (the pack-path doc store carries no doclen)
-        doc_rows = {
-            int(r["shard"]): r
-            for r in spark.read.parquet(post_root)
-            .filter(F.col("shard").isin(wave_shards) & (F.col("term") == DOCLEN_TERM))
-            .groupBy("shard")
-            .agg(
-                F.coalesce(F.sum("n"), F.lit(0)).alias("n_docs"),
-                F.coalesce(F.sum("sum_tf"), F.lit(0)).alias("sum_doclen"),
-            )
-            .collect()
-        }
-    else:
-        doc_rows = {
-            int(r["shard"]): r
-            for r in spark.read.parquet(os.path.join(index_dir, "docs"))
-            .filter(F.col("shard").isin(wave_shards))
-            .groupBy("shard")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.coalesce(F.sum("doclen"), F.lit(0)).alias("sum_doclen"),
-            )
-            .collect()
-        }
+    agg_rows = agg_out.get("agg", {})
+    doc_rows = agg_out.get("doc", {})
     wall = time.monotonic() - wall_start
-    phases["manifest_aggs"] = round(wall - writes_done - phases["shard_stats"], 2)
+    phases["manifest_aggs"] = round(wall - phases["postings_write"], 2)
     for shard, (lo, hi) in ranges.items():
         a, d = agg_rows.get(shard), doc_rows.get(shard)
         write_manifest(
