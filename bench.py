@@ -98,13 +98,22 @@ def synth_corpus(spark, n_docs: int):
     return docs.select("doc_id", "text")
 
 
-def _cpu_ticks() -> tuple[int, int]:
-    """(steal_ticks, total_ticks) from /proc/stat — the hypervisor's
-    capacity fingerprint for the run window."""
+def _cpu_ticks() -> tuple[int, int, int]:
+    """(steal_ticks, total_ticks, busy_ticks) from /proc/stat.
+
+    steal/total = the hypervisor's capacity fingerprint for the run
+    window. busy (user+nice+system+irq+softirq, all CPUs) / wall = the
+    average number of CPUs the job kept busy — the probe runs solo, so
+    system-wide busy == job CPU. busy_hi/busy_lo ≈ 4 means the job
+    PARALLELIZES fully across the 4x cores and any throughput ratio
+    below 4 is per-CPU host capacity (turbo/steal), not serialization
+    in the job — the datum that separates the two explanations."""
     with open("/proc/stat") as f:
         parts = f.readline().split()[1:]
     vals = [int(x) for x in parts]
-    return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    busy = vals[0] + vals[1] + vals[2] + (vals[5] if len(vals) > 5 else 0) + (
+        vals[6] if len(vals) > 6 else 0)
+    return (vals[7] if len(vals) > 7 else 0), sum(vals), busy
 
 
 def _scaling_probe(cores: int, n_docs: int) -> None:
@@ -164,7 +173,7 @@ def _scaling_probe(cores: int, n_docs: int) -> None:
                 shard_span_blocks=16, overwrite=True,
                 map_pack=os.environ.get("MIRU_BENCH_MAP_PACK", "1") != "0")
     shutil.rmtree(warm_parent, ignore_errors=True)
-    s0, ticks0 = _cpu_ticks()
+    s0, ticks0, b0 = _cpu_ticks()
     t0 = time.monotonic()
     # fixed shard layout = the scale path (one scan for layout+lineage,
     # no separate bounds job); 16-block spans -> 4 shards at 480k docs
@@ -172,7 +181,7 @@ def _scaling_probe(cores: int, n_docs: int) -> None:
                        exchange_partitions=max(cores, int(cores * ex_mult)),
                        map_pack=os.environ.get("MIRU_BENCH_MAP_PACK", "1") != "0")
     dt = time.monotonic() - t0
-    s1, ticks1 = _cpu_ticks()
+    s1, ticks1, b1 = _cpu_ticks()
     # per-phase wall offsets from the wave manifest (the same numbers the
     # build records for lineage): which stage stops scaling is the datum
     phases = {}
@@ -188,6 +197,7 @@ def _scaling_probe(cores: int, n_docs: int) -> None:
         pass
     print(json.dumps({"cores": cores, "docs_per_sec": meta.n_docs / dt, "sec": dt,
                       "steal_frac": round((s1 - s0) / max(1, ticks1 - ticks0), 4),
+                      "busy_cpus": round((b1 - b0) / os.sysconf("SC_CLK_TCK") / dt, 2),
                       "phases": phases,
                       "n_docs": meta.n_docs, "n_terms": meta.n_terms}))
     shutil.rmtree(out_parent, ignore_errors=True)
@@ -236,8 +246,14 @@ def run_scaling(n_docs: int, cores_pair=(8, 32), repeats: int = 5) -> dict:
         if spark_submit:
             # JVM-startup settings must ride the submit command: in-process
             # builder.config() is too late for driver memory / local dirs
+            # memory scales WITH cores (6g/core): executors on a real
+            # cluster have fixed memory per core, so N->4N executors
+            # brings 4x heap; a fixed heap at both levels would hand the
+            # low level 4x the per-core memory and the high level 4x the
+            # GC pressure — an anti-scaling artifact, not the job.
             cmd = [spark_submit, "--master", f"local[{cores}]",
-                   "--driver-memory", os.environ.get("MIRU_SPARK_DRIVER_MEM", "32g"),
+                   "--driver-memory",
+                   os.environ.get("MIRU_SPARK_DRIVER_MEM", f"{6 * cores}g"),
                    "--conf", "spark.local.dir=/dev/shm/miru_bench/spark_local",
                    "--py-files", pyz,
                    os.path.abspath(__file__), "--scaling-probe", str(cores), str(n_docs)]
@@ -272,6 +288,18 @@ def run_scaling(n_docs: int, cores_pair=(8, 32), repeats: int = 5) -> dict:
         out[f"local[{cores}]"]["all_steal_frac"] = [
             r.get("steal_frac") for r in runs[cores]
         ]
+        out[f"local[{cores}]"]["all_busy_cpus"] = [
+            r.get("busy_cpus") for r in runs[cores]
+        ]
+    # job-parallelism ratio: average busy CPUs (best run per level).
+    # ≈4 ⇒ the job fans out fully at 4x cores; the efficiency residual
+    # is then per-CPU host capacity, not serialization in the job.
+    try:
+        out["busy_cpu_ratio"] = round(
+            out[f"local[{hi}]"]["busy_cpus"] / out[f"local[{lo}]"]["busy_cpus"], 2
+        )
+    except (KeyError, TypeError, ZeroDivisionError):
+        pass
     ratio = out[f"local[{hi}]"]["docs_per_sec"] / out[f"local[{lo}]"]["docs_per_sec"]
     out["efficiency"] = round(ratio / (hi / lo), 4)
     # single-box hardware ceiling for the same N->4N (virtualized clocks /
