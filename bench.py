@@ -14,8 +14,12 @@ corpus is index-built in fresh subprocesses at N and 4N cores
 (default local[2] vs local[8], interleaved best-of-3 — the shared host
 grants bursty capacity, see BENCH/BASELINE.md), efficiency =
 (dps_hi / dps_lo) / 4, reported raw and normalized by the measured
-hardware ceiling (tools/cpu_ceiling.py). Disable with
-``SPARK_GRAFT_NO_SCALING=1`` (the rest of the bench still runs).
+hardware ceiling (tools/cpu_ceiling.py). A second ``multiexec`` block
+runs the north rule's criterion literally: 4 concurrent single-executor
+local[2] JVMs on disjoint CPU pins vs one (a cluster multiplies
+heaps/GC arenas with executor count; the in-JVM level shares one).
+Disable with ``SPARK_GRAFT_NO_SCALING=1`` (the rest of the bench still
+runs).
 
 Subcommand (used internally): ``python bench.py --scaling-probe CORES NDOCS``
 prints ``{"cores": C, "docs_per_sec": X}``.
@@ -242,7 +246,7 @@ def run_scaling(n_docs: int, cores_pair=(8, 32), repeats: int = 5) -> dict:
         if not os.path.exists(pyz):
             spark_submit = None
 
-    def launch(cores: int) -> list[str]:
+    def launch(cores: int, pin: str | None = None) -> list[str]:
         if spark_submit:
             # JVM-startup settings must ride the submit command: in-process
             # builder.config() is too late for driver memory / local dirs
@@ -262,7 +266,7 @@ def run_scaling(n_docs: int, cores_pair=(8, 32), repeats: int = 5) -> dict:
                    str(cores), str(n_docs)]
         slot_cpus = min(2 * cores, n_cpus)
         if taskset:
-            cmd = [taskset, "-c", f"0-{slot_cpus - 1}", *cmd]
+            cmd = [taskset, "-c", pin or f"0-{slot_cpus - 1}", *cmd]
         return cmd
 
     # interleave levels (lo,hi,lo,hi,…): the sandbox VM's throughput
@@ -314,6 +318,66 @@ def run_scaling(n_docs: int, cores_pair=(8, 32), repeats: int = 5) -> dict:
         out["efficiency_normalized"] = round(out["efficiency"] / ceil["ceiling"], 4)
     except Exception as e:  # noqa: BLE001
         out["hardware_ceiling"] = {"error": str(e)}
+
+    # N -> 4N EXECUTORS, literally: (hi/lo) concurrent single-executor
+    # local[lo] spark-submit JVMs on DISJOINT CPU pins vs one such JVM.
+    # This is the closest single-box realization of the north rule's
+    # criterion: a real cluster multiplies JVM heaps / GC arenas / page
+    # caches with executor count (the in-JVM local[hi] level shares ONE
+    # of each across 4x the tasks — a local-mode artifact), and
+    # doc-range sharding makes the (term, block)->shard postings
+    # exchange executor-local on a range-partitioned cluster, so
+    # independent per-range builds ARE the cluster build. Each JVM runs
+    # the identical per-executor job; aggregate throughput / (n_exec x
+    # best single-exec throughput) is weak-scaling efficiency. busy_cpus
+    # inside these runs is system-wide, i.e. the aggregate of all four.
+    if spark_submit and os.environ.get("SPARK_GRAFT_SCALING_MULTIEXEC", "1") != "0":
+        import threading
+
+        def _exec_run(i: int, slot: int, res: list) -> None:
+            pin = f"{i * slot}-{(i + 1) * slot - 1}"
+            proc = subprocess.run(launch(lo, pin=pin), capture_output=True,
+                                  text=True, timeout=1800, cwd=REPO)
+            try:
+                line = [ln for ln in proc.stdout.strip().splitlines()
+                        if ln.startswith("{")][-1]
+                res[i] = json.loads(line)
+            except (IndexError, ValueError):
+                res[i] = None
+
+        slot = min(2 * lo, n_cpus)
+        n_exec = hi // lo
+        best_agg = None
+        rounds = []
+        for _ in range(int(os.environ.get("SPARK_GRAFT_MULTIEXEC_REPEATS", "2"))):
+            res: list = [None] * n_exec
+            ths = [threading.Thread(target=_exec_run, args=(i, slot, res))
+                   for i in range(n_exec)]
+            t0 = time.monotonic()
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+            if any(r is None for r in res):
+                continue
+            agg = sum(r["docs_per_sec"] for r in res)
+            rounds.append({
+                "agg_docs_per_sec": round(agg, 1),
+                "per_exec_docs_per_sec": [round(r["docs_per_sec"], 1) for r in res],
+                "per_exec_sec": [round(r["sec"], 2) for r in res],
+                "wall_incl_startup": round(time.monotonic() - t0, 1),
+            })
+            if best_agg is None or agg > best_agg:
+                best_agg = agg
+        if best_agg is not None and runs[lo]:
+            one = max(r["docs_per_sec"] for r in runs[lo])
+            out["multiexec"] = {
+                "shape": f"{n_exec} x local[{lo}] JVMs, disjoint {slot}-CPU pins",
+                "rounds": rounds,
+                "agg_docs_per_sec": round(best_agg, 1),
+                "one_exec_docs_per_sec": round(one, 1),
+                "efficiency": round(best_agg / (n_exec * one), 4),
+            }
     return out
 
 
