@@ -74,7 +74,69 @@ def measure(lo: int = 8, hi: int = 32, per: int = 3_000_000,
     }
 
 
+def iso_capacity(subject_cpus: int = 4, total_cpus: int = 16,
+                 per: int = 3_000_000, repeats: int = 3) -> dict:
+    """Per-CPU capacity under load vs idle-box — the clock term, directly.
+
+    /proc/cpuinfo MHz is a static constant on this VM, so frequency
+    scaling can't be read; it CAN be measured behaviorally. Run the same
+    pure-CPU subject (``subject_cpus`` pinned burn processes on CPUs
+    0..subject_cpus-1) twice: (a) with the rest of the box idle — the
+    conditions a low-parallelism probe level enjoys — and (b) with CPUs
+    subject_cpus..total_cpus-1 occupied by background spinners — the
+    sustained all-core conditions every executor of a packed cluster
+    node (and the probe's high level) runs at. iso_factor = thr_loaded /
+    thr_idle < 1 quantifies exactly the capacity an idle-box baseline
+    borrows from turbo/shared-cache headroom that a cluster's N-executor
+    level never has.
+    """
+    import os
+    import subprocess
+    import sys as _sys
+
+    thr_idle = thr_loaded = 0.0
+    n_load = max(0, total_cpus - subject_cpus)
+    load_pin = f"{subject_cpus}-{total_cpus - 1}"
+    spin = ("import multiprocessing as mp\n"
+            "def s(_):\n"
+            "    while True: pass\n"
+            f"mp.Pool({n_load}).map(s, range({n_load}))\n")
+    taskset = "taskset"
+    for _ in range(repeats):
+        # interleaved idle/loaded so host drift hits both alike
+        thr_idle = max(thr_idle, _throughput_once(subject_cpus, per, 4))
+        # start_new_session + killpg: killing only the Popen parent leaks
+        # its mp.Pool children as permanent box-wide spinners
+        loader = subprocess.Popen(
+            [taskset, "-c", load_pin, _sys.executable, "-c", spin],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            start_new_session=True,
+        ) if n_load else None
+        try:
+            if loader:
+                time.sleep(1.0)  # let spinners reach steady state
+            thr_loaded = max(thr_loaded, _throughput_once(subject_cpus, per, 4))
+        finally:
+            if loader:
+                import signal
+
+                os.killpg(loader.pid, signal.SIGKILL)
+                loader.wait()
+    return {
+        "subject_cpus": subject_cpus,
+        "total_cpus": total_cpus,
+        "thr_idle": round(thr_idle, 2),
+        "thr_loaded": round(thr_loaded, 2),
+        "iso_factor": round(min(1.0, thr_loaded / thr_idle), 4) if thr_idle else None,
+    }
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--iso":
+        subj = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        tot = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+        print(json.dumps(iso_capacity(subj, tot)))
+        raise SystemExit(0)
     lo = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     hi = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     print(json.dumps(measure(lo, hi)))
