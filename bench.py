@@ -177,6 +177,44 @@ def _scaling_probe(cores: int, n_docs: int) -> None:
                 shard_span_blocks=16, overwrite=True,
                 map_pack=os.environ.get("MIRU_BENCH_MAP_PACK", "1") != "0")
     shutil.rmtree(warm_parent, ignore_errors=True)
+
+    def _gc_ms():
+        """Cumulative driver-JVM GC wall (ms) from the GC MXBeans."""
+        try:
+            beans = (spark._jvm.java.lang.management.ManagementFactory
+                     .getGarbageCollectorMXBeans())
+            return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+        except Exception:  # noqa: BLE001
+            return None
+
+    def _cpu_by_comm():
+        """{comm: cpu_seconds} summed over all live processes (/proc).
+
+        The probe runs solo and pinned, so java vs python attribution
+        splits the box-wide busy_cpus figure into JVM (tasks, shuffle,
+        GC, parquet) vs Python-worker (Arrow UDF kernels) CPU — the
+        who-burns-the-extra-CPU-at-4x diagnostic. Processes that exit
+        mid-window escape the sum; the residual vs busy_cpus is them."""
+        out: dict[str, float] = {}
+        tck = os.sysconf("SC_CLK_TCK")
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().rsplit(")", 1)
+                comm = parts[0].split("(", 1)[1]
+                fields = parts[1].split()
+                cpu = (int(fields[11]) + int(fields[12])) / tck
+            except (OSError, IndexError, ValueError):
+                continue
+            key = "java" if comm == "java" else ("python" if comm.startswith("python") else None)
+            if key:
+                out[key] = out.get(key, 0.0) + cpu
+        return out
+
+    gc0 = _gc_ms()
+    comm0 = _cpu_by_comm()
     s0, ticks0, b0 = _cpu_ticks()
     t0 = time.monotonic()
     # fixed shard layout = the scale path (one scan for layout+lineage,
@@ -186,6 +224,8 @@ def _scaling_probe(cores: int, n_docs: int) -> None:
                        map_pack=os.environ.get("MIRU_BENCH_MAP_PACK", "1") != "0")
     dt = time.monotonic() - t0
     s1, ticks1, b1 = _cpu_ticks()
+    gc1 = _gc_ms()
+    comm1 = _cpu_by_comm()
     # per-phase wall offsets from the wave manifest (the same numbers the
     # build records for lineage): which stage stops scaling is the datum
     phases = {}
@@ -199,11 +239,18 @@ def _scaling_probe(cores: int, n_docs: int) -> None:
                 phases[k] = max(phases.get(k, 0.0), v)
     except Exception:  # noqa: BLE001
         pass
-    print(json.dumps({"cores": cores, "docs_per_sec": meta.n_docs / dt, "sec": dt,
-                      "steal_frac": round((s1 - s0) / max(1, ticks1 - ticks0), 4),
-                      "busy_cpus": round((b1 - b0) / os.sysconf("SC_CLK_TCK") / dt, 2),
-                      "phases": phases,
-                      "n_docs": meta.n_docs, "n_terms": meta.n_terms}))
+    rec = {"cores": cores, "docs_per_sec": meta.n_docs / dt, "sec": dt,
+           "steal_frac": round((s1 - s0) / max(1, ticks1 - ticks0), 4),
+           "busy_cpus": round((b1 - b0) / os.sysconf("SC_CLK_TCK") / dt, 2),
+           "phases": phases,
+           "n_docs": meta.n_docs, "n_terms": meta.n_terms}
+    if gc0 is not None and gc1 is not None:
+        rec["gc_sec"] = round((gc1 - gc0) / 1000.0, 2)
+    rec["cpu_split"] = {
+        k: round((comm1.get(k, 0.0) - comm0.get(k, 0.0)) / dt, 2)
+        for k in ("java", "python")
+    }
+    print(json.dumps(rec))
     shutil.rmtree(out_parent, ignore_errors=True)
     spark.stop()
 
@@ -318,6 +365,20 @@ def run_scaling(n_docs: int, cores_pair=(8, 32), repeats: int = 5) -> dict:
         out["efficiency_normalized"] = round(out["efficiency"] / ceil["ceiling"], 4)
     except Exception as e:  # noqa: BLE001
         out["hardware_ceiling"] = {"error": str(e)}
+    # the other rail of the capacity bracket: streaming-DRAM weak-scaling
+    # at the probe's exact slot shape (tools/membw_ceiling.py; BASELINE.md
+    # "capacity bracket"). Pure-CPU work scales ~1.0 across slots on this
+    # box, bandwidth-bound work at the figure below — every job lands
+    # between the rails per its memory intensity, so the raw efficiency
+    # must be read against both.
+    try:
+        from membw_ceiling import measure as membw_measure
+
+        out["membw_ceiling"] = membw_measure(
+            max(2, hi // lo), min(2 * lo, n_cpus), repeats=2
+        )
+    except Exception as e:  # noqa: BLE001
+        out["membw_ceiling"] = {"error": str(e)}
 
     # N -> 4N EXECUTORS, literally: (hi/lo) concurrent single-executor
     # local[lo] spark-submit JVMs on DISJOINT CPU pins vs one such JVM.
@@ -377,6 +438,12 @@ def run_scaling(n_docs: int, cores_pair=(8, 32), repeats: int = 5) -> dict:
                 "agg_docs_per_sec": round(best_agg, 1),
                 "one_exec_docs_per_sec": round(one, 1),
                 "efficiency": round(best_agg / (n_exec * one), 4),
+                # four INDEPENDENT JVMs (no shared software state): any
+                # deviation from 1.0 here is the box, so read it against
+                # the [membw, cpu] capacity bracket published above
+                "note": "independent JVMs; bracket rails = "
+                        "membw_ceiling.membw_slot_scaling (streaming-bound) "
+                        "and hardware_ceiling/iso (cpu-bound)",
             }
     return out
 
