@@ -149,6 +149,8 @@ def _scaling_probe(cores: int, n_docs: int) -> None:
     extra["spark.io.compression.codec"] = os.environ.get("MIRU_BENCH_IO_CODEC", "zstd")
     if os.environ.get("MIRU_BENCH_PARQUET_CODEC"):
         extra["spark.sql.parquet.compression.codec"] = os.environ["MIRU_BENCH_PARQUET_CODEC"]
+    if os.environ.get("MIRU_BENCH_ARROW_BATCH"):
+        extra["spark.sql.execution.arrow.maxRecordsPerBatch"] = os.environ["MIRU_BENCH_ARROW_BATCH"]
     spark = get_spark(
         f"bench_probe_{cores}", cores=cores,
         shuffle_partitions=max(cores, int(cores * ex_mult)),

@@ -77,6 +77,7 @@ from pyspark.sql import types as T
 
 from miru_spark.analysis.tokenizer import term_counts_udf, tokenize_udf
 from miru_spark.index import codec
+from miru_spark.index._prof import profiled
 from miru_spark.index.manifest import ShardManifest, read_manifest, shard_is_done, write_manifest
 
 BLOCK_BITS_DEFAULT = 13  # 8192-doc ranges per block (Roaring container analogue)
@@ -292,7 +293,7 @@ def _make_doclen_compressor(block_bits: int):
             whole = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
             yield _compress_doclen_groups(whole, block_bits)
 
-    return _compress
+    return profiled(_compress, "doclen_compress")
 
 
 def _make_compressor(block_bits: int):
@@ -326,7 +327,7 @@ def _make_compressor(block_bits: int):
             whole = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
             yield _compress_groups(whole, block_bits)
 
-    return _compress
+    return profiled(_compress, "compress")
 
 
 # ---------------------------------------------------------------------
@@ -349,10 +350,203 @@ _PARTIALS_SCHEMA = T.StructType(
         T.StructField("block_key", T.LongType()),
         T.StructField("min_doc", T.LongType()),
         T.StructField("n", T.IntegerType()),
+        # per-partial aggregates so the reduce side can STITCH partial
+        # byte streams without decoding them (merge = first-varint patch
+        # + memcpy; see _make_arrow_merger): the partial's last doc id,
+        # its tf sum/max, and its count of consecutive-id runs (for the
+        # block's RLE-vs-varbyte codec choice)
+        T.StructField("max_doc", T.LongType()),
+        T.StructField("sum_tf", T.LongType()),
+        T.StructField("max_tf", T.IntegerType()),
+        T.StructField("n_runs", T.IntegerType()),
         T.StructField("doc_ids", T.BinaryType()),
         T.StructField("tfs", T.BinaryType()),
     ]
 )
+
+
+def _make_arrow_packer(
+    block_bits: int,
+    *,
+    has_kw: bool,
+    use_stopwords: bool = False,
+    locale: str | None = None,
+):
+    """Batch-vectorized ``mapInArrow`` twin of :func:`_make_packer`:
+    same Python analyzer (``re.findall`` is C-level and beats the JVM
+    regex twin ~4x — measured), but everything after tokenization runs
+    on int dictionary codes instead of per-doc Python objects:
+
+    - ONE flat token array per batch + one ``pd.factorize`` replaces a
+      Counter and three numpy object arrays PER DOC;
+    - tf counting, block grouping, and delta restarts all fall out of a
+      single int sort (stable radix by code when doc ids arrive
+      ascending — the normal, id-clustered case);
+    - the packed per-group byte streams are emitted as ONE zero-copy
+      Arrow binary array over the whole batch buffer (no per-group
+      Python ``bytes`` slices, no pandas->Arrow conversion);
+    - doclens are the per-doc token counts and ride the same exchange
+      under ``DOCLEN_TERM`` (same contract as the pandas packer —
+      byte-identical output, tests assert it).
+
+    This removes the per-doc Counter/object-array churn that dominated
+    the pandas packer's CPU (and its allocator/DRAM traffic — the
+    single-box scaling limiter measured in BENCH/BASELINE.md).
+    """
+    from itertools import chain
+
+    import pyarrow as pa
+
+    from miru_spark.analysis.tokenizer import tokenize
+
+    # Work in bounded chunks regardless of the session's Arrow batch
+    # size: per-chunk arrays (~600k tokens -> a few MB each) stay inside
+    # the cache hierarchy, where a 65536-doc batch streams ~40 MB arrays
+    # through DRAM per pass. Measured at local[8] x 480k docs: 4096-doc
+    # chunks cut the kernel's CPU 6x (168 -> 28 CPU-s) and lifted build
+    # throughput 11.3k -> 32.5k docs/s, for a ~1.5x larger (zstd-packed)
+    # partials exchange — the right trade at any scale, since map CPU
+    # multiplies per doc while the exchange compresses.
+    chunk_docs = int(os.environ.get("MIRU_PACK_CHUNK_DOCS", "4096"))
+
+    def _pack(raw_iter):
+        def chunks():
+            for b in raw_iter:
+                # split at doc-id order breaks as well as the size grid: a
+                # task reading several range-disjoint files gets batches
+                # whose id order resets at file joins; cutting there keeps
+                # every chunk a monotone interval, so per-(term, block)
+                # partials stay pairwise disjoint and the reduce side can
+                # STITCH them (no decode). Scattered-id input would break
+                # on every row — past a small cap, ignore breaks (the
+                # merger's decode fallback handles interleaved partials).
+                cuts = [0, b.num_rows]
+                if b.num_rows > 1:
+                    bid = b.column(0).to_numpy(zero_copy_only=False)
+                    d = np.diff(bid)
+                    # any non-unit step may be a file join that skips over
+                    # another file's id range (an ascending jump is as
+                    # fatal to interval disjointness as a descent)
+                    breaks = np.flatnonzero(d != 1) + 1
+                    if breaks.size > 64:
+                        # sparse-but-sorted ids: descents only
+                        breaks = np.flatnonzero(d < 0) + 1
+                    if 0 < breaks.size <= 64:
+                        cuts = sorted({0, b.num_rows, *breaks.tolist()})
+                for lo, hi in zip(cuts[:-1], cuts[1:]):
+                    for off in range(lo, hi, chunk_docs):
+                        yield b.slice(off, min(chunk_docs, hi - off))
+
+        for batch in chunks():
+            n_docs = batch.num_rows
+            if not n_docs:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            toks = [
+                tokenize(s, use_stopwords=use_stopwords, locale=locale)
+                for s in batch.column(1).to_pylist()
+            ]
+            lengths = np.fromiter(map(len, toks), dtype=np.int64, count=n_docs)
+            flat = np.array(list(chain.from_iterable(toks)), dtype=object)
+            doc_streams = [np.repeat(ids, lengths)]
+            if has_kw:
+                kw = batch.column(2).to_pylist()
+                kw_lengths = np.fromiter(
+                    (len(v) if v else 0 for v in kw), dtype=np.int64, count=n_docs
+                )
+                if kw_lengths.sum():
+                    kw_flat = np.array(
+                        list(chain.from_iterable(v for v in kw if v)), dtype=object
+                    )
+                    flat = np.concatenate([flat, kw_flat])
+                    doc_streams.append(np.repeat(ids, kw_lengths))
+            codes32, uniques = pd.factorize(flat, sort=False)
+            codes = codes32.astype(np.int64)
+            # doclen marker postings: EVERY doc (empty docs included,
+            # dl=0), code one past the dictionary
+            mcode = len(uniques)
+            codes_all = np.concatenate(
+                [codes, np.full(n_docs, mcode, dtype=np.int64)]
+            )
+            docs_all = np.concatenate([*doc_streams, ids])
+            if np.all(ids[1:] >= ids[:-1]):
+                # docs already ascending in stream order: a stable radix
+                # sort by code alone keeps every code's docs ascending
+                order = np.argsort(codes_all, kind="stable")
+            else:
+                order = np.lexsort((docs_all, codes_all))
+            cs = codes_all[order]
+            ds = docs_all[order]
+            # tf = run lengths over (code, doc) — the map-side combine
+            change = np.empty(len(cs), dtype=bool)
+            change[0] = True
+            change[1:] = (cs[1:] != cs[:-1]) | (ds[1:] != ds[:-1])
+            starts = np.nonzero(change)[0]
+            tf = np.diff(np.append(starts, len(cs)))
+            pcode = cs[starts]
+            pdoc = ds[starts]
+            # marker rows carry doclen as tf; after the sort their doc
+            # order need not match input order (lexsort path), so map
+            # doc -> doclen explicitly
+            mmask = pcode == mcode
+            id_order = np.argsort(ids, kind="stable")
+            tf[mmask] = lengths[id_order][
+                np.searchsorted(ids[id_order], pdoc[mmask])
+            ]
+            block = pdoc >> block_bits
+            gchange = np.empty(len(pcode), dtype=bool)
+            gchange[0] = True
+            gchange[1:] = (pcode[1:] != pcode[:-1]) | (block[1:] != block[:-1])
+            gstarts = np.nonzero(gchange)[0]
+            gends = np.append(gstarts[1:], len(pcode))
+            deltas = np.empty_like(pdoc)
+            deltas[0] = 0
+            deltas[1:] = pdoc[1:] - pdoc[:-1]
+            np.putmask(deltas, gchange, pdoc - (block << block_bits))
+            id_buf, id_sizes = codec.varbyte_encode_with_sizes(deltas.astype(np.uint64))
+            tf_buf, tf_sizes = codec.varbyte_encode_with_sizes(tf.astype(np.uint64))
+
+            def _binary_col(buf: bytes, sizes: np.ndarray) -> pa.Array:
+                # groups are contiguous byte ranges of one buffer: emit a
+                # zero-copy Arrow binary array (offsets + the buffer)
+                byte_ends = np.cumsum(sizes)
+                offs = np.empty(len(gstarts) + 1, dtype=np.int32)
+                offs[0] = 0
+                offs[1:] = byte_ends[gends - 1]
+                return pa.Array.from_buffers(
+                    pa.binary(), len(gstarts),
+                    [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)],
+                )
+
+            uq = np.append(np.asarray(uniques, dtype=object), DOCLEN_TERM)
+            run_break = np.empty(len(pcode), dtype=bool)
+            run_break[0] = True
+            run_break[1:] = gchange[1:] | (deltas[1:] != 1)
+            out = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(uq[pcode[gstarts]], type=pa.string()),
+                    pa.array(block[gstarts], type=pa.int64()),
+                    pa.array(pdoc[gstarts], type=pa.int64()),
+                    pa.array((gends - gstarts).astype(np.int32), type=pa.int32()),
+                    pa.array(pdoc[gends - 1], type=pa.int64()),
+                    pa.array(np.add.reduceat(tf, gstarts), type=pa.int64()),
+                    pa.array(
+                        np.maximum.reduceat(tf, gstarts).astype(np.int32),
+                        type=pa.int32(),
+                    ),
+                    pa.array(
+                        np.add.reduceat(run_break.astype(np.int64), gstarts).astype(np.int32),
+                        type=pa.int32(),
+                    ),
+                    _binary_col(id_buf, id_sizes),
+                    _binary_col(tf_buf, tf_sizes),
+                ],
+                names=["term", "block_key", "min_doc", "n", "max_doc",
+                       "sum_tf", "max_tf", "n_runs", "doc_ids", "tfs"],
+            )
+            yield out
+
+    return profiled(_pack, "arrow_pack")
 
 
 def _pack_partials(
@@ -390,12 +584,19 @@ def _pack_partials(
         gs[1:] = ge[:-1]
         return [buf[a:b] for a, b in zip(gs, ge)]
 
+    run_break = np.empty(len(codes), dtype=bool)
+    run_break[0] = True
+    run_break[1:] = change[1:] | (deltas[1:] != 1)
     return pd.DataFrame(
         {
             "term": uniques[codes[starts]],
             "block_key": block_s[starts],
             "min_doc": doc_s[starts],
             "n": (ends - starts).astype(np.int32),
+            "max_doc": doc_s[ends - 1],
+            "sum_tf": np.add.reduceat(tf_s, starts),
+            "max_tf": np.maximum.reduceat(tf_s, starts).astype(np.int32),
+            "n_runs": np.add.reduceat(run_break.astype(np.int64), starts).astype(np.int32),
             "doc_ids": group_slices(id_buf, id_sizes),
             "tfs": group_slices(tf_buf, tf_sizes),
         }
@@ -426,11 +627,14 @@ def _make_packer(
     from miru_spark.analysis.tokenizer import tokenize
 
     kw = sorted((keyword_fields or {}).items())
+    phase_dir = os.environ.get("MIRU_PACK_PHASE_DIR")
 
     def _pack(pdf_iter):
+        ph = {"tok": 0.0, "arr": 0.0, "pp": 0.0, "docs": 0}
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
+            _t0 = time.process_time()
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             term_parts: list[np.ndarray] = []
             doc_parts: list[np.ndarray] = []
@@ -445,6 +649,9 @@ def _make_packer(
                 term_parts.append(np.array(list(c.keys()), dtype=object))
                 tf_parts.append(tfv)
                 doc_parts.append(np.full(len(c), did, dtype=np.int64))
+            _t1 = time.process_time()
+            ph["tok"] += _t1 - _t0
+            ph["docs"] += len(ids)
             # doclen marker entries: EVERY doc (empty docs included, dl=0)
             # — doclen is a byproduct of the tf counting above, shipped
             # through the same exchange under the reserved pseudo-term
@@ -471,14 +678,25 @@ def _make_packer(
                         doc_parts.append(np.full(1, did, dtype=np.int64))
             if not term_parts:
                 continue
-            yield _pack_partials(
-                np.concatenate(term_parts),
-                np.concatenate(doc_parts),
-                np.concatenate(tf_parts),
-                block_bits,
-            )
+            ta = np.concatenate(term_parts)
+            da = np.concatenate(doc_parts)
+            tfa = np.concatenate(tf_parts)
+            _t2 = time.process_time()
+            ph["arr"] += _t2 - _t1
+            out = _pack_partials(ta, da, tfa, block_bits)
+            ph["pp"] += time.process_time() - _t2
+            yield out
+        if phase_dir and ph["docs"]:
+            try:
+                os.makedirs(phase_dir, exist_ok=True)
+                with open(
+                    os.path.join(phase_dir, f"p{os.getpid()}_{time.monotonic_ns()}.json"), "w"
+                ) as f:
+                    json.dump(ph, f)
+            except OSError:
+                pass
 
-    return _pack
+    return profiled(_pack, "pack")
 
 
 def _decode_partials(pdf: pd.DataFrame, block_bits: int) -> pd.DataFrame:
@@ -551,7 +769,7 @@ def _marker_to_doclens(block_bits: int):
                 }
             )
 
-    return _xform
+    return profiled(_xform, "doclen_xform")
 
 
 def _make_merger(block_bits: int):
@@ -561,6 +779,8 @@ def _make_merger(block_bits: int):
     byte-identical. Carry discipline buffers a partial (term, block)
     group across Arrow-batch boundaries."""
 
+    buf_postings = int(os.environ.get("MIRU_MERGE_BUFFER_POSTINGS", "200000"))
+
     def _merge(pdf_iter):
         buf: list[pd.DataFrame] = []
         buffered = 0
@@ -568,7 +788,7 @@ def _make_merger(block_bits: int):
             if len(pdf):
                 buf.append(pdf)
                 buffered += int(pdf["n"].sum())
-            if buffered < 200_000:
+            if buffered < buf_postings:
                 continue
             whole = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
             t = whole["term"].to_numpy()
@@ -586,7 +806,438 @@ def _make_merger(block_bits: int):
             whole = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
             yield _compress_groups(_decode_partials(whole, block_bits), block_bits)
 
-    return _merge
+    return profiled(_merge, "merge")
+
+
+def _binary_stream(chunk) -> np.ndarray:
+    """Zero-copy concatenation of an Arrow binary array chunk's values:
+    per-row slices are adjacent in the values buffer, so the joined
+    stream is just a view — no per-row ``bytes`` objects, no
+    ``b"".join`` copy."""
+    if len(chunk) == 0:
+        return np.zeros(0, dtype=np.uint8)
+    import pyarrow as pa
+
+    off_dtype = np.int64 if pa.types.is_large_binary(chunk.type) else np.int32
+    offs = np.frombuffer(chunk.buffers()[1], dtype=off_dtype)
+    vals_buf = chunk.buffers()[2]
+    if vals_buf is None:
+        return np.zeros(0, dtype=np.uint8)
+    vals = np.frombuffer(vals_buf, dtype=np.uint8)
+    lo = offs[chunk.offset]
+    hi = offs[chunk.offset + len(chunk)]
+    return vals[lo:hi]
+
+
+def _chunked_np(tbl, name: str, dtype) -> np.ndarray:
+    return np.concatenate(
+        [c.to_numpy(zero_copy_only=False) for c in tbl.column(name).chunks]
+    ).astype(dtype, copy=False)
+
+
+def _binary_streams_and_sizes(tbl, name: str) -> tuple[np.ndarray, np.ndarray]:
+    """(concatenated values stream, per-row byte sizes) of a binary
+    column — per-chunk zero-copy views, one concatenate."""
+    import pyarrow as pa
+
+    streams = []
+    sizes = []
+    for c in tbl.column(name).chunks:
+        if len(c) == 0:
+            continue
+        off_dtype = np.int64 if pa.types.is_large_binary(c.type) else np.int32
+        offs = np.frombuffer(c.buffers()[1], dtype=off_dtype)[
+            c.offset:c.offset + len(c) + 1
+        ].astype(np.int64)
+        vals = np.frombuffer(c.buffers()[2], dtype=np.uint8)
+        streams.append(vals[offs[0]:offs[-1]])
+        sizes.append(np.diff(offs))
+    if not streams:
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    return np.concatenate(streams), np.concatenate(sizes)
+
+
+def _segmented_gather(src: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """out = concat(src[starts[i]:starts[i]+lens[i]]) in one fancy-index
+    pass (vectorized segmented memcpy)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=src.dtype)
+    out_starts = np.cumsum(lens) - lens
+    idx = np.repeat(starts - out_starts, lens) + np.arange(total, dtype=np.int64)
+    return src[idx]
+
+
+def _stitch_arrow_body(tbl, block_bits: int):
+    """Merge packed partials WITHOUT decoding them.
+
+    Within a (term, block) group sorted by min_doc, partial doc ranges
+    from disjoint map chunks normally don't interleave; then the merged
+    block's delta+varbyte stream is the concatenation of the partial
+    streams with ONE patched varint per non-first partial (its first
+    delta re-based from the block base to the previous partial's
+    max_doc). tf streams concatenate untouched, and the block stats
+    (n, sum_tf, max_tf, max_doc, run count) fold from the per-partial
+    aggregates shipped in the exchange. Returns None when any group's
+    partials interleave (scattered input ids) — caller falls back to
+    the decode path (byte-identical either way; only the few RLE-chosen
+    dense blocks are ever decoded here).
+
+    This is the analogue of the reference's container-level merge (dirty
+    Roaring containers are appended, not rebuilt,
+    ``LabInvertedIndex.java:335-399``): reduce-side cost is O(bytes
+    memcpy) instead of O(postings decoded).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = _chunked_np(tbl, "n", np.int64)
+    bk = _chunked_np(tbl, "block_key", np.int64)
+    mind = _chunked_np(tbl, "min_doc", np.int64)
+    maxd = _chunked_np(tbl, "max_doc", np.int64)
+    stf = _chunked_np(tbl, "sum_tf", np.int64)
+    mtf = _chunked_np(tbl, "max_tf", np.int64)
+    nruns = _chunked_np(tbl, "n_runs", np.int64)
+    n_rows = len(n)
+
+    terms = tbl.column("term")
+    if n_rows > 1:
+        t_neq = pc.not_equal(
+            terms.slice(1), terms.slice(0, len(terms) - 1)
+        ).to_numpy(zero_copy_only=False).astype(bool)
+    else:
+        t_neq = np.zeros(0, dtype=bool)
+    grp_change = np.empty(n_rows, dtype=bool)
+    grp_change[0] = True
+    grp_change[1:] = t_neq | (bk[1:] != bk[:-1])
+    nonfirst = ~grp_change
+    prev_maxd = np.empty_like(maxd)
+    prev_maxd[0] = -1
+    prev_maxd[1:] = maxd[:-1]
+    if np.any(nonfirst & (mind <= prev_maxd)):
+        dbg = os.environ.get("MIRU_STITCH_DEBUG_DIR")
+        if dbg:
+            os.makedirs(dbg, exist_ok=True)
+            with open(os.path.join(dbg, f"fb{os.getpid()}.txt"), "a") as f:
+                bad = np.flatnonzero(nonfirst & (mind <= prev_maxd))[:2]
+                for bi in bad:
+                    lo = max(0, int(bi) - 3)
+                    hi = min(n_rows, int(bi) + 2)
+                    ctx = [
+                        (str(terms[j]), int(bk[j]), int(mind[j]), int(maxd[j]),
+                         int(n[j]), bool(grp_change[j]))
+                        for j in range(lo, hi)
+                    ]
+                    f.write(f"rows={n_rows} bad_row={int(bi)} ctx={ctx}\n")
+        return None  # interleaved partial ranges: decode path
+
+    gstarts = np.flatnonzero(grp_change)
+    gends = np.append(gstarts[1:], n_rows)
+
+    doc_stream, doc_sizes = _binary_streams_and_sizes(tbl, "doc_ids")
+    row_starts = np.cumsum(doc_sizes) - doc_sizes
+
+    # first-varint length per partial (continuation-bit scan, <=10 steps)
+    first_len = np.ones(n_rows, dtype=np.int64)
+    cont_rows = np.flatnonzero((doc_stream[row_starts] & 0x80) != 0)
+    while cont_rows.size:
+        first_len[cont_rows] += 1
+        nxt = doc_stream[row_starts[cont_rows] + first_len[cont_rows] - 1]
+        cont_rows = cont_rows[(nxt & 0x80) != 0]
+
+    # re-based first deltas for non-first partials
+    nf_idx = np.flatnonzero(nonfirst)
+    nf_buf, nf_sizes = codec.varbyte_encode_with_sizes(
+        (mind[nf_idx] - prev_maxd[nf_idx]).astype(np.uint64)
+    )
+    nf_arr = np.frombuffer(nf_buf, dtype=np.uint8)
+    nf_starts = np.cumsum(nf_sizes) - nf_sizes
+
+    # assemble output doc stream: per row either [whole original stream]
+    # or [patched first varint][original tail] — 2 ranges/row, one gather
+    src = np.concatenate([doc_stream, nf_arr]) if nf_arr.size else doc_stream
+    base = len(doc_stream)
+    r_starts = np.empty(2 * n_rows, dtype=np.int64)
+    r_lens = np.empty(2 * n_rows, dtype=np.int64)
+    head_starts = row_starts.copy()
+    head_lens = doc_sizes.copy()
+    tail_lens = np.zeros(n_rows, dtype=np.int64)
+    head_starts[nf_idx] = base + nf_starts
+    head_lens[nf_idx] = nf_sizes
+    tail_lens[nf_idx] = doc_sizes[nf_idx] - first_len[nf_idx]
+    r_starts[0::2] = head_starts
+    r_lens[0::2] = head_lens
+    r_starts[1::2] = row_starts + first_len
+    r_lens[1::2] = tail_lens
+    out_stream = _segmented_gather(src, r_starts, r_lens)
+    out_sizes = head_lens + tail_lens
+
+    # group-level stats from per-partial aggregates
+    n_g = np.add.reduceat(n, gstarts)
+    sum_tf_g = np.add.reduceat(stf, gstarts)
+    max_tf_g = np.maximum.reduceat(mtf, gstarts).astype(np.int32)
+    max_doc_g = maxd[gends - 1]
+    # consecutive-id runs merge across a partial boundary iff the next
+    # partial starts exactly one past the previous max
+    joins = (nonfirst & (mind == prev_maxd + 1)).astype(np.int64)
+    n_runs_g = np.add.reduceat(nruns, gstarts) - (
+        np.add.reduceat(joins, gstarts) - joins[gstarts]
+    )
+    codec_col = (2 * n_runs_g < n_g).astype(np.int8)
+
+    doc_g_sizes = np.add.reduceat(out_sizes, gstarts)
+    doc_g_ends = np.cumsum(doc_g_sizes)
+    rle_idx = np.flatnonzero(codec_col)
+    if rle_idx.size:
+        parts: list[bytes] = []
+        sizes_out = doc_g_sizes.copy()
+        data_bytes = out_stream.tobytes()
+        prev_end = 0
+        for gi in rle_idx:
+            g_end = int(doc_g_ends[gi])
+            g_start = g_end - int(doc_g_sizes[gi])
+            if g_start > prev_end:
+                parts.append(data_bytes[prev_end:g_start])
+            gbase = int(bk[gstarts[gi]]) << block_bits
+            deltas = codec.varbyte_decode(out_stream[g_start:g_end]).astype(np.int64)
+            ids = np.cumsum(deltas) + gbase
+            rb = codec.encode_block_runs(ids, gbase)
+            parts.append(rb)
+            sizes_out[gi] = len(rb)
+            prev_end = g_end
+        if prev_end < len(data_bytes):
+            parts.append(data_bytes[prev_end:])
+        doc_data = b"".join(parts)
+        doc_offs = np.empty(len(gstarts) + 1, dtype=np.int32)
+        doc_offs[0] = 0
+        doc_offs[1:] = np.cumsum(sizes_out)
+    else:
+        doc_data = out_stream.tobytes()
+        doc_offs = np.empty(len(gstarts) + 1, dtype=np.int32)
+        doc_offs[0] = 0
+        doc_offs[1:] = doc_g_ends
+    doc_col = pa.Array.from_buffers(
+        pa.binary(), len(gstarts),
+        [None, pa.py_buffer(doc_offs.tobytes()), pa.py_buffer(doc_data)],
+    )
+
+    tf_stream, tf_sizes = _binary_streams_and_sizes(tbl, "tfs")
+    tf_offs = np.empty(len(gstarts) + 1, dtype=np.int32)
+    tf_offs[0] = 0
+    tf_offs[1:] = np.cumsum(np.add.reduceat(tf_sizes, gstarts))
+    tf_col = pa.Array.from_buffers(
+        pa.binary(), len(gstarts),
+        [None, pa.py_buffer(tf_offs.tobytes()), pa.py_buffer(tf_stream.tobytes())],
+    )
+
+    term_out = terms.take(pa.array(gstarts)).combine_chunks()
+    return pa.RecordBatch.from_arrays(
+        [
+            term_out,
+            pa.array(bk[gstarts], type=pa.int64()),
+            pa.array(n_g.astype(np.int32), type=pa.int32()),
+            pa.array(sum_tf_g, type=pa.int64()),
+            pa.array(max_doc_g, type=pa.int64()),
+            pa.array(max_tf_g, type=pa.int32()),
+            pa.array(codec_col, type=pa.int8()),
+            doc_col,
+            tf_col,
+        ],
+        names=[
+            "term", "block_key", "n", "sum_tf", "max_doc_id", "max_tf",
+            "codec", "doc_ids", "tfs",
+        ],
+    )
+
+
+def _merge_arrow_body(tbl, block_bits: int):
+    """Decode a body of packed partials (complete (term, block) groups,
+    sorted by (term, block_key, min_doc)) and re-compress into final
+    posting blocks — the Arrow twin of ``_decode_partials`` +
+    ``_compress_groups`` with byte-identical output."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def col_np(name, dtype):
+        return np.concatenate(
+            [c.to_numpy(zero_copy_only=False) for c in tbl.column(name).chunks]
+        ).astype(dtype, copy=False)
+
+    n = col_np("n", np.int64)
+    bk = col_np("block_key", np.int64)
+    deltas = np.concatenate(
+        [codec.varbyte_decode(_binary_stream(c)).astype(np.int64)
+         for c in tbl.column("doc_ids").chunks]
+    )
+    ptfs = np.concatenate(
+        [codec.varbyte_decode(_binary_stream(c)).astype(np.int64)
+         for c in tbl.column("tfs").chunks]
+    )
+    starts = np.zeros(len(n), dtype=np.int64)
+    starts[1:] = np.cumsum(n)[:-1]
+    cs = np.cumsum(deltas)
+    off = cs[starts] - deltas[starts] - (bk << block_bits)
+    ids = cs - np.repeat(off, n)
+
+    terms = tbl.column("term")
+    if len(n) > 1:
+        t_neq = pc.not_equal(
+            terms.slice(1), terms.slice(0, len(terms) - 1)
+        ).to_numpy(zero_copy_only=False).astype(bool)
+    else:
+        t_neq = np.zeros(0, dtype=bool)
+    grp_change = np.empty(len(n), dtype=bool)
+    grp_change[0] = True
+    grp_change[1:] = t_neq | (bk[1:] != bk[:-1])
+    grp_no = np.cumsum(grp_change) - 1
+    grp_elem = np.repeat(grp_no, n)
+
+    # cross-partial doc ranges can interleave when input partitions were
+    # not id-clustered; re-sort within groups (same as _decode_partials)
+    if np.any((ids[1:] <= ids[:-1]) & (grp_elem[1:] == grp_elem[:-1])):
+        order = np.lexsort((ids, grp_elem))
+        ids = ids[order]
+        ptfs = ptfs[order]
+
+    # merge duplicate (term, doc) runs: tf sums over equal runs
+    run = np.empty(len(ids), dtype=bool)
+    run[0] = True
+    run[1:] = (ids[1:] != ids[:-1]) | (grp_elem[1:] != grp_elem[:-1])
+    run_starts = np.flatnonzero(run)
+    tfs_all = np.add.reduceat(ptfs, run_starts)
+    ids_all = ids[run_starts]
+    ge_all = grp_elem[run_starts]
+
+    change = np.empty(len(ids_all), dtype=bool)
+    change[0] = True
+    change[1:] = ge_all[1:] != ge_all[:-1]
+    gstarts = np.flatnonzero(change)
+    gends = np.append(gstarts[1:], len(ids_all))
+    elem_bk = ids_all >> block_bits
+    prev = np.empty_like(ids_all)
+    prev[0] = 0
+    prev[1:] = ids_all[:-1]
+    deltas2 = np.where(change, ids_all - (elem_bk << block_bits), ids_all - prev)
+    id_buf, id_sizes = codec.varbyte_encode_with_sizes(deltas2.astype(np.uint64))
+    tf_buf, tf_sizes = codec.varbyte_encode_with_sizes(tfs_all.astype(np.uint64))
+
+    n_counts = gends - gstarts
+    run_break = np.empty(len(ids_all), dtype=bool)
+    run_break[0] = True
+    run_break[1:] = change[1:] | (deltas2[1:] != 1)
+    n_runs = np.add.reduceat(run_break.astype(np.int64), gstarts)
+    codec_col = (2 * n_runs < n_counts).astype(np.int8)
+
+    def binary_col(buf: bytes, sizes: np.ndarray, rle_idx: np.ndarray | None):
+        byte_ends = np.cumsum(sizes)
+        g_end = byte_ends[gends - 1]
+        g_start = np.empty_like(g_end)
+        g_start[0] = 0
+        g_start[1:] = g_end[:-1]
+        if rle_idx is None or rle_idx.size == 0:
+            offs = np.empty(len(gstarts) + 1, dtype=np.int32)
+            offs[0] = 0
+            offs[1:] = g_end
+            return pa.Array.from_buffers(
+                pa.binary(), len(gstarts),
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)],
+            )
+        # few dense blocks re-encode as RLE runs: piecewise assembly,
+        # coalescing the untouched spans into single slices
+        sizes_out = (g_end - g_start).astype(np.int64)
+        parts: list[bytes] = []
+        prev_end = 0
+        for gi in rle_idx:
+            if g_start[gi] > prev_end:
+                parts.append(buf[prev_end:g_start[gi]])
+            rb = codec.encode_block_runs(
+                ids_all[gstarts[gi]:gends[gi]], int(elem_bk[gstarts[gi]]) << block_bits
+            )
+            parts.append(rb)
+            sizes_out[gi] = len(rb)
+            prev_end = g_end[gi]
+        if prev_end < len(buf):
+            parts.append(buf[prev_end:])
+        data = b"".join(parts)
+        offs = np.empty(len(gstarts) + 1, dtype=np.int32)
+        offs[0] = 0
+        offs[1:] = np.cumsum(sizes_out)
+        return pa.Array.from_buffers(
+            pa.binary(), len(gstarts),
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)],
+        )
+
+    term_out = terms.take(pa.array(np.flatnonzero(grp_change))).combine_chunks()
+    return pa.RecordBatch.from_arrays(
+        [
+            term_out,
+            pa.array(elem_bk[gstarts], type=pa.int64()),
+            pa.array(n_counts.astype(np.int32), type=pa.int32()),
+            pa.array(np.add.reduceat(tfs_all, gstarts), type=pa.int64()),
+            pa.array(ids_all[gends - 1], type=pa.int64()),
+            pa.array(
+                np.maximum.reduceat(tfs_all, gstarts).astype(np.int32),
+                type=pa.int32(),
+            ),
+            pa.array(codec_col, type=pa.int8()),
+            binary_col(id_buf, id_sizes, np.flatnonzero(codec_col)),
+            binary_col(tf_buf, tf_sizes, None),
+        ],
+        names=[
+            "term", "block_key", "n", "sum_tf", "max_doc_id", "max_tf",
+            "codec", "doc_ids", "tfs",
+        ],
+    )
+
+
+def _make_arrow_merger(block_bits: int):
+    """Arrow twin of :func:`_make_merger`: same carry discipline (hold
+    back the trailing, possibly-incomplete (term, block) group), but the
+    packed byte streams never materialize as per-row Python ``bytes`` —
+    decode reads zero-copy views of the Arrow values buffers and the
+    re-encoded blocks go out as zero-copy binary arrays."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    buf_postings = int(os.environ.get("MIRU_MERGE_BUFFER_POSTINGS", "200000"))
+
+    def _n_sum(tbl_or_batch) -> int:
+        idx = tbl_or_batch.schema.get_field_index("n")
+        return int(pc.sum(tbl_or_batch.column(idx)).as_py() or 0)
+
+    def _merge(batch_iter):
+        pend: list = []
+        npend = 0
+        for batch in batch_iter:
+            if batch.num_rows == 0:
+                continue
+            pend.append(batch)
+            npend += _n_sum(batch)
+            if npend < buf_postings:
+                continue
+            whole = pa.Table.from_batches(pend)
+            t_col = whole.column("term")
+            b_col = whole.column("block_key")
+            eq_last = pc.and_(
+                pc.equal(t_col, t_col[len(t_col) - 1]),
+                pc.equal(b_col, b_col[len(b_col) - 1]),
+            ).to_numpy(zero_copy_only=False).astype(bool)
+            not_eq = np.flatnonzero(~eq_last)
+            start_last = int(not_eq[-1]) + 1 if not_eq.size else 0
+            body = whole.slice(0, start_last)
+            carry = whole.slice(start_last)
+            if body.num_rows:
+                out = _stitch_arrow_body(body, block_bits)
+                yield out if out is not None else _merge_arrow_body(body, block_bits)
+            pend = carry.to_batches() if carry.num_rows else []
+            npend = _n_sum(carry) if carry.num_rows else 0
+        if pend:
+            whole = pa.Table.from_batches(pend)
+            if whole.num_rows:
+                out = _stitch_arrow_body(whole, block_bits)
+                yield out if out is not None else _merge_arrow_body(whole, block_bits)
+
+    return profiled(_merge, "arrow_merge")
 
 
 def assign_doc_ids(df: DataFrame, order_col: str = "url", partitions: int = 64) -> DataFrame:
@@ -1089,32 +1740,80 @@ def _build_wave(
             # block instead of external-sorting every posting. Same
             # (term, block_key) shuffle key -> identical skew bound and
             # physical layout; byte-identical output (tests assert it).
-            pack_cols = [
-                F.col(id_col).cast("long").alias("__pack_id"),
-                F.col(text_col).alias("__pack_text"),
-            ]
-            for fname, colname in sorted((keyword_fields or {}).items()):
-                src_t = dict(sliced.dtypes)[colname]
-                c = F.col(colname)
-                if src_t.startswith("array"):
-                    pack_cols.append(c.cast("array<string>").alias(f"__kw_{fname}"))
-                else:
-                    pack_cols.append(c.cast("string").alias(f"__kw_{fname}"))
-            partials = sliced.select(*pack_cols).mapInPandas(
-                _make_packer(
-                    block_bits, use_stopwords=use_stopwords, locale=locale,
-                    id_col="__pack_id", text_col="__pack_text",
-                    keyword_fields=keyword_fields,
-                ),
-                schema=_PARTIALS_SCHEMA,
-            )
-            blocks = (
+            arrow_pack = os.environ.get("MIRU_INDEX_ARROW_PACK", "1") != "0"
+            if arrow_pack:
+                # batch-vectorized packer (same Python analyzer, int-code
+                # pipeline, zero-copy Arrow output — _make_arrow_packer);
+                # keyword composite terms are derived JVM-side (cheap,
+                # tiny arrays)
+                pack_cols = [
+                    F.col(id_col).cast("long").alias("__pack_id"),
+                    F.col(text_col).alias("__pack_text"),
+                ]
+                kw_terms = []
+
+                def _prefixer(f):
+                    # NB: a default-arg lambda would have arity 2 and
+                    # F.transform would bind the second param to the
+                    # element INDEX — closure factory instead
+                    return lambda x: F.concat(F.lit(f + ":"), x)
+
+                for fname, colname in sorted((keyword_fields or {}).items()):
+                    src_t = dict(sliced.dtypes)[colname]
+                    c = F.col(colname)
+                    if src_t.startswith("array"):
+                        arr = F.transform(c.cast("array<string>"), _prefixer(fname))
+                    else:
+                        arr = F.array(F.concat(F.lit(fname + ":"), c.cast("string")))
+                    # null values/elements vanish, matching the pandas
+                    # packer's None-skipping
+                    kw_terms.append(
+                        F.filter(F.coalesce(arr, F.array()), lambda x: x.isNotNull())
+                    )
+                if kw_terms:
+                    kw_col = kw_terms[0] if len(kw_terms) == 1 else F.concat(*kw_terms)
+                    pack_cols.append(kw_col.alias("__pack_kw"))
+                partials = sliced.select(*pack_cols).mapInArrow(
+                    _make_arrow_packer(
+                        block_bits, has_kw=bool(kw_terms),
+                        use_stopwords=use_stopwords, locale=locale,
+                    ),
+                    schema=_PARTIALS_SCHEMA,
+                )
+            else:
+                pack_cols = [
+                    F.col(id_col).cast("long").alias("__pack_id"),
+                    F.col(text_col).alias("__pack_text"),
+                ]
+                for fname, colname in sorted((keyword_fields or {}).items()):
+                    src_t = dict(sliced.dtypes)[colname]
+                    c = F.col(colname)
+                    if src_t.startswith("array"):
+                        pack_cols.append(c.cast("array<string>").alias(f"__kw_{fname}"))
+                    else:
+                        pack_cols.append(c.cast("string").alias(f"__kw_{fname}"))
+                partials = sliced.select(*pack_cols).mapInPandas(
+                    _make_packer(
+                        block_bits, use_stopwords=use_stopwords, locale=locale,
+                        id_col="__pack_id", text_col="__pack_text",
+                        keyword_fields=keyword_fields,
+                    ),
+                    schema=_PARTIALS_SCHEMA,
+                )
+            exchanged = (
                 partials
                 .repartition(n_parts, "term", "block_key")
                 .sortWithinPartitions("term", "block_key", "min_doc")
-                .mapInPandas(_make_merger(block_bits), schema=_POSTINGS_SCHEMA)
-                .withColumn("shard", _shard_expr("block_key", block_ranges))
             )
+            if arrow_pack:
+                merged = exchanged.mapInArrow(
+                    _make_arrow_merger(block_bits), schema=_POSTINGS_SCHEMA
+                )
+            else:
+                merged = exchanged.mapInPandas(
+                    _make_merger(block_bits), schema=_POSTINGS_SCHEMA
+                )
+            blocks = merged.withColumn("shard", _shard_expr("block_key", block_ranges))
         else:
             blocks = _row_path_blocks(
                 spark, sliced, ranges, id_col=id_col, text_col=text_col,

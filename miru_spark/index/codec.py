@@ -65,12 +65,21 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return varbyte_encode_with_sizes(values)[0]
 
 
-def varbyte_decode(buf: bytes) -> np.ndarray:
-    """Decode LEB128 varbytes back to a uint64 array."""
+def varbyte_decode(buf) -> np.ndarray:
+    """Decode LEB128 varbytes back to a uint64 array.
+
+    Accepts anything buffer-like (bytes, memoryview, uint8 ndarray) —
+    callers holding an Arrow binary column can pass a zero-copy view of
+    its values buffer."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.zeros(0, dtype=np.uint64)
     is_end = (b & 0x80) == 0  # last byte of each value
+    payload = (b & 0x7F).astype(np.uint64)
+    if is_end.all():
+        # all-single-byte stream (values < 128 — the common case for tf
+        # and small-gap streams): pure vector path
+        return payload
     # group id per byte: 0-based index of the value it belongs to
     gid = np.zeros(b.shape, dtype=np.int64)
     gid[1:] = np.cumsum(is_end)[:-1]
@@ -79,10 +88,14 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     starts_mask = np.ones(b.shape, dtype=bool)
     starts_mask[1:] = is_end[:-1]
     start_idx = np.flatnonzero(starts_mask)
-    pos = np.arange(b.size, dtype=np.int64) - start_idx[gid]
-    payload = (b & 0x7F).astype(np.uint64)
+    pos = (np.arange(b.size, dtype=np.int64) - start_idx[gid]).astype(np.uint64)
     vals = np.zeros(n_values, dtype=np.uint64)
-    np.bitwise_or.at(vals, gid, payload << (np.uint64(7) * pos.astype(np.uint64)))
+    # per byte-position OR: each value contributes at most one byte per
+    # position, so plain fancy-indexed |= is safe and ~50x faster than
+    # the unbuffered np.bitwise_or.at scatter
+    for p in range(int(pos.max()) + 1):
+        sel = pos == np.uint64(p)
+        vals[gid[sel]] |= payload[sel] << np.uint64(7 * p)
     return vals
 
 

@@ -56,6 +56,12 @@ def get_spark(
         # 0.36 -> 0.50, 16-core peak 7.2k -> 9.8k docs/s. Shuffle volume
         # is the scarce resource at cluster scale; CPU for the codec is not.
         .config("spark.io.compression.codec", "zstd")
+        # glibc: keep multi-MB numpy temporaries in the arena instead of
+        # mmap/munmap per allocation — repeated large-array kernels
+        # otherwise refault every page on every call (measured ~60us per
+        # fault on this virtualized host under load)
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "268435456")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "268435456")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
