@@ -868,7 +868,7 @@ def _segmented_gather(src: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> 
     return src[idx]
 
 
-def _stitch_arrow_body(tbl, block_bits: int):
+def _stitch_arrow_body(tbl, block_bits: int, dbg_dir: str | None = None):
     """Merge packed partials WITHOUT decoding them.
 
     Within a (term, block) group sorted by min_doc, partial doc ranges
@@ -915,7 +915,7 @@ def _stitch_arrow_body(tbl, block_bits: int):
     prev_maxd[0] = -1
     prev_maxd[1:] = maxd[:-1]
     if np.any(nonfirst & (mind <= prev_maxd)):
-        dbg = os.environ.get("MIRU_STITCH_DEBUG_DIR")
+        dbg = dbg_dir or os.environ.get("MIRU_STITCH_DEBUG_DIR")
         if dbg:
             os.makedirs(dbg, exist_ok=True)
             with open(os.path.join(dbg, f"fb{os.getpid()}.txt"), "a") as f:
@@ -1200,6 +1200,10 @@ def _make_arrow_merger(block_bits: int):
     import pyarrow.compute as pc
 
     buf_postings = int(os.environ.get("MIRU_MERGE_BUFFER_POSTINGS", "200000"))
+    # captured driver-side: python workers fork from a daemon that
+    # inherited the JVM's env, so env set after session start (tests)
+    # would not reach them
+    dbg_dir = os.environ.get("MIRU_STITCH_DEBUG_DIR")
 
     def _n_sum(tbl_or_batch) -> int:
         idx = tbl_or_batch.schema.get_field_index("n")
@@ -1227,14 +1231,14 @@ def _make_arrow_merger(block_bits: int):
             body = whole.slice(0, start_last)
             carry = whole.slice(start_last)
             if body.num_rows:
-                out = _stitch_arrow_body(body, block_bits)
+                out = _stitch_arrow_body(body, block_bits, dbg_dir)
                 yield out if out is not None else _merge_arrow_body(body, block_bits)
             pend = carry.to_batches() if carry.num_rows else []
             npend = _n_sum(carry) if carry.num_rows else 0
         if pend:
             whole = pa.Table.from_batches(pend)
             if whole.num_rows:
-                out = _stitch_arrow_body(whole, block_bits)
+                out = _stitch_arrow_body(whole, block_bits, dbg_dir)
                 yield out if out is not None else _merge_arrow_body(whole, block_bits)
 
     return profiled(_merge, "arrow_merge")

@@ -365,3 +365,47 @@ def test_map_pack_parity_with_keyword_fields_and_scattered_ids(spark, corpus, tm
     sa = json.load(open(os.path.join(outs[True], "stats.json")))
     sb = json.load(open(os.path.join(outs[False], "stats.json")))
     assert sa == sb
+
+
+def test_stitch_merge_engages_on_fragmented_clustered_input(spark, corpus, tmp_path, monkeypatch):
+    """A task reading several small range-disjoint files in arbitrary
+    (e.g. size-sorted) order is the normal cluster read shape for an
+    id-clustered table. The packer must cut chunks at the id
+    discontinuities so every partial is a monotone interval, and the
+    merger must then STITCH (zero decode fallbacks) while staying
+    byte-identical to the row path."""
+    import glob
+    import json
+
+    from miru_spark.index.builder import build_index
+
+    # fragment the corpus into many tiny range-disjoint partitions, then
+    # shuffle partition order: ids are locally sorted, globally scrambled
+    frags = corpus.withColumn("part", (F.col("doc_id") / F.lit(40)).cast("int"))
+    src_dir = str(tmp_path / "frags")
+    frags.repartition(16, (F.col("part") * 7919) % 16) \
+        .sortWithinPartitions("doc_id") \
+        .drop("part").write.parquet(src_dir)
+    fragged = spark.read.parquet(src_dir)
+
+    dbg = str(tmp_path / "stitch_dbg")
+    monkeypatch.setenv("MIRU_STITCH_DEBUG_DIR", dbg)
+    outs = {}
+    for flag in (True, False):
+        out = str(tmp_path / f"idx_frag_{flag}")
+        build_index(spark, fragged, out, n_shards=3, block_bits=7,
+                    overwrite=True, map_pack=flag)
+        outs[flag] = out
+    sig = ["shard", "term", "block_key", "n", "sum_tf", "max_doc_id",
+           "max_tf", "codec",
+           F.md5(F.hex("doc_ids")).alias("ids_md5"), F.md5(F.hex("tfs")).alias("tfs_md5")]
+    a = _postings_sig(spark, outs[True], sig)
+    b = _postings_sig(spark, outs[False], sig)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    sa = json.load(open(os.path.join(outs[True], "stats.json")))
+    sb = json.load(open(os.path.join(outs[False], "stats.json")))
+    assert sa == sb
+    # the merge must have stitched, never decoded: no fallback breadcrumbs
+    fallbacks = glob.glob(os.path.join(dbg, "*.txt"))
+    assert fallbacks == [], f"stitch fell back to decode: {fallbacks}"
