@@ -679,6 +679,31 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clustering: exact Jaccard pairs -> connected components
+    (alternating large-star/small-star, Kiveris et al. SoCC'14 — two
+    bounded shuffles per round, O(log^2 n) rounds on chains), singleton
+    docs labeled by their own id. The oracle computes the same
+    components via a recursive transitive-closure CTE."""
+    from miru_spark.pipeline.dedup import dedup_components
+
+    return dedup_components(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.8, max_shingle_df=100,
+    )
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """Keep-one-per-cluster reduction over the near-dup components:
+    (component, keep_doc=min id, n_docs) for clusters of size >= 2."""
+    from miru_spark.pipeline.dedup import dedup_canonical
+
+    return dedup_canonical(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.8, max_shingle_df=100,
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """Approximate (seeded MinHash) — rows-only check by design."""
     from miru_spark.pipeline.dedup import minhash_lsh_pairs
@@ -865,6 +890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
+        "dedup_canonical": q_dedup_canonical,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "winnow": q_winnow,
@@ -1271,6 +1298,58 @@ SELECT id_a, id_b, round(n::DOUBLE / (x.sz + y.sz - n), 6) AS jaccard
 FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
 WHERE n::DOUBLE / (x.sz + y.sz - n) >= 0.8
 ORDER BY id_a, id_b
+""",
+        "dedup_components": f"""
+WITH RECURSIVE base AS ({toks_base}),
+sh0 AS (SELECT doc_id AS id, unnest(list_distinct(
+         CASE WHEN len(toks) >= 3
+              THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+              ELSE [array_to_string(toks, ' ')] END)) AS s
+       FROM base),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 100),
+sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b
+          FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+          WHERE n::DOUBLE / (x.sz + y.sz - n) >= 0.8),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (SELECT u, v FROM edges
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+                WHERE e.v <> r.a),
+lbl AS (SELECT a AS id, min(b) AS mn FROM reach GROUP BY a)
+SELECT d.doc_id, coalesce(least(l.mn, d.doc_id), d.doc_id) AS component
+FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+ORDER BY d.doc_id
+""",
+        "dedup_canonical": f"""
+WITH RECURSIVE base AS ({toks_base}),
+sh0 AS (SELECT doc_id AS id, unnest(list_distinct(
+         CASE WHEN len(toks) >= 3
+              THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+              ELSE [array_to_string(toks, ' ')] END)) AS s
+       FROM base),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 100),
+sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b
+          FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+          WHERE n::DOUBLE / (x.sz + y.sz - n) >= 0.8),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (SELECT u, v FROM edges
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+                WHERE e.v <> r.a),
+lbl AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+SELECT component, min(id) AS keep_doc, count(*) AS n_docs
+FROM lbl GROUP BY component HAVING count(*) >= 2
+ORDER BY component
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

@@ -396,3 +396,133 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list -> one row
+    per member node ``(id, component)`` with ``component`` = the
+    smallest id in its component.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): every round is two
+    bounded shuffles keyed on node id, state is ONLY the current edge
+    list (never a per-component structure), and convergence takes
+    O(log^2 n) rounds on adversarial chain graphs — near-dup clusters
+    are near-cliques in practice, so 2-3 rounds. This is the standard
+    scale-safe shape; naive label propagation needs O(diameter) rounds
+    and a 100 TB pair list can contain long chains (A~B~C~... drifting
+    text). Lineage is cut per round (localCheckpoint) so the plan does
+    not deepen with iterations.
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    ).where(F.col("u") != F.col("v"))
+
+    def canon(es: DataFrame) -> DataFrame:
+        return es.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).distinct()
+
+    def sym(es: DataFrame) -> DataFrame:
+        return es.union(es.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def star_min(es_sym: DataFrame) -> DataFrame:
+        # m(u) = min(N(u) ∪ {u})
+        return es_sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    edges = canon(e).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        # large-star: every strictly larger neighbor re-points at m(u)
+        s = sym(edges)
+        big = (
+            s.join(star_min(s), "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        large = canon(big.where(F.col("u") != F.col("v")))
+        # small-star: every smaller-or-equal neighbor (and u itself)
+        # re-points at m(u), processed from the larger endpoint
+        s2 = sym(large)
+        m2 = star_min(s2)
+        small = (
+            s2.join(m2, "u")
+            .where(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select("u", F.col("m").alias("v")))
+        )
+        new_edges = canon(small.where(F.col("u") != F.col("v"))).localCheckpoint(
+            eager=True
+        )
+        # canonical distinct sets: equal cardinality + one empty
+        # difference <=> equal
+        n_new = new_edges.count()
+        if n_new == n_edges and new_edges.exceptAll(edges).limit(1).count() == 0:
+            edges = new_edges
+            break
+        edges, n_edges = new_edges, n_new
+    # fixpoint is a star forest with centers = component minima:
+    # canonical edges are (center, member)
+    members = edges.select(F.col("v").alias("id"), F.col("u").alias("component"))
+    centers = edges.select(F.col("u").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return (
+        members.union(centers)
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def dedup_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Every document's near-duplicate component: exact n-gram Jaccard
+    pairs (prefix-filtered AllPairs join, :func:`ngram_jaccard_pairs`)
+    -> connected components; documents with no near-dup are their own
+    singleton component. Returns ``(doc_id, component)``."""
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=threshold, max_shingle_df=max_shingle_df
+    )
+    cc = connected_components(pairs)
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+    return ids.join(cc, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce("component", "id").alias("component"),
+    )
+
+
+def dedup_canonical(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Canonical-document selection per near-dup cluster (size >= 2):
+    keep the smallest doc_id, count the rest — the "keep one per
+    cluster" reduction a training-data pipeline applies after pair
+    generation. Returns ``(component, keep_doc, n_docs)``."""
+    comps = dedup_components(
+        df, id_col, text_col, n=n, threshold=threshold, max_shingle_df=max_shingle_df
+    )
+    return (
+        comps.groupBy("component")
+        .agg(F.min("doc_id").alias("keep_doc"), F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )

@@ -230,3 +230,51 @@ def test_multimodal_meta_and_decode(spark):
     f0 = [r for r in frames if r["id"] == 0]
     assert [r["frame_no"] for r in f0] == [0, 2]
     assert f0[0]["frame"] == bytes((b"\xff\xd8\xff" + b"a" * 100)[:32])
+
+
+def test_connected_components_topologies(spark):
+    """Chain (worst case for label propagation), clique, singleton pair,
+    and an isolated edge — all must resolve to min-id components within
+    the round budget."""
+    from miru_spark.pipeline.dedup import connected_components
+
+    edges = [
+        # a 10-node chain 100-101-...-109
+        *[(100 + i, 100 + i + 1) for i in range(9)],
+        # a 4-clique
+        (200, 201), (200, 202), (200, 203), (201, 202), (201, 203), (202, 203),
+        # one isolated pair, reversed order
+        (301, 300),
+        # self-loop must be ignored
+        (400, 400),
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    for i in range(10):
+        assert got[100 + i] == 100
+    for i in range(4):
+        assert got[200 + i] == 200
+    assert got[300] == 300 and got[301] == 300
+    assert 400 not in got  # self-loops contribute no component
+
+
+def test_dedup_components_and_canonical(spark):
+    """Duplicated texts cluster; unique docs stay singletons; canonical
+    keeps the min id with the right cluster size."""
+    from miru_spark.pipeline.dedup import dedup_canonical, dedup_components
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "alpha beta gamma delta epsilon zeta eta theta",   # dup of 0
+        2: "alpha beta gamma delta epsilon zeta eta iota",    # near-dup of 0/1
+        3: "completely different words entirely here now ok", # singleton
+        4: "unrelated content again nothing shared at all",   # singleton
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    comps = {r["doc_id"]: r["component"] for r in
+             dedup_components(df, "doc_id", "text", threshold=0.5).collect()}
+    assert comps[0] == comps[1] == comps[2] == 0
+    assert comps[3] == 3 and comps[4] == 4
+    canon = dedup_canonical(df, "doc_id", "text", threshold=0.5).collect()
+    assert len(canon) == 1
+    assert canon[0]["component"] == 0 and canon[0]["keep_doc"] == 0 and canon[0]["n_docs"] == 3
