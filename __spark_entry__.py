@@ -751,6 +751,19 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "cos", F.col("rank").cast("long").alias("rank"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN (rows-only by design: the spherical-k-means coarse
+    quantizer is iterative, not SQL-expressible; recall vs the exact
+    scan + full-probe == exact equivalence are pytest-asserted)."""
+    from miru_spark.pipeline.ann import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, q, k=10, query_id_col="vec_id", dim=dim,
+                    n_centroids=32, nprobe=8, iters=4)
+
+
 def q_cosine_pairs(spark, sf_dir):
     """Exact embedding near-dup pairs (cos >= 0.45) — distributed
     block-pair GEMM (no driver collect / corpus broadcast in the plan)."""
@@ -897,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "cosine_pairs": q_cosine_pairs,
         "cosine_pairs_lsh": q_cosine_pairs_lsh,
         "rollup_pricing": q_rollup_pricing,

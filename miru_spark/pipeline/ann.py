@@ -370,3 +370,153 @@ def cosine_pairs(
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
         .orderBy("id_a", "id_b")
     )
+
+
+def _exact_rerank(cands, vectors, queries, k, *, id_col, vec_col, query_id_col):
+    """Exact cosine re-rank of (query_id, vec_id) candidates; shared by
+    the LSH and IVF probe paths."""
+    from pyspark.sql import Window
+
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        cands.join(v, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("q_vec"), F.col("v_vec"))
+                / (_norm_col("q_vec") * _norm_col("v_vec"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_train(
+    vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    n_centroids: int = 64,
+    iters: int = 5,
+    seed: int = 11,
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer (the IVF training
+    step): seeded unit-vector init, Lloyd's iterations where each
+    executor emits only per-partition partial sums ``(centroid, n,
+    Σvec)`` — k rows per partition — and the driver reduces a k×dim
+    matrix. No iteration ever shuffles the corpus; per-iteration cost is
+    one scan + one tiny collect, and driver state is k×dim regardless of
+    corpus size. Assignment is one GEMM per Arrow batch."""
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_centroids, dim)).astype(np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    src = vectors.select(F.col(vec_col).alias("vec"))
+    for _ in range(iters):
+        c = cents  # close over this iteration's matrix
+
+        def _partials(pdf_iter, c=c):
+            agg_n = np.zeros(len(c), dtype=np.int64)
+            agg_s = np.zeros_like(c)
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+                mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                a = np.argmax(mat @ c.T, axis=1)
+                agg_n += np.bincount(a, minlength=len(c))
+                np.add.at(agg_s, a, mat)
+            nz = np.flatnonzero(agg_n)
+            yield pd.DataFrame(
+                {"cid": nz.astype(np.int32), "n": agg_n[nz],
+                 "s": [agg_s[i].tolist() for i in nz]}
+            )
+
+        rows = src.mapInPandas(
+            _partials, schema="cid int, n long, s array<double>"
+        ).collect()
+        n = np.zeros(len(cents), dtype=np.int64)
+        s = np.zeros_like(cents)
+        for r in rows:
+            n[r["cid"]] += r["n"]
+            s[r["cid"]] += np.asarray(r["s"], dtype=np.float64)
+        upd = np.flatnonzero(n)
+        new = cents.copy()
+        new[upd] = s[upd] / np.maximum(
+            np.linalg.norm(s[upd], axis=1, keepdims=True), 1e-12
+        )
+        cents = new
+    return cents
+
+
+def _ivf_assign(df: DataFrame, cents: np.ndarray, id_col: str, vec_col: str,
+                nprobe: int, out_id: str) -> DataFrame:
+    """Top-``nprobe`` nearest centroids per vector (one GEMM per batch)."""
+
+    def _assign(pdf_iter):
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ cents.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame(
+                {"id": np.repeat(ids, nprobe),
+                 "centroid": top.reshape(-1).astype(np.int32)}
+            )
+        yield pd.DataFrame(
+            {"id": pd.Series([], dtype="int64"),
+             "centroid": pd.Series([], dtype="int32")}
+        )
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return src.mapInPandas(_assign, schema="id long, centroid int").withColumnRenamed(
+        "id", out_id
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    iters: int = 5,
+    seed: int = 11,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-flat ANN: spherical-k-means coarse quantizer, corpus vectors
+    inverted by nearest centroid, queries probe their ``nprobe`` nearest
+    lists, exact cosine re-rank within the probed lists. Work per query
+    scales with probed-list occupancy (~nprobe/k of the corpus), not
+    corpus size; recall < 1 by design (tested against ``cosine_topk``).
+    Columns: query_id, vec_id, cos, rank."""
+    cents = ivf_train(
+        vectors, vec_col=vec_col, dim=dim, n_centroids=n_centroids,
+        iters=iters, seed=seed,
+    )
+    inv = _ivf_assign(vectors, cents, id_col, vec_col, 1, "vec_id")
+    probes = _ivf_assign(queries, cents, query_id_col, vec_col, nprobe, "query_id")
+    cands = inv.join(F.broadcast(probes), "centroid").select("query_id", "vec_id").distinct()
+    if exclude_self:
+        cands = cands.filter(F.col("vec_id") != F.col("query_id"))
+    return _exact_rerank(
+        cands, vectors, queries, k,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
