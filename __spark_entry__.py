@@ -679,6 +679,19 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_corpus_clean(spark, sf_dir):
+    """Composed training-data prep: quality gate (>= 0.75) -> language
+    gate (en) -> near-dup canonicalization (keep min-id per Jaccard>=0.8
+    component). One row per surviving doc. The oracle composes the
+    quality, lang_id, and recursive-CTE component oracles."""
+    from miru_spark.pipeline.text import clean_corpus
+
+    return clean_corpus(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        min_quality=0.75, langs=("en",), dedup_threshold=0.8, max_shingle_df=100,
+    )
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup clustering: exact Jaccard pairs -> connected components
     (alternating large-star/small-star, Kiveris et al. SoCC'14 — two
@@ -903,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "corpus_clean": q_corpus_clean,
         "dedup_components": q_dedup_components,
         "dedup_canonical": q_dedup_canonical,
         "minhash_lsh": q_minhash_lsh,
@@ -1312,6 +1326,62 @@ SELECT id_a, id_b, round(n::DOUBLE / (x.sz + y.sz - n), 6) AS jaccard
 FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
 WHERE n::DOUBLE / (x.sz + y.sz - n) >= 0.8
 ORDER BY id_a, id_b
+""",
+        "corpus_clean": f"""
+WITH RECURSIVE base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id AS id, len(toks) AS n_tokens,
+        CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) ELSE 0.0 END AS atl,
+        round(CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))::DOUBLE / len(toks)
+             ELSE 0.0 END, 6) AS stopword_ratio,
+        round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+             ELSE 0.0 END, 6) AS alpha_ratio
+      FROM base),
+qual AS (SELECT id, n_tokens,
+       round(((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN alpha_ratio >= 0.6 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN round(atl, 6) BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END)) / 4.0, 6) AS quality
+       FROM s),
+h AS (SELECT doc_id AS id,
+  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','sich','auf'], x))) AS de,
+  len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x))) AS en,
+  len(list_filter(toks, x -> list_contains(['el','la','los','las','es','una','para','con','por','se'], x))) AS es,
+  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','dans','que','pour','pas'], x))) AS fr
+  FROM base),
+lng AS (SELECT id, CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+  WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+  WHEN en >= es AND en >= fr THEN 'en'
+  WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang FROM h),
+kept AS (SELECT q.id, l.lang, q.quality, q.n_tokens
+         FROM qual q JOIN lng l USING (id)
+         WHERE q.quality >= 0.75 AND l.lang = 'en'),
+sh0 AS (SELECT b.doc_id AS id, unnest(list_distinct(
+         CASE WHEN len(b.toks) >= 3
+              THEN [array_to_string(b.toks[i:i+2], ' ') for i in range(1, len(b.toks) - 1)]
+              ELSE [array_to_string(b.toks, ' ')] END)) AS sg
+       FROM base b JOIN kept k ON b.doc_id = k.id),
+hot AS (SELECT sg FROM sh0 GROUP BY sg HAVING count(*) > 100),
+sh AS (SELECT * FROM sh0 WHERE sg NOT IN (SELECT sg FROM hot)),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+          FROM sh a JOIN sh b ON a.sg = b.sg AND a.id < b.id GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b
+          FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+          WHERE n::DOUBLE / (x.sz + y.sz - n) >= 0.8),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (SELECT u, v FROM edges
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+                WHERE e.v <> r.a),
+lbl AS (SELECT a AS id, min(b) AS mn FROM reach GROUP BY a)
+SELECT k.id AS doc_id, k.lang, k.quality, k.n_tokens::INT AS n_tokens
+FROM kept k LEFT JOIN lbl l ON l.id = k.id
+WHERE coalesce(least(l.mn, k.id), k.id) = k.id
+ORDER BY doc_id
 """,
         "dedup_components": f"""
 WITH RECURSIVE base AS ({toks_base}),

@@ -250,3 +250,53 @@ def winnow_fingerprints(
                 )
 
     return src.mapInPandas(_win, schema="id long, fp long").distinct()
+
+
+def clean_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_quality: float = 0.75,
+    langs: tuple[str, ...] = ("en",),
+    dedup_threshold: float = 0.8,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """End-to-end training-data prep over a raw web corpus:
+
+    1. quality gate  — :func:`quality_score` >= ``min_quality``;
+    2. language gate — :func:`lang_id` in ``langs``;
+    3. near-dup canonicalization — exact n-gram-Jaccard pairs over the
+       SURVIVING docs -> connected components -> keep the min-id doc per
+       cluster (dedup runs after the cheap gates so the quadratic-ish
+       candidate join sees only survivors).
+
+    Returns one row per kept document: (doc_id, lang, quality,
+    n_tokens). Every stage is individually oracle-checked; the composed
+    recipe has its own DuckDB twin (gates + recursive-CTE components).
+    """
+    from miru_spark.pipeline.dedup import dedup_components
+
+    q = quality_score(df, id_col, text_col)
+    l = lang_id(df, id_col, text_col).withColumnRenamed("lang_guess", "lang")
+    kept = (
+        q.filter(F.col("quality") >= min_quality)
+        .join(l.filter(F.col("lang").isin(list(langs))), "id")
+        .select("id", "lang", "quality", "n_tokens")
+    )
+    survivors = df.join(
+        kept.select(F.col("id").alias(id_col)), id_col, "left_semi"
+    )
+    comps = dedup_components(
+        survivors, id_col, text_col,
+        threshold=dedup_threshold, max_shingle_df=max_shingle_df,
+    )
+    # component label IS the cluster's min doc id: canonical = label row
+    canon = comps.filter(F.col("doc_id") == F.col("component")).select(
+        F.col("doc_id").alias("id")
+    )
+    return (
+        kept.join(canon, "id")
+        .select(F.col("id").alias("doc_id"), "lang", "quality", "n_tokens")
+        .orderBy("doc_id")
+    )

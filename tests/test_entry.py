@@ -41,6 +41,7 @@ def test_oracle_keys_subset_of_queries(entry):
     rows_only = set(qs) - set(osql)
     assert rows_only == {
         "minhash_lsh", "simhash", "winnow", "ann_lsh_topk",
+        "ann_ivf_topk",
         "cosine_pairs_lsh",
         "fulltext_highlight",
         "distinct_count_approx",
