@@ -75,6 +75,13 @@ class IndexReader:
         side — shard-level pruning still applies.
         """
         side = self.doclens_blocks()
+        # pruning exists to avoid scanning a corpus-scale sidecar; when
+        # the WHOLE index has fewer blocks than the prune cap, the
+        # discovery job costs more than the join it would save — skip it
+        n_blocks_total = (int(self.stats.get("n_docs", 0)) >> int(
+            self.stats.get("block_bits", 13))) + 1
+        if n_blocks_total <= cap:
+            return side
         light = self.blocks(terms, prefixes).select("shard", "block_key").distinct()
         rows = light.limit(cap + 1).collect()
         if len(rows) <= cap:
