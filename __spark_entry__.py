@@ -679,6 +679,31 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_sample_hash(spark, sf_dir):
+    """Deterministic md5-bucket subsample (25% of documents by doc_id):
+    same key -> same verdict on any engine, so the DuckDB twin
+    reproduces the exact row set."""
+    from miru_spark.pipeline.sampling import sample_by_hash
+
+    return (
+        sample_by_hash(_read(spark, sf_dir, "documents"), "doc_id", 0.25, seed=7)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-source document cap (crawl per-domain downsampling): keep the
+    10 lowest-doc_id docs per source."""
+    from miru_spark.pipeline.sampling import cap_per_key
+
+    return (
+        cap_per_key(_read(spark, sf_dir, "documents"), "source", 10, order_col="doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def q_corpus_clean(spark, sf_dir):
     """Composed training-data prep: quality gate (>= 0.75) -> language
     gate (en) -> near-dup canonicalization (keep min-id per Jaccard>=0.8
@@ -916,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "sample_hash": q_sample_hash,
+        "domain_cap": q_domain_cap,
         "corpus_clean": q_corpus_clean,
         "dedup_components": q_dedup_components,
         "dedup_canonical": q_dedup_canonical,
@@ -1326,6 +1353,19 @@ SELECT id_a, id_b, round(n::DOUBLE / (x.sz + y.sz - n), 6) AS jaccard
 FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
 WHERE n::DOUBLE / (x.sz + y.sz - n) >= 0.8
 ORDER BY id_a, id_b
+""",
+        "sample_hash": """
+SELECT doc_id, lang, source FROM documents
+WHERE CAST(('0x' || substring(md5(doc_id::VARCHAR || ':7'), 1, 8))::UBIGINT AS BIGINT)
+      < CAST(0.25 * 4294967296 AS BIGINT)
+ORDER BY doc_id
+""",
+        "domain_cap": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn <= 10
+ORDER BY doc_id
 """,
         "corpus_clean": f"""
 WITH RECURSIVE base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),

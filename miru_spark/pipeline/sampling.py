@@ -1,0 +1,63 @@
+"""Deterministic corpus sampling / per-source caps for training-data
+pipelines.
+
+Web-scale corpora are never consumed whole: pipelines take reproducible
+subsamples (ablations, mixture weights) and cap per-domain document
+counts (a few hosts dominate any crawl — the Zipf tail of the web).
+Both ops here are pure functions of the data, so results are identical
+across runs, partitionings, and cluster sizes:
+
+- ``sample_by_hash`` thresholds an md5-derived uniform hash of the key
+  (md5 is engine-stable: Spark, DuckDB, and Python agree byte-for-byte,
+  unlike xxhash64/DuckDB-hash which differ across engines) — the
+  standard "hash-mod sampling" that composes: a 10% sample of a 50%
+  sample with different seeds behaves like independent draws.
+- ``cap_per_key`` keeps the first ``n`` rows per key under a
+  deterministic order — one shuffle on the key; the per-key state is a
+  bounded window, never a collected list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^32 buckets from the first 8 hex digits of md5 — uniform enough for
+# sampling, cheap to reproduce in ANSI SQL
+_BUCKETS = 1 << 32
+
+
+def hash_bucket(key_col, seed: int = 0):
+    """Uniform int bucket in [0, 2^32) from md5(key || ':' || seed)."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def sample_by_hash(
+    df: DataFrame, key_col: str, rate: float, *, seed: int = 0
+) -> DataFrame:
+    """Deterministic ``rate``-fraction subsample keyed on ``key_col``.
+
+    Same key -> same verdict everywhere, so joins between independently
+    sampled relations stay consistent (sample docs and their features
+    with the same key/seed and the subsets align)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    thresh = int(rate * _BUCKETS)
+    return df.filter(hash_bucket(key_col, seed) < F.lit(thresh))
+
+
+def cap_per_key(
+    df: DataFrame, key_col: str, n: int, *, order_col: str
+) -> DataFrame:
+    """Keep at most ``n`` rows per key, lowest ``order_col`` first (the
+    per-domain cap of crawl pipelines). Deterministic total order:
+    (order_col, then key) — ties cannot reorder across runs."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -305,3 +305,29 @@ def test_ivf_topk_recall_and_determinism(spark, sf_dir):
                     n_centroids=8, nprobe=8, iters=2)
     assert {(r["query_id"], r["vec_id"], r["rank"]) for r in full.collect()} == \
            {(r["query_id"], r["vec_id"], r["rank"]) for r in exact.collect()}
+
+
+def test_sampling_deterministic_and_composable(spark):
+    from miru_spark.pipeline.sampling import cap_per_key, sample_by_hash
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37).alias("src")
+    )
+    a = {r["doc_id"] for r in sample_by_hash(df, "doc_id", 0.3, seed=1).collect()}
+    b = {r["doc_id"] for r in sample_by_hash(df, "doc_id", 0.3, seed=1).collect()}
+    assert a == b and 0.25 < len(a) / 4000 < 0.35
+    # a sample is invariant to partitioning (pure function of the key)
+    c = {r["doc_id"] for r in
+         sample_by_hash(df.repartition(13), "doc_id", 0.3, seed=1).collect()}
+    assert a == c
+    # nested sampling with independent seeds composes ~multiplicatively
+    inner = sample_by_hash(sample_by_hash(df, "doc_id", 0.5, seed=1),
+                           "doc_id", 0.5, seed=2)
+    assert 0.2 < inner.count() / 4000 < 0.3
+
+    capped = cap_per_key(df, "src", 5, order_col="doc_id")
+    per = capped.groupBy("src").count().collect()
+    assert all(r["count"] == 5 for r in per)
+    # deterministic winners: the 5 LOWEST ids per key
+    got = sorted(r["doc_id"] for r in capped.filter(F.col("src") == 0).collect())
+    assert got == [0, 37, 74, 111, 148]
