@@ -125,6 +125,33 @@ def main() -> int:
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin"],
     )
 
+    # per-domain cap + hash sample: columnar scans, no corpus-wide
+    # collect; the cap's window sort partitions by key (bounded state)
+    check(
+        "domain_cap",
+        E.q_domain_cap(spark, sf_dir),
+        must=["Batched: true"],
+        must_not=["CartesianProduct"],
+    )
+
+    from miru_spark.pipeline.sampling import sample_by_hash
+
+    check(
+        "sample_hash",
+        sample_by_hash(E._read(spark, sf_dir, "documents"), "doc_id", 0.25, seed=7),
+        must=["Batched: true"],
+        must_not=["CartesianProduct", "Exchange"],  # pure filter: NO shuffle
+    )
+
+    # connected components: the star rounds are bounded joins/aggs — the
+    # final plan (post-iteration) must stay hash-joined, no cartesian
+    check(
+        "dedup_components",
+        E.q_dedup_components(spark, sf_dir),
+        must=["Batched: true"],
+        must_not=["CartesianProduct"],
+    )
+
     from miru_spark.query.bm25 import search_wand
 
     check(
