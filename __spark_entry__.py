@@ -140,8 +140,12 @@ _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <>
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS_EN)) + "]"
 
 
-def _bm25_sql(terms: list[str], k: int, mode: str, offset: int = 0) -> str:
-    vals = ", ".join(f"('{t}')" for t in terms)
+def _bm25_sql(
+    terms: list[str], k: int, mode: str, offset: int = 0,
+    boosts: dict[str, float] | None = None,
+) -> str:
+    boosts = boosts or {}
+    vals = ", ".join(f"('{t}', {float(boosts.get(t, 1.0))})" for t in terms)
     having = f"WHERE nt = {len(terms)}" if mode == "and" else ""
     off = f" OFFSET {offset}" if offset else ""
     return f"""
@@ -149,12 +153,13 @@ WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
 st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
 tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
-q(term) AS (VALUES {vals}),
-tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
+q(term, boost) AS (VALUES {vals}),
+tf AS (SELECT tk.doc_id, tk.term, any_value(q.boost) AS boost, count(*) AS tf
+       FROM tk JOIN q USING (term) GROUP BY 1, 2),
 dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 scored AS (
   SELECT tf.doc_id,
-         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * {K1 + 1.0}
+         sum( tf.boost * ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * {K1 + 1.0}
               / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / st.avgdl)) ) AS score,
          count(DISTINCT tf.term) AS nt
   FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
@@ -194,6 +199,17 @@ def q_bm25_index_wand(spark, sf_dir):
     r = _reader(spark, sf_dir)
     out = search_wand(r, _BM25_TERMS, k=10)
     return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_boost(spark, sf_dir):
+    """Lucene `term^N` boost: the clause weight scales the term's BM25
+    contribution (reference parses queries through Lucene's classic
+    QueryParser, ``LuceneBackedQueryParser.java:47-53``, whose grammar
+    carries boosts into BoostQuery clause weights)."""
+    from miru_spark.query.bm25 import search
+
+    return search(
+        _reader(spark, sf_dir), "spark^2 AND query AND data", k=10, round_to=4)
 
 
 def q_bm25_page2(spark, sf_dir):
@@ -899,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_wand": q_bm25_index_wand,
         "bm25_index_wand_or": q_bm25_index_wand_or,
         "bm25_page2": q_bm25_page2,
+        "bm25_boost": q_bm25_boost,
         "bm25_query_stopwords": q_bm25_query_stopwords,
         "bm25_prefix": q_bm25_prefix,
         "bm25_lang_constraint": q_bm25_lang_constraint,
@@ -990,6 +1007,7 @@ ORDER BY score DESC, s.doc_id DESC LIMIT 10
         "bm25_index_wand": _bm25_sql(_BM25_TERMS, 10, "and"),
         "bm25_index_wand_or": _bm25_sql(_OR_TERMS, 10, "or"),
         "bm25_page2": _bm25_sql(_BM25_TERMS, 10, "and", offset=10),
+        "bm25_boost": _bm25_sql(_BM25_TERMS, 10, "and", boosts={"spark": 2.0}),
         "bm25_query_stopwords": _bm25_sql(["scan", "merge"], 10, "and"),
         "bm25_prefix": f"""
 WITH base AS ({toks_base}),

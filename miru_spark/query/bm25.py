@@ -301,7 +301,25 @@ def search(
         return _gather(reader, out, gather_fields, time_order=True)
 
     stats = reader.term_stats(pos_terms)
-    idf_rows = [(t, reader.idf(stats[t]["df"])) for t in pos_terms if t in stats]
+    # Lucene-classic `term^N` boost: the clause weight multiplies the
+    # term's score contribution (BoostQuery semantics). BM25's per-term
+    # contribution is linear in idf, so the boost folds into the
+    # broadcast idf relation; a term reached through several leaves
+    # (e.g. `spark^2 OR spark`) scores once with the max boost, matching
+    # this engine's dedup-terms-then-sum scoring model.
+    # NB: the weight variable must NOT be named `b` — that is the BM25
+    # length-normalization parameter in this scope.
+    tboost: dict[str, float] = {}
+    for leaf in qp.positive_leaves(ast):
+        if leaf.field is not None:
+            continue
+        wboost = float(getattr(leaf, "boost", 1.0))
+        for t in _leaf_terms(leaf, expansions):
+            tboost[t] = max(tboost.get(t, 1.0), wboost)
+    idf_rows = [
+        (t, reader.idf(stats[t]["df"]) * tboost.get(t, 1.0))
+        for t in pos_terms if t in stats
+    ]
     idf_df = reader.spark.createDataFrame(idf_rows, "term string, idf double")
 
     candidates = _eval_candidates(reader, ast, expansions, phrase_ctx)

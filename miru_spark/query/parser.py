@@ -32,12 +32,14 @@ class Node:
 class Term(Node):
     term: str
     field: str | None = None  # non-None -> composite "field:value" term
+    boost: float = 1.0  # Lucene classic ``term^N`` query-time weight
 
 
 @dataclass(frozen=True)
 class Prefix(Node):
     prefix: str
     field: str | None = None
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -50,6 +52,7 @@ class Phrase(Node):
     """
 
     terms: tuple = ()
+    boost: float = 1.0
     field = None  # class attr: phrases always live in the default field
 
 
@@ -77,9 +80,19 @@ class Not(Node):
 # `field:value` (and `field:pre*`) lexes as ONE token — Lucene's fielded
 # TermQuery/PrefixQuery syntax (``LuceneBackedQueryParser.java:76-144``
 # routes term.field() into the field filter).
+# A trailing `^N` / `^N.N` (Lucene classic boost) stays attached to its
+# term / phrase / fielded token; atom() peels it off into Node.boost.
+_BOOST = r"(?:\^\d+(?:\.\d+)?)?"
 _LEX = re.compile(
-    r"\"[^\"]*\"|\(|\)|&&|\|\||\w+:\w*\*?|\w+\*?|(?<![\w*])-|(?<![\w*])!", re.UNICODE
+    r"\"[^\"]*\"" + _BOOST
+    + r"|\(|\)|&&|\|\|"
+    + r"|\w+:\w*\*?" + _BOOST
+    + r"|\w+\*?" + _BOOST
+    + r"|(?<![\w*])-|(?<![\w*])!",
+    re.UNICODE,
 )
+
+_BOOST_SUFFIX = re.compile(r"\^(\d+(?:\.\d+)?)$")
 
 
 class QueryParseError(ValueError):
@@ -145,38 +158,43 @@ class _Parser:
             return node
         if t == ")":
             raise QueryParseError("unexpected ')'")
+        boost = 1.0
+        m = _BOOST_SUFFIX.search(t)
+        if m:  # peel `^N` off any boostable token (quoted / fielded / bare)
+            boost = float(m.group(1))
+            t = t[: m.start()]
         if t.startswith('"'):
             toks = tokenize(t.strip('"'), locale=self.locale)
             if not toks:
                 raise QueryParseError(f"empty phrase {t!r}")
             if len(toks) == 1:  # one-token "phrase" degrades to a Term
-                return Term(toks[0])
-            return Phrase(tuple(toks))
+                return Term(toks[0], boost=boost)
+            return Phrase(tuple(toks), boost=boost)
         if ":" in t:
             # fielded term: keyword fields are exact-match (no analysis,
             # KeywordAnalyzer semantics) against the composite
             # "field:value" posting term the builder wrote
             fname, _, value = t.partition(":")
             if t.endswith("*"):
-                return Prefix(f"{fname}:{value[:-1]}", field=fname)
+                return Prefix(f"{fname}:{value[:-1]}", field=fname, boost=boost)
             if not value:
                 raise QueryParseError(f"bad fielded term {t!r}")
-            return Term(t, field=fname)
+            return Term(t, field=fname, boost=boost)
         if t.endswith("*"):
             body = t[:-1]
             toks = tokenize(body, locale=self.locale)
             if len(toks) != 1:
                 raise QueryParseError(f"bad prefix term {t!r}")
-            return Prefix(toks[0])
+            return Prefix(toks[0], boost=boost)
         toks = tokenize(t, locale=self.locale)
         if not toks:
             raise QueryParseError(f"bad term {t!r}")
         if len(toks) == 1:
-            return Term(toks[0])
+            return Term(toks[0], boost=boost)
         # the analyzer split one input word into several terms (e.g.
         # "Brücke" under the frozen ASCII analyzer) — Lucene's parser
         # turns that into a boolean sub-query over the produced terms
-        return And([Term(t) for t in toks])
+        return And([Term(tk, boost=boost) for tk in toks])
 
 
 def parse_query(q: str, *, locale: str | None = None) -> Node:
@@ -219,7 +237,9 @@ def prune_stopwords(node: Node, stopwords=None) -> Node | None:
         kept = tuple(t for t in node.terms if t not in stopwords)
         if not kept:
             return None
-        return Term(kept[0]) if len(kept) == 1 else Phrase(kept)
+        if len(kept) == 1:
+            return Term(kept[0], boost=node.boost)
+        return Phrase(kept, boost=node.boost)
     if isinstance(node, Not):
         child = prune_stopwords(node.child, stopwords)
         return Not(child) if child is not None else None

@@ -47,17 +47,24 @@ class OracleIndex:
             out |= self.postings(t)
         return out
 
-    def score(self, doc: int, terms: list[str], k1: float = K1, b: float = B) -> float:
+    def score(
+        self, doc: int, terms: list[str], k1: float = K1, b: float = B,
+        boosts: dict[str, float] | None = None,
+    ) -> float:
         s = 0.0
         for t in dict.fromkeys(terms):
             tf = self.tf[doc].get(t, 0)
             if tf == 0:
                 continue
             norm = k1 * (1.0 - b + b * self.doclen[doc] / self.avgdl)
-            s += self.idf(t) * tf * (k1 + 1.0) / (tf + norm)
+            w = (boosts or {}).get(t, 1.0)
+            s += w * self.idf(t) * tf * (k1 + 1.0) / (tf + norm)
         return s
 
-    def topk(self, candidates: set[int], terms: list[str], k: int) -> list[tuple[int, float]]:
-        scored = [(self.score(d, terms), d) for d in candidates]
+    def topk(
+        self, candidates: set[int], terms: list[str], k: int,
+        boosts: dict[str, float] | None = None,
+    ) -> list[tuple[int, float]]:
+        scored = [(self.score(d, terms, boosts=boosts), d) for d in candidates]
         scored.sort(key=lambda x: (-x[0], -x[1]))
         return [(d, s) for s, d in scored[:k]]

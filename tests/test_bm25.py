@@ -639,3 +639,40 @@ def test_phrase_absent_bigram_empty(reader, oracle, corpus):
     assert (t1, t2) not in big
     got = bm25.search(reader, f'"{t1} {t2}"', k=10, text_df=corpus).collect()
     assert got == []
+
+
+def test_boosted_term_matches_oracle(reader, oracle):
+    terms = ["w00001", "w00004"]
+    boosts = {"w00001": 3.0}
+    expected = oracle.topk(oracle.candidates_and(terms), terms, 15, boosts=boosts)
+    got = bm25.search(reader, "w00001^3 AND w00004", k=15).collect()
+    _assert_rank_identical(got, expected)
+
+
+def test_boost_changes_ranking(reader, oracle):
+    terms = ["w00003", "w00050"]
+    base = bm25.search(reader, "w00003 OR w00050", k=15).collect()
+    boosted = bm25.search(reader, "w00003 OR w00050^10", k=15).collect()
+    exp_base = oracle.topk(oracle.candidates_or(terms), terms, 15)
+    exp_boost = oracle.topk(
+        oracle.candidates_or(terms), terms, 15, boosts={"w00050": 10.0})
+    _assert_rank_identical(base, exp_base)
+    _assert_rank_identical(boosted, exp_boost)
+    assert [r["doc_id"] for r in base] != [r["doc_id"] for r in boosted]
+
+
+def test_boost_on_duplicate_leaf_takes_max(reader, oracle):
+    # `w00001^2 OR w00001` scores the term once with the max boost
+    terms = ["w00001"]
+    expected = oracle.topk(
+        oracle.candidates_and(terms), terms, 10, boosts={"w00001": 2.0})
+    got = bm25.search(reader, "w00001^2 OR w00001", k=10).collect()
+    _assert_rank_identical(got, expected)
+
+
+def test_boosted_prefix_applies_to_expansions(reader, oracle):
+    exp_terms = oracle.expand_prefix("w0000")
+    boosts = {t: 2.0 for t in exp_terms}
+    expected = oracle.topk(oracle.candidates_or(exp_terms), exp_terms, 10, boosts=boosts)
+    got = bm25.search(reader, "w0000*^2", k=10, max_expansion=1000).collect()
+    _assert_rank_identical(got, expected)

@@ -177,3 +177,42 @@ def test_empty_phrase_raises():
 
     with pytest.raises(QueryParseError):
         parse_query('""')
+
+
+def test_boost_suffix_on_term():
+    from miru_spark.query.parser import Term
+
+    node = parse_query("spark^2")
+    assert node == Term("spark", boost=2.0)
+    node = parse_query("spark^2.5")
+    assert node == Term("spark", boost=2.5)
+
+
+def test_boost_default_is_one():
+    from miru_spark.query.parser import Term
+
+    assert parse_query("spark") == Term("spark", boost=1.0)
+
+
+def test_boost_on_prefix_fielded_and_phrase():
+    from miru_spark.query.parser import Phrase, Prefix, Term
+
+    assert parse_query("quer*^3") == Prefix("quer", boost=3.0)
+    assert parse_query("lang:en^2") == Term("lang:en", field="lang", boost=2.0)
+    assert parse_query('"hello world"^4') == Phrase(("hello", "world"), boost=4.0)
+
+
+def test_boost_in_boolean_context():
+    from miru_spark.query.parser import And, Term
+
+    node = parse_query("spark^2 AND query")
+    assert node == And([Term("spark", boost=2.0), Term("query")])
+
+
+def test_boost_survives_stopword_pruning():
+    from miru_spark.query.parser import Phrase, Term, prune_stopwords
+
+    node = parse_query('"the spark"^2')
+    assert isinstance(node, Phrase) and node.boost == 2.0
+    pruned = prune_stopwords(node)
+    assert pruned == Term("spark", boost=2.0)
