@@ -312,6 +312,44 @@ def q_bm25_phrase(spark, sf_dir):
     )
 
 
+def q_bm25_fuzzy(spark, sf_dir):
+    """Lucene `term~N` fuzzy query: the misspelling 'qery' expands to
+    dictionary terms within Levenshtein distance 1 (JVM levenshtein over
+    a length-banded dictionary slice, capped like wildcards); each
+    expansion scores with its own idf, exactly like prefix expansion.
+    Reference grammar: classic QueryParser FuzzyQuery
+    (``LuceneBackedQueryParser.java:47-53``)."""
+    from miru_spark.query.bm25 import search
+
+    return search(_reader(spark, sf_dir), "qery~1 AND data", k=10, round_to=4)
+
+
+def q_bm25_range(spark, sf_dir):
+    """Lucene `field:[lo TO hi]` range query: a lexicographic slice of
+    the field's keyword vocabulary becomes a candidate mask (composite
+    posting-term union, no doc-store scan), ANDed like any fielded
+    filter; only text terms score. src1..src2 covers src1, src10..src19,
+    src2 lexicographically — a deliberately non-trivial slice."""
+    from miru_spark.query.bm25 import search
+
+    return search(
+        _reader(spark, sf_dir), "spark AND source:[src1 TO src2]", k=10,
+        round_to=4)
+
+
+def q_bm25_slop(spark, sf_dir):
+    """Ordered sloppy phrase `"table hash"~2`: terms in order within a
+    len(terms)+slop token window, verified by one JVM subsequence-
+    automaton expression over the candidates (same plan as the exact
+    phrase, wider window)."""
+    from miru_spark.query.bm25 import search
+
+    return search(
+        _reader(spark, sf_dir), '"table hash"~2', k=10, round_to=4,
+        text_df=_read(spark, sf_dir, "documents"),
+    )
+
+
 def q_fulltext_time_newest(spark, sf_dir):
     """TIME strategy: newest-k matching docs, score = 0."""
     from miru_spark.query.bm25 import search_time_newest
@@ -923,6 +961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fielded": q_bm25_fielded,
         "bm25_gather_fields": q_bm25_gather_fields,
         "bm25_phrase": q_bm25_phrase,
+        "bm25_fuzzy": q_bm25_fuzzy,
+        "bm25_range": q_bm25_range,
+        "bm25_slop": q_bm25_slop,
         "fulltext_time_newest": q_fulltext_time_newest,
         "fulltext_highlight": q_fulltext_highlight,
         "index_dictionary": q_index_dictionary,
@@ -1058,6 +1099,69 @@ ORDER BY t.score DESC, t.doc_id DESC
         # phrase semantics: doc contains the consecutive token pair AND
         # the other terms; scoring = BM25 over all three terms (phrase
         # terms weigh like ordinary terms)
+        "bm25_fuzzy": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
+st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
+fq AS (SELECT DISTINCT term FROM tk WHERE levenshtein(term, 'qery') <= 1),
+q AS (SELECT term FROM fq UNION SELECT 'data'),
+tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+cand AS (SELECT doc_id FROM tf WHERE term IN (SELECT term FROM fq)
+         INTERSECT SELECT doc_id FROM tf WHERE term = 'data'),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * 2.2 
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  JOIN cand USING (doc_id)
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id DESC LIMIT 10
+""",
+        "bm25_range": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
+st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
+q(term) AS (VALUES ('spark')),
+tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * 2.2 
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+WHERE d.source >= 'src1' AND d.source <= 'src2'
+ORDER BY score DESC, s.doc_id DESC LIMIT 10
+""",
+        "bm25_slop": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
+st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+ph AS (SELECT doc_id FROM base
+       WHERE len(list_filter(generate_series(1, len(toks) - 1),
+             i -> toks[i] = 'table' AND len(list_filter(
+                  generate_series(i + 1, least(i + 3, len(toks))),
+                  j -> toks[j] = 'hash')) > 0)) > 0),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
+q(term) AS (VALUES ('table'), ('hash')),
+tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * 2.2 
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT s.doc_id, round(s.score, 4) AS score FROM scored s JOIN ph USING (doc_id)
+WHERE nt = 2 ORDER BY score DESC, doc_id DESC LIMIT 10
+""",
         "bm25_phrase": f"""
 WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 dl AS (SELECT doc_id, len(toks) AS doclen FROM base),

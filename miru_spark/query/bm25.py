@@ -78,11 +78,24 @@ def composite_authz(
 
 
 def _expand(reader: IndexReader, node, max_expansion: int) -> dict:
-    """Map each Prefix leaf to its dictionary expansion (cached per query)."""
+    """Map each expanding leaf (Prefix / Fuzzy / TermRange) to its
+    dictionary expansion, computed once per query. Prefixes key by their
+    prefix string; Fuzzy / TermRange leaves are frozen dataclasses and
+    key by the leaf itself."""
     out = {}
     for leaf in qp._all_leaves(node):
         if isinstance(leaf, qp.Prefix) and leaf.prefix not in out:
             out[leaf.prefix] = reader.expand_prefix(leaf.prefix, max_expansion)
+        elif isinstance(leaf, qp.Fuzzy) and leaf not in out:
+            # same cap knob as wildcards; Lucene FuzzyQuery's own default
+            # (maxExpansions=50) is the caller's to request
+            out[leaf] = reader.expand_fuzzy(
+                leaf.term, leaf.max_edits, max_expansion=max_expansion)
+        elif isinstance(leaf, qp.TermRange) and leaf not in out:
+            out[leaf] = reader.expand_range(
+                leaf.field, leaf.lo, leaf.hi,
+                include_lo=leaf.include_lo, include_hi=leaf.include_hi,
+                max_expansion=max(max_expansion, 1000))
     return out
 
 
@@ -91,14 +104,18 @@ def _leaf_terms(leaf, expansions) -> list[str]:
         return [leaf.term]
     if isinstance(leaf, qp.Phrase):
         return list(leaf.terms)
+    if isinstance(leaf, (qp.Fuzzy, qp.TermRange)):
+        return expansions.get(leaf, [])
     return expansions.get(leaf.prefix, [])
 
 
-def _phrase_hit_col(terms: list[str], text_col: str, use_stopwords: bool):
+def _phrase_hit_col(terms: list[str], text_col: str, use_stopwords: bool,
+                    slop: int = 0):
     """JVM predicate: the analyzed token stream of ``text_col`` contains
-    ``terms`` consecutively. Whole-stage-codegen expression (tokens_col is
-    the parity-tested JVM twin of the Arrow tokenizer) — no Python in the
-    verify path."""
+    ``terms`` consecutively (slop=0), or in order within a window of
+    ``len(terms) + slop`` tokens (ordered sloppy phrase, ``"a b"~N``).
+    Whole-stage-codegen expression (tokens_col is the parity-tested JVM
+    twin of the Arrow tokenizer) — no Python in the verify path."""
     from miru_spark.analysis.tokenizer import tokens_col
 
     toks = tokens_col(F.col(text_col), use_stopwords=use_stopwords)
@@ -107,7 +124,26 @@ def _phrase_hit_col(terms: list[str], text_col: str, use_stopwords: bool):
     # greatest(...,1) keeps the sequence ascending for docs shorter than
     # the phrase; their (short) slice never equals pat
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
-    return F.exists(idx, lambda i: F.slice(toks, i, n) == pat)
+    if slop <= 0:
+        return F.exists(idx, lambda i: F.slice(toks, i, n) == pat)
+    # sloppy: greedy subsequence automaton over each (n + slop)-token
+    # window — greedy matching is exact for subsequence containment, and
+    # any in-order occurrence spanning <= n + slop tokens is contained in
+    # the window starting at its first matched token
+    w = n + slop
+
+    def _window_matches(i):
+        win = F.slice(toks, i, w)
+        state = F.aggregate(
+            win,
+            F.lit(0),
+            lambda acc, x: F.when(
+                (acc < n) & (x == F.element_at(pat, acc + 1)), acc + 1
+            ).otherwise(acc),
+        )
+        return state >= n
+
+    return F.exists(idx, _window_matches)
 
 
 def _parse_for_index(reader: IndexReader, query, *, locale=None, use_stopwords=None):
@@ -155,17 +191,20 @@ def _eval_candidates(reader: IndexReader, node, expansions, phrase_ctx=None) -> 
         verified = (
             text_df.select(F.col("doc_id").cast("long").alias("doc_id"), F.col(text_col))
             .join(acc, "doc_id", "left_semi")
-            .filter(_phrase_hit_col(list(node.terms), text_col, use_stop))
+            .filter(_phrase_hit_col(
+                list(node.terms), text_col, use_stop,
+                slop=getattr(node, "slop", 0)))
             .select("doc_id")
         )
         return verified
-    if isinstance(node, (qp.Term, qp.Prefix)):
+    if isinstance(node, (qp.Term, qp.Prefix, qp.Fuzzy, qp.TermRange)):
         terms = _leaf_terms(node, expansions)
         if not terms:
-            # unmatched prefix -> empty set
+            # unmatched prefix / fuzzy / range -> empty set
             return reader.spark.range(0).select(F.col("id").alias("doc_id"))
         df = reader.postings(terms=terms).select("doc_id")
-        return df.distinct() if (isinstance(node, qp.Prefix) and len(terms) > 1) else df
+        multi = not isinstance(node, qp.Term) and len(terms) > 1
+        return df.distinct() if multi else df
     if isinstance(node, qp.And):
         positives = [c for c in node.children if not isinstance(c, qp.Not)]
         negatives = [c.child for c in node.children if isinstance(c, qp.Not)]

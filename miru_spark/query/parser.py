@@ -49,11 +49,45 @@ class Phrase(Node):
     (``LuceneBackedQueryParser.java:76-144``) — phrases are an extension
     this engine adds for web-corpus search. ``field`` is always the
     default text field (fielded keyword values are exact-match already).
+
+    ``slop`` (``"a b"~N``): ordered sloppy match — the terms must appear
+    in order with at most ``slop`` extra tokens interleaved (no
+    transpositions; Lucene's slop additionally buys reorderings at
+    slop >= 2, a semantics this engine deliberately narrows).
     """
 
     terms: tuple = ()
     boost: float = 1.0
+    slop: int = 0
     field = None  # class attr: phrases always live in the default field
+
+
+@dataclass(frozen=True)
+class Fuzzy(Node):
+    """``term~N``: matches indexed terms within Levenshtein distance
+    ``max_edits`` of ``term`` (Lucene classic FuzzyQuery; bare ``term~``
+    defaults to 2 edits). Default text field only."""
+
+    term: str
+    max_edits: int = 2
+    boost: float = 1.0
+    field = None  # class attr: fuzzy applies to the default text field
+
+
+@dataclass(frozen=True)
+class TermRange(Node):
+    """``field:[lo TO hi]`` / ``{lo TO hi}``: lexicographic keyword-value
+    range over a fielded keyword vocabulary (Lucene TermRangeQuery —
+    square bracket = inclusive, curly = exclusive, ``*`` = open bound).
+    Like all fielded leaves it is an exact-match candidate MASK and
+    contributes no BM25 weight."""
+
+    field: str = ""
+    lo: str | None = None
+    hi: str | None = None
+    include_lo: bool = True
+    include_hi: bool = True
+    boost: float = 1.0
 
 
 @dataclass
@@ -80,19 +114,26 @@ class Not(Node):
 # `field:value` (and `field:pre*`) lexes as ONE token — Lucene's fielded
 # TermQuery/PrefixQuery syntax (``LuceneBackedQueryParser.java:76-144``
 # routes term.field() into the field filter).
-# A trailing `^N` / `^N.N` (Lucene classic boost) stays attached to its
-# term / phrase / fielded token; atom() peels it off into Node.boost.
+# A trailing `~N` (fuzzy / slop) then `^N` / `^N.N` (boost) stays
+# attached to its term / phrase / fielded token, in Lucene's suffix
+# order (`"a b"~2^3`, `term~1^2`); atom() peels them off into
+# Node.{max_edits,slop,boost}. `field:[lo TO hi]` / `{lo TO hi}` lexes
+# as ONE range token (Lucene TermRangeQuery syntax).
 _BOOST = r"(?:\^\d+(?:\.\d+)?)?"
+_FUZZ = r"(?:~\d*)?"
 _LEX = re.compile(
-    r"\"[^\"]*\"" + _BOOST
+    r"\"[^\"]*\"" + _FUZZ + _BOOST
     + r"|\(|\)|&&|\|\|"
-    + r"|\w+:\w*\*?" + _BOOST
-    + r"|\w+\*?" + _BOOST
-    + r"|(?<![\w*])-|(?<![\w*])!",
+    + r"|\w+:[\[{][^\]}]*[\]}]" + _BOOST
+    + r"|\w+:\w*\*?" + _FUZZ + _BOOST
+    + r"|\w+\*?" + _FUZZ + _BOOST
+    + r"|(?<![\w*])-|(?<![\w*])!|(?<![\w*])\+",
     re.UNICODE,
 )
 
 _BOOST_SUFFIX = re.compile(r"\^(\d+(?:\.\d+)?)$")
+_FUZZ_SUFFIX = re.compile(r"~(\d*)$")
+_RANGE_BODY = re.compile(r"^(\w+):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$")
 
 
 class QueryParseError(ValueError):
@@ -145,6 +186,13 @@ class _Parser:
         if t is not None and t in ("NOT", "-", "!"):
             self.next()
             return Not(self.unary())
+        if t == "+":
+            # Lucene's MUST marker: under this engine's AND-default
+            # grammar every non-negated clause is already required, so
+            # `+` is consumed as a no-op (as classic QueryParser does
+            # when defaultOperator=AND)
+            self.next()
+            return self.unary()
         return self.atom()
 
     def atom(self) -> Node:
@@ -159,18 +207,44 @@ class _Parser:
         if t == ")":
             raise QueryParseError("unexpected ')'")
         boost = 1.0
-        m = _BOOST_SUFFIX.search(t)
-        if m:  # peel `^N` off any boostable token (quoted / fielded / bare)
-            boost = float(m.group(1))
-            t = t[: m.start()]
+        bm = _BOOST_SUFFIX.search(t)
+        if bm:  # peel `^N` off any boostable token (quoted / fielded / bare)
+            boost = float(bm.group(1))
+            t = t[: bm.start()]
+        # peel `~N` (fuzzy edits on a term, slop on a phrase); a bare
+        # `~` means "default": 2 edits for fuzzy, 0 slop for phrases
+        has_tilde = False
+        tilde_n: int | None = None
+        fm = _FUZZ_SUFFIX.search(t)
+        if fm:
+            has_tilde = True
+            tilde_n = int(fm.group(1)) if fm.group(1) else None
+            t = t[: fm.start()]
         if t.startswith('"'):
             toks = tokenize(t.strip('"'), locale=self.locale)
             if not toks:
                 raise QueryParseError(f"empty phrase {t!r}")
             if len(toks) == 1:  # one-token "phrase" degrades to a Term
                 return Term(toks[0], boost=boost)
-            return Phrase(tuple(toks), boost=boost)
+            return Phrase(tuple(toks), boost=boost, slop=tilde_n or 0)
+        rm = _RANGE_BODY.match(t)
+        if rm:
+            fname, ob, lo, hi, cb = rm.groups()
+            return TermRange(
+                field=fname,
+                lo=None if lo == "*" else lo,
+                hi=None if hi == "*" else hi,
+                include_lo=ob == "[",
+                include_hi=cb == "]",
+                boost=boost,
+            )
         if ":" in t:
+            if "[" in t or "{" in t:
+                raise QueryParseError(f"bad range {t!r} (expected field:[lo TO hi])")
+            if has_tilde:
+                raise QueryParseError(
+                    f"fuzzy not supported on fielded term {t!r} (keyword "
+                    "fields are exact-match)")
             # fielded term: keyword fields are exact-match (no analysis,
             # KeywordAnalyzer semantics) against the composite
             # "field:value" posting term the builder wrote
@@ -181,11 +255,21 @@ class _Parser:
                 raise QueryParseError(f"bad fielded term {t!r}")
             return Term(t, field=fname, boost=boost)
         if t.endswith("*"):
+            if has_tilde:
+                raise QueryParseError(f"cannot combine wildcard and fuzzy in {t!r}")
             body = t[:-1]
             toks = tokenize(body, locale=self.locale)
             if len(toks) != 1:
                 raise QueryParseError(f"bad prefix term {t!r}")
             return Prefix(toks[0], boost=boost)
+        if has_tilde:
+            # fuzzy term: analyze the body (it must stay one token);
+            # bare `term~` defaults to 2 edits as in Lucene classic
+            toks = tokenize(t, locale=self.locale)
+            if len(toks) != 1:
+                raise QueryParseError(f"bad fuzzy term {t!r}")
+            return Fuzzy(toks[0], max_edits=2 if tilde_n is None else tilde_n,
+                         boost=boost)
         toks = tokenize(t, locale=self.locale)
         if not toks:
             raise QueryParseError(f"bad term {t!r}")
@@ -226,7 +310,7 @@ def prune_stopwords(node: Node, stopwords=None) -> Node | None:
     if isinstance(node, Term):
         # fielded terms are exact-match keyword values, never stopwords
         return None if (node.field is None and node.term in stopwords) else node
-    if isinstance(node, Prefix):
+    if isinstance(node, (Prefix, Fuzzy, TermRange)):
         return node
     if isinstance(node, Phrase):
         # a stopword-stripped index has no stopword tokens to be adjacent
@@ -254,9 +338,12 @@ def prune_stopwords(node: Node, stopwords=None) -> Node | None:
     return And(kept) if isinstance(node, And) else Or(kept)
 
 
+LEAF_TYPES = (Term, Prefix, Phrase, Fuzzy, TermRange)
+
+
 def positive_leaves(node: Node) -> list[Node]:
-    """All Term/Prefix/Phrase leaves not under a NOT — the scoring terms."""
-    if isinstance(node, (Term, Prefix, Phrase)):
+    """All leaves not under a NOT — the scoring terms."""
+    if isinstance(node, LEAF_TYPES):
         return [node]
     if isinstance(node, Not):
         return []
@@ -267,7 +354,7 @@ def positive_leaves(node: Node) -> list[Node]:
 
 
 def negative_leaves(node: Node) -> list[Node]:
-    if isinstance(node, (Term, Prefix, Phrase)):
+    if isinstance(node, LEAF_TYPES):
         return []
     if isinstance(node, Not):
         return [leaf for leaf in _all_leaves(node.child)]
@@ -278,7 +365,7 @@ def negative_leaves(node: Node) -> list[Node]:
 
 
 def _all_leaves(node: Node) -> list[Node]:
-    if isinstance(node, (Term, Prefix, Phrase)):
+    if isinstance(node, LEAF_TYPES):
         return [node]
     if isinstance(node, Not):
         return _all_leaves(node.child)

@@ -37,6 +37,26 @@ class OracleIndex:
     def expand_prefix(self, prefix: str) -> list[str]:
         return sorted(t for t in self.df if t.startswith(prefix))
 
+    def expand_fuzzy(self, term: str, max_edits: int) -> list[str]:
+        return sorted(t for t in self.df if levenshtein(t, term) <= max_edits)
+
+    def phrase_slop_docs(self, terms: list[str], slop: int) -> set[int]:
+        """Docs where ``terms`` appear in order within a window of
+        len(terms)+slop tokens (the engine's ordered-sloppy semantics)."""
+        n = len(terms)
+        w = n + slop
+        hits: set[int] = set()
+        for d, toks in self.tokens.items():
+            for i in range(max(len(toks) - n + 1, 0)):
+                st = 0
+                for x in toks[i:i + w]:
+                    if st < n and x == terms[st]:
+                        st += 1
+                if st == n:
+                    hits.add(d)
+                    break
+        return hits
+
     def candidates_and(self, terms: list[str]) -> set[int]:
         sets = [self.postings(t) for t in terms]
         return set.intersection(*sets) if sets else set()
@@ -68,3 +88,16 @@ class OracleIndex:
         scored = [(self.score(d, terms, boosts=boosts), d) for d in candidates]
         scored.sort(key=lambda x: (-x[0], -x[1]))
         return [(d, s) for s, d in scored[:k]]
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain DP edit distance (the pytest twin of F.levenshtein)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]

@@ -676,3 +676,91 @@ def test_boosted_prefix_applies_to_expansions(reader, oracle):
     expected = oracle.topk(oracle.candidates_or(exp_terms), exp_terms, 10, boosts=boosts)
     got = bm25.search(reader, "w0000*^2", k=10, max_expansion=1000).collect()
     _assert_rank_identical(got, expected)
+
+
+def test_fuzzy_matches_oracle(reader, oracle):
+    exp = oracle.expand_fuzzy("w00001", 1)
+    assert len(exp) > 5  # a real multi-term expansion on this corpus
+    cands = oracle.candidates_or(exp) & oracle.postings("w00004")
+    expected = oracle.topk(cands, exp + ["w00004"], 15)
+    got = bm25.search(reader, "w00001~1 AND w00004", k=15,
+                      max_expansion=1000).collect()
+    _assert_rank_identical(got, expected)
+
+
+def test_fuzzy_two_edits_matches_oracle(reader, oracle):
+    exp = oracle.expand_fuzzy("w00001", 2)
+    assert len(exp) > len(oracle.expand_fuzzy("w00001", 1))
+    expected = oracle.topk(oracle.candidates_or(exp), exp, 10)
+    got = bm25.search(reader, "w00001~2", k=10, max_expansion=1000).collect()
+    _assert_rank_identical(got, expected)
+
+
+def test_fuzzy_no_match_is_empty(reader):
+    assert bm25.search(reader, "zzzzzzzzzz~1", k=10).collect() == []
+
+
+def test_range_equals_isin_constraint(spark, fielded_reader):
+    from pyspark.sql import functions as F
+
+    a = bm25.search(
+        fielded_reader, "lang:[de TO en] AND w00001", k=20, round_to=6
+    ).collect()
+    b = bm25.search(
+        fielded_reader, "w00001", k=20, round_to=6,
+        constraint=F.col("lang").isin(["de", "en"])).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b]
+    assert len(a) > 0
+
+
+def test_range_exclusive_and_open_bounds(spark, fielded_reader):
+    # {de TO fr} excludes both bounds -> only 'en' survives
+    a = bm25.search(
+        fielded_reader, "lang:{de TO fr} AND w00001", k=20, round_to=6
+    ).collect()
+    b = bm25.search(
+        fielded_reader, "lang:en AND w00001", k=20, round_to=6).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b]
+    # open upper bound [fr TO *] -> only 'fr'
+    c = bm25.search(
+        fielded_reader, "lang:[fr TO *] AND w00001", k=20, round_to=6
+    ).collect()
+    d = bm25.search(
+        fielded_reader, "lang:fr AND w00001", k=20, round_to=6).collect()
+    assert [(r["doc_id"], r["score"]) for r in c] == [
+        (r["doc_id"], r["score"]) for r in d]
+
+
+def test_slop_matches_oracle(reader, oracle, corpus):
+    terms = ["w00003", "w00007"]
+    cands = oracle.phrase_slop_docs(terms, 2)
+    assert cands
+    expected = oracle.topk(cands, terms, 20)
+    got = bm25.search(reader, '"w00003 w00007"~2', k=20,
+                      text_df=corpus).collect()
+    _assert_rank_identical(got, expected)
+
+
+def test_slop_zero_equals_exact_phrase(reader, oracle, corpus):
+    a = bm25.search(reader, '"w00001 w00002"~0', k=50, text_df=corpus).collect()
+    b = bm25.search(reader, '"w00001 w00002"', k=50, text_df=corpus).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b]
+
+
+def test_slop_is_superset_of_exact(reader, oracle, corpus):
+    exact = oracle.phrase_slop_docs(["w00001", "w00002"], 0)
+    sloppy = oracle.phrase_slop_docs(["w00001", "w00002"], 4)
+    assert exact <= sloppy
+    got = {r["doc_id"] for r in bm25.search(
+        reader, '"w00001 w00002"~4', k=600, text_df=corpus).collect()}
+    assert got == sloppy
+
+
+def test_plus_must_marker_is_noop(reader):
+    a = bm25.search(reader, "+w00001 +w00004", k=15).collect()
+    b = bm25.search(reader, "w00001 AND w00004", k=15).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b]

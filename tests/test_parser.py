@@ -216,3 +216,49 @@ def test_boost_survives_stopword_pruning():
     assert isinstance(node, Phrase) and node.boost == 2.0
     pruned = prune_stopwords(node)
     assert pruned == Term("spark", boost=2.0)
+
+
+def test_fuzzy_parses():
+    from miru_spark.query.parser import Fuzzy
+
+    assert parse_query("spark~1") == Fuzzy("spark", max_edits=1)
+    assert parse_query("spark~") == Fuzzy("spark", max_edits=2)
+    assert parse_query("spark~1^2") == Fuzzy("spark", max_edits=1, boost=2.0)
+
+
+def test_range_parses():
+    from miru_spark.query.parser import TermRange
+
+    assert parse_query("lang:[de TO en]") == TermRange(
+        "lang", "de", "en", include_lo=True, include_hi=True)
+    assert parse_query("lang:{de TO fr}") == TermRange(
+        "lang", "de", "fr", include_lo=False, include_hi=False)
+    assert parse_query("lang:[fr TO *]") == TermRange(
+        "lang", "fr", None, include_lo=True, include_hi=True)
+    assert parse_query("lang:[* TO de}") == TermRange(
+        "lang", None, "de", include_lo=True, include_hi=False)
+
+
+def test_slop_parses():
+    from miru_spark.query.parser import Phrase
+
+    node = parse_query('"hello big world"~2')
+    assert node == Phrase(("hello", "big", "world"), slop=2)
+    assert parse_query('"hello world"~2^3') == Phrase(
+        ("hello", "world"), slop=2, boost=3.0)
+
+
+def test_plus_marker_consumed():
+    from miru_spark.query.parser import And, Term
+
+    assert parse_query("+spark +query") == And([Term("spark"), Term("query")])
+
+
+def test_fuzzy_and_wildcard_rejections():
+    import pytest as _pytest
+
+    from miru_spark.query.parser import QueryParseError
+
+    for bad in ["lang:en~1", "quer*~1"]:
+        with _pytest.raises(QueryParseError):
+            parse_query(bad)
