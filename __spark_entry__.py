@@ -324,6 +324,18 @@ def q_bm25_fuzzy(spark, sf_dir):
     return search(_reader(spark, sf_dir), "qery~1 AND data", k=10, round_to=4)
 
 
+def q_bm25_wildcard(spark, sf_dir):
+    """Lucene WildcardQuery `te?t` / `s*rk`: the pattern expands against
+    the dictionary with one JVM LIKE scan (`?`->_, `*`->%), pruned by
+    the literal prefix before the first wildcard; expansions score with
+    their own idf, exactly like prefix/fuzzy expansion. Reference
+    grammar: classic QueryParser WildcardQuery
+    (``LuceneBackedQueryParser.java:47-53``)."""
+    from miru_spark.query.bm25 import search
+
+    return search(_reader(spark, sf_dir), "s?ark AND d*ta", k=10, round_to=4)
+
+
 def q_bm25_range(spark, sf_dir):
     """Lucene `field:[lo TO hi]` range query: a lexicographic slice of
     the field's keyword vocabulary becomes a candidate mask (composite
@@ -962,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_gather_fields": q_bm25_gather_fields,
         "bm25_phrase": q_bm25_phrase,
         "bm25_fuzzy": q_bm25_fuzzy,
+        "bm25_wildcard": q_bm25_wildcard,
         "bm25_range": q_bm25_range,
         "bm25_slop": q_bm25_slop,
         "fulltext_time_newest": q_fulltext_time_newest,
@@ -1113,6 +1126,28 @@ cand AS (SELECT doc_id FROM tf WHERE term IN (SELECT term FROM fq)
 scored AS (
   SELECT tf.doc_id,
          sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * 2.2 
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  JOIN cand USING (doc_id)
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id DESC LIMIT 10
+""",
+        "bm25_wildcard": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
+st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
+w1 AS (SELECT DISTINCT term FROM tk WHERE term LIKE 's_ark'),
+w2 AS (SELECT DISTINCT term FROM tk WHERE term LIKE 'd%ta'),
+q AS (SELECT term FROM w1 UNION SELECT term FROM w2),
+tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+cand AS (SELECT doc_id FROM tf WHERE term IN (SELECT term FROM w1)
+         INTERSECT SELECT doc_id FROM tf WHERE term IN (SELECT term FROM w2)),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * 2.2
               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS score
   FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
   JOIN cand USING (doc_id)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -278,6 +279,30 @@ class IndexReader:
         rows = (
             self.dictionary()
             .filter(F.col("term").startswith(prefix))
+            .orderBy(F.col("df").desc(), F.col("term"))
+            .limit(max_expansion)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def expand_wildcard(self, pattern: str, max_expansion: int = 100) -> list[str]:
+        """Dictionary expansion for general wildcard terms (``te?t``,
+        ``s*rk``): ``*`` = any substring, ``?`` = one character, matched
+        JVM-side with SQL LIKE (whole-stage codegen). The literal prefix
+        before the first wildcard prunes the dictionary scan the same way
+        :meth:`expand_prefix` does; a leading wildcard degrades to a full
+        dictionary scan, which the df-ranked cap still bounds (Lucene's
+        ``allowLeadingWildcard`` trade-off)."""
+        lit = re.split(r"[*?]", pattern, maxsplit=1)[0]
+        like = (
+            pattern.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+            .replace("*", "%").replace("?", "_")
+        )
+        cand = self.dictionary()
+        if lit:
+            cand = cand.filter(F.col("term").startswith(lit))
+        rows = (
+            cand.filter(F.col("term").like(like))
             .orderBy(F.col("df").desc(), F.col("term"))
             .limit(max_expansion)
             .collect()

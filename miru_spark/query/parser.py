@@ -75,6 +75,22 @@ class Fuzzy(Node):
 
 
 @dataclass(frozen=True)
+class Wildcard(Node):
+    """``te?t`` / ``s*rk`` — Lucene WildcardQuery: ``*`` matches any
+    token substring, ``?`` exactly one character, anywhere in the term
+    (a trailing-``*``-only pattern parses as :class:`Prefix` instead).
+    Bare patterns match analyzed text terms; ``field:pat`` patterns
+    match the fielded keyword vocabulary and act as candidate masks.
+    Leading wildcards are allowed but cost a full dictionary scan (the
+    df-ranked expansion cap still bounds the result) — the same
+    trade-off Lucene documents for ``allowLeadingWildcard``."""
+
+    pattern: str
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class TermRange(Node):
     """``field:[lo TO hi]`` / ``{lo TO hi}``: lexicographic keyword-value
     range over a fielded keyword vocabulary (Lucene TermRangeQuery —
@@ -125,9 +141,9 @@ _LEX = re.compile(
     r"\"[^\"]*\"" + _FUZZ + _BOOST
     + r"|\(|\)|&&|\|\|"
     + r"|\w+:[\[{][^\]}]*[\]}]" + _BOOST
-    + r"|\w+:\w*\*?" + _FUZZ + _BOOST
-    + r"|\w+\*?" + _FUZZ + _BOOST
-    + r"|(?<![\w*])-|(?<![\w*])!|(?<![\w*])\+",
+    + r"|\w+:[\w*?]*" + _FUZZ + _BOOST
+    + r"|[\w*?]+" + _FUZZ + _BOOST
+    + r"|(?<![\w*?])-|(?<![\w*?])!|(?<![\w*?])\+",
     re.UNICODE,
 )
 
@@ -138,6 +154,12 @@ _RANGE_BODY = re.compile(r"^(\w+):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$")
 
 class QueryParseError(ValueError):
     pass
+
+
+def _only_trailing_star(s: str) -> bool:
+    """True when the token's sole wildcard is one trailing ``*`` — the
+    PrefixQuery special case (dictionary range scan, no LIKE match)."""
+    return s.endswith("*") and "*" not in s[:-1] and "?" not in s
 
 
 class _Parser:
@@ -249,19 +271,31 @@ class _Parser:
             # KeywordAnalyzer semantics) against the composite
             # "field:value" posting term the builder wrote
             fname, _, value = t.partition(":")
-            if t.endswith("*"):
+            if _only_trailing_star(value):
                 return Prefix(f"{fname}:{value[:-1]}", field=fname, boost=boost)
+            if "*" in value or "?" in value:
+                # fielded wildcard: keyword values are unanalyzed, so the
+                # pattern stays verbatim inside the composite term
+                return Wildcard(f"{fname}:{value}", field=fname, boost=boost)
             if not value:
                 raise QueryParseError(f"bad fielded term {t!r}")
             return Term(t, field=fname, boost=boost)
-        if t.endswith("*"):
+        if "*" in t or "?" in t:
             if has_tilde:
                 raise QueryParseError(f"cannot combine wildcard and fuzzy in {t!r}")
-            body = t[:-1]
-            toks = tokenize(body, locale=self.locale)
-            if len(toks) != 1:
-                raise QueryParseError(f"bad prefix term {t!r}")
-            return Prefix(toks[0], boost=boost)
+            if _only_trailing_star(t):
+                body = t[:-1]
+                toks = tokenize(body, locale=self.locale)
+                if len(toks) != 1:
+                    raise QueryParseError(f"bad prefix term {t!r}")
+                return Prefix(toks[0], boost=boost)
+            # general wildcard: the pattern bypasses analysis (Lucene
+            # does not analyze wildcard terms) but is lowercased, like
+            # classic QueryParser's lowercaseExpandedTerms default
+            pat = t.lower()
+            if not any(c not in "*?" for c in pat):
+                raise QueryParseError(f"wildcard {t!r} needs at least one literal")
+            return Wildcard(pat, boost=boost)
         if has_tilde:
             # fuzzy term: analyze the body (it must stay one token);
             # bare `term~` defaults to 2 edits as in Lucene classic
@@ -310,7 +344,7 @@ def prune_stopwords(node: Node, stopwords=None) -> Node | None:
     if isinstance(node, Term):
         # fielded terms are exact-match keyword values, never stopwords
         return None if (node.field is None and node.term in stopwords) else node
-    if isinstance(node, (Prefix, Fuzzy, TermRange)):
+    if isinstance(node, (Prefix, Wildcard, Fuzzy, TermRange)):
         return node
     if isinstance(node, Phrase):
         # a stopword-stripped index has no stopword tokens to be adjacent
@@ -338,7 +372,7 @@ def prune_stopwords(node: Node, stopwords=None) -> Node | None:
     return And(kept) if isinstance(node, And) else Or(kept)
 
 
-LEAF_TYPES = (Term, Prefix, Phrase, Fuzzy, TermRange)
+LEAF_TYPES = (Term, Prefix, Wildcard, Phrase, Fuzzy, TermRange)
 
 
 def positive_leaves(node: Node) -> list[Node]:

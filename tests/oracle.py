@@ -40,6 +40,11 @@ class OracleIndex:
     def expand_fuzzy(self, term: str, max_edits: int) -> list[str]:
         return sorted(t for t in self.df if levenshtein(t, term) <= max_edits)
 
+    def expand_wildcard(self, pattern: str) -> list[str]:
+        from fnmatch import fnmatchcase
+
+        return sorted(t for t in self.df if fnmatchcase(t, pattern))
+
     def phrase_slop_docs(self, terms: list[str], slop: int) -> set[int]:
         """Docs where ``terms`` appear in order within a window of
         len(terms)+slop tokens (the engine's ordered-sloppy semantics)."""

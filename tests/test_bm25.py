@@ -764,3 +764,43 @@ def test_plus_must_marker_is_noop(reader):
     b = bm25.search(reader, "w00001 AND w00004", k=15).collect()
     assert [(r["doc_id"], r["score"]) for r in a] == [
         (r["doc_id"], r["score"]) for r in b]
+
+
+def test_wildcard_matches_oracle(reader, oracle):
+    exp = oracle.expand_wildcard("w0000?")
+    assert len(exp) >= 5  # a real multi-term expansion on this corpus
+    expected = oracle.topk(oracle.candidates_or(exp), exp, 10)
+    got = bm25.search(reader, "w0000?", k=10, max_expansion=1000).collect()
+    _assert_rank_identical(got, expected)
+
+
+def test_wildcard_mid_star_matches_oracle(reader, oracle):
+    exp = oracle.expand_wildcard("w*91")
+    assert len(exp) >= 1
+    cands = oracle.candidates_or(exp) & oracle.postings("w00001")
+    expected = oracle.topk(cands, exp + ["w00001"], 15)
+    got = bm25.search(reader, "w*91 AND w00001", k=15,
+                      max_expansion=1000).collect()
+    _assert_rank_identical(got, expected)
+
+
+def test_leading_wildcard_full_dictionary_scan(reader, oracle):
+    exp = oracle.expand_wildcard("*0003")
+    assert exp == ["w00003"]
+    expected = oracle.topk(oracle.candidates_or(exp), exp, 10)
+    got = bm25.search(reader, "*0003", k=10, max_expansion=1000).collect()
+    _assert_rank_identical(got, expected)
+
+
+def test_wildcard_no_match_is_empty(reader):
+    assert bm25.search(reader, "zz?zz", k=10).collect() == []
+
+
+def test_fielded_wildcard_equals_exact_mask(spark, fielded_reader):
+    """`lang:e?` expands over the keyword vocabulary to exactly
+    {lang:en}, so it must equal the exact fielded mask."""
+    a = bm25.search(fielded_reader, "lang:e? AND w00001", k=20, round_to=6).collect()
+    b = bm25.search(fielded_reader, "lang:en AND w00001", k=20, round_to=6).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b]
+    assert len(a) > 0

@@ -262,3 +262,31 @@ def test_fuzzy_and_wildcard_rejections():
     for bad in ["lang:en~1", "quer*~1"]:
         with _pytest.raises(QueryParseError):
             parse_query(bad)
+
+
+def test_wildcard_parses():
+    from miru_spark.query.parser import Wildcard
+
+    assert parse_query("te?t") == Wildcard("te?t")
+    assert parse_query("s*rk") == Wildcard("s*rk")
+    assert parse_query("*ark") == Wildcard("*ark")  # leading allowed
+    assert parse_query("qu*y^2") == Wildcard("qu*y", boost=2.0)
+    # lowercaseExpandedTerms: pattern is lowercased, not analyzed
+    assert parse_query("Te?T") == Wildcard("te?t")
+
+
+def test_trailing_star_only_is_prefix_not_wildcard():
+    assert parse_query("quer*") == Prefix("quer")
+
+
+def test_fielded_wildcard_keeps_composite_term():
+    from miru_spark.query.parser import Wildcard
+
+    assert parse_query("source:sr?1") == Wildcard("source:sr?1", field="source")
+    # trailing-star-only fielded value stays the cheap Prefix scan
+    assert parse_query("source:src*") == Prefix("source:src", field="source")
+
+
+def test_all_wildcard_rejected():
+    with pytest.raises(QueryParseError):
+        parse_query("*?*")
