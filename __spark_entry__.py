@@ -336,6 +336,17 @@ def q_bm25_wildcard(spark, sf_dir):
     return search(_reader(spark, sf_dir), "s?ark AND d*ta", k=10, round_to=4)
 
 
+def q_bm25_field_group(spark, sf_dir):
+    """Lucene field-grouped clause `lang:(de OR fr)`: classic
+    QueryParser distributes the field over the group, so the group is
+    the OR of the composite keyword masks — semantically the constraint
+    `lang IN (de, fr)`; only the text term scores."""
+    from miru_spark.query.bm25 import search
+
+    return search(
+        _reader(spark, sf_dir), "spark AND lang:(de OR fr)", k=10, round_to=4)
+
+
 def q_bm25_range(spark, sf_dir):
     """Lucene `field:[lo TO hi]` range query: a lexicographic slice of
     the field's keyword vocabulary becomes a candidate mask (composite
@@ -975,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": q_bm25_phrase,
         "bm25_fuzzy": q_bm25_fuzzy,
         "bm25_wildcard": q_bm25_wildcard,
+        "bm25_field_group": q_bm25_field_group,
         "bm25_range": q_bm25_range,
         "bm25_slop": q_bm25_slop,
         "fulltext_time_newest": q_fulltext_time_newest,
@@ -1154,6 +1166,25 @@ scored AS (
   GROUP BY tf.doc_id)
 SELECT doc_id, round(score, 4) AS score FROM scored
 ORDER BY score DESC, doc_id DESC LIMIT 10
+""",
+        "bm25_field_group": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
+st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
+q(term) AS (VALUES ('spark')),
+tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+WHERE d.lang IN ('de', 'fr')
+ORDER BY score DESC, s.doc_id DESC LIMIT 10
 """,
         "bm25_range": f"""
 WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -13,7 +13,11 @@ Grammar::
     orExpr := andExpr ('OR' andExpr)*
     andExpr:= unary (('AND')? unary)*          # adjacency = AND
     unary  := ('NOT' | '-') unary | atom
-    atom   := '(' orExpr ')' | WORD'*' | WORD
+    atom   := '(' orExpr ')' | FIELD':(' orExpr ')' | WORD'*' | WORD
+
+Inside ``field:(...)`` every bare clause is fielded (classic QueryParser
+distributes the field over the group); an inner explicit ``other:value``
+overrides it.
 """
 
 from __future__ import annotations
@@ -140,6 +144,8 @@ _FUZZ = r"(?:~\d*)?"
 _LEX = re.compile(
     r"\"[^\"]*\"" + _FUZZ + _BOOST
     + r"|\(|\)|&&|\|\|"
+    + r"|\w+:\("  # field-grouped clause opener: `field:(a OR b)`
+    + r"|\w+:\"[^\"]*\"" + _BOOST  # fielded quoted value: `field:"two words"`
     + r"|\w+:[\[{][^\]}]*[\]}]" + _BOOST
     + r"|\w+:[\w*?]*" + _FUZZ + _BOOST
     + r"|[\w*?]+" + _FUZZ + _BOOST
@@ -167,6 +173,9 @@ class _Parser:
         self.toks = tokens
         self.locale = locale
         self.i = 0
+        # inside a `field:(...)` group every bare clause is fielded —
+        # Lucene classic distributes the field over the group
+        self.cur_field: str | None = None
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -228,6 +237,20 @@ class _Parser:
             return node
         if t == ")":
             raise QueryParseError("unexpected ')'")
+        gm = re.fullmatch(r"(\w+):\(", t)
+        if gm:
+            # `field:(a OR b)` — classic QueryParser distributes the
+            # field over every bare clause in the group (an inner
+            # explicit `other:value` overrides it). Groups nest; the
+            # innermost field wins.
+            prev, self.cur_field = self.cur_field, gm.group(1)
+            try:
+                node = self.or_expr()
+            finally:
+                self.cur_field = prev
+            if self.next() != ")":
+                raise QueryParseError("unbalanced parenthesis in field group")
+            return node
         boost = 1.0
         bm = _BOOST_SUFFIX.search(t)
         if bm:  # peel `^N` off any boostable token (quoted / fielded / bare)
@@ -243,6 +266,15 @@ class _Parser:
             tilde_n = int(fm.group(1)) if fm.group(1) else None
             t = t[: fm.start()]
         if t.startswith('"'):
+            if self.cur_field is not None:
+                # quoted value inside a field group: ONE exact keyword
+                # value (may contain spaces) — keyword fields are
+                # unanalyzed, so no phrase semantics apply
+                if has_tilde:
+                    raise QueryParseError(
+                        f"slop not supported on fielded value {t!r}")
+                return Term(f"{self.cur_field}:{t.strip(chr(34))}",
+                            field=self.cur_field, boost=boost)
             toks = tokenize(t.strip('"'), locale=self.locale)
             if not toks:
                 raise QueryParseError(f"empty phrase {t!r}")
@@ -271,6 +303,9 @@ class _Parser:
             # KeywordAnalyzer semantics) against the composite
             # "field:value" posting term the builder wrote
             fname, _, value = t.partition(":")
+            if value.startswith('"') and value.endswith('"') and len(value) >= 2:
+                # `field:"two words"` — one exact keyword value
+                return Term(f"{fname}:{value[1:-1]}", field=fname, boost=boost)
             if _only_trailing_star(value):
                 return Prefix(f"{fname}:{value[:-1]}", field=fname, boost=boost)
             if "*" in value or "?" in value:
@@ -280,6 +315,22 @@ class _Parser:
             if not value:
                 raise QueryParseError(f"bad fielded term {t!r}")
             return Term(t, field=fname, boost=boost)
+        if self.cur_field is not None:
+            # bare clause inside `field:(...)`: fielded exact-match
+            # keyword semantics, same as the `field:value` syntax
+            if has_tilde:
+                raise QueryParseError(
+                    f"fuzzy not supported on fielded term {t!r} (keyword "
+                    "fields are exact-match)")
+            f = self.cur_field
+            if "*" in t or "?" in t:
+                if _only_trailing_star(t):
+                    return Prefix(f"{f}:{t[:-1]}", field=f, boost=boost)
+                if not any(c not in "*?" for c in t):
+                    raise QueryParseError(
+                        f"wildcard {t!r} needs at least one literal")
+                return Wildcard(f"{f}:{t}", field=f, boost=boost)
+            return Term(f"{f}:{t}", field=f, boost=boost)
         if "*" in t or "?" in t:
             if has_tilde:
                 raise QueryParseError(f"cannot combine wildcard and fuzzy in {t!r}")

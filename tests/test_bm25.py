@@ -804,3 +804,14 @@ def test_fielded_wildcard_equals_exact_mask(spark, fielded_reader):
     assert [(r["doc_id"], r["score"]) for r in a] == [
         (r["doc_id"], r["score"]) for r in b]
     assert len(a) > 0
+
+
+def test_field_group_equals_expanded_or(spark, fielded_reader):
+    """`lang:(en OR de)` must equal the hand-expanded boolean form."""
+    a = bm25.search(
+        fielded_reader, "lang:(en OR de) AND w00001", k=20, round_to=6).collect()
+    b = bm25.search(
+        fielded_reader, "(lang:en OR lang:de) AND w00001", k=20, round_to=6).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b]
+    assert len(a) > 0

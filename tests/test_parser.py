@@ -290,3 +290,66 @@ def test_fielded_wildcard_keeps_composite_term():
 def test_all_wildcard_rejected():
     with pytest.raises(QueryParseError):
         parse_query("*?*")
+
+
+def test_field_group_distributes():
+    node = parse_query("lang:(en OR de)")
+    assert node == Or([Term("lang:en", field="lang"), Term("lang:de", field="lang")])
+
+
+def test_field_group_default_and():
+    node = parse_query("lang:(en de)")
+    assert node == And([Term("lang:en", field="lang"), Term("lang:de", field="lang")])
+
+
+def test_field_group_mixes_prefix_and_wildcard():
+    from miru_spark.query.parser import Wildcard
+
+    node = parse_query("source:(src* OR sr?2)")
+    assert node == Or([
+        Prefix("source:src", field="source"),
+        Wildcard("source:sr?2", field="source"),
+    ])
+
+
+def test_field_group_inner_field_overrides():
+    node = parse_query("lang:(en OR source:src1)")
+    assert node == Or([
+        Term("lang:en", field="lang"),
+        Term("source:src1", field="source"),
+    ])
+
+
+def test_field_group_negation_and_nesting():
+    node = parse_query("lang:(en -de)")
+    assert node == And([
+        Term("lang:en", field="lang"),
+        Not(Term("lang:de", field="lang")),
+    ])
+    nested = parse_query("lang:((en OR de) fr)")
+    assert nested == And([
+        Or([Term("lang:en", field="lang"), Term("lang:de", field="lang")]),
+        Term("lang:fr", field="lang"),
+    ])
+
+
+def test_field_group_scope_ends_at_paren():
+    # the term after the group is an ordinary analyzed text term
+    node = parse_query("lang:(en) spark")
+    assert node == And([Term("lang:en", field="lang"), Term("spark")])
+
+
+def test_fielded_quoted_value():
+    assert parse_query('source:"src 1"') == Term("source:src 1", field="source")
+    node = parse_query('source:("src 1" OR src2)')
+    assert node == Or([
+        Term("source:src 1", field="source"),
+        Term("source:src2", field="source"),
+    ])
+
+
+def test_field_group_rejects_fuzzy_and_unclosed():
+    with pytest.raises(QueryParseError):
+        parse_query("lang:(en~1)")
+    with pytest.raises(QueryParseError):
+        parse_query("lang:(en")
