@@ -336,6 +336,18 @@ def q_bm25_wildcard(spark, sf_dir):
     return search(_reader(spark, sf_dir), "s?ark AND d*ta", k=10, round_to=4)
 
 
+def q_bm25_regexp(spark, sf_dir):
+    """Lucene RegexpQuery `/qu.ry|t.ble/`: the anchored pattern expands
+    against the dictionary with one JVM rlike scan (literal-prefix
+    pruned where possible); expansions score with their own idf like
+    prefix/wildcard/fuzzy expansion. Dialect: Java regex (a documented
+    deviation from Lucene's own regexp operators)."""
+    from miru_spark.query.bm25 import search
+
+    return search(
+        _reader(spark, sf_dir), "/qu.ry|t.ble/ AND spark", k=10, round_to=4)
+
+
 def q_bm25_field_group(spark, sf_dir):
     """Lucene field-grouped clause `lang:(de OR fr)`: classic
     QueryParser distributes the field over the group, so the group is
@@ -986,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": q_bm25_phrase,
         "bm25_fuzzy": q_bm25_fuzzy,
         "bm25_wildcard": q_bm25_wildcard,
+        "bm25_regexp": q_bm25_regexp,
         "bm25_field_group": q_bm25_field_group,
         "bm25_range": q_bm25_range,
         "bm25_slop": q_bm25_slop,
@@ -1157,6 +1170,27 @@ tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GRO
 dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 cand AS (SELECT doc_id FROM tf WHERE term IN (SELECT term FROM w1)
          INTERSECT SELECT doc_id FROM tf WHERE term IN (SELECT term FROM w2)),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  JOIN cand USING (doc_id)
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id DESC LIMIT 10
+""",
+        "bm25_regexp": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
+st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
+rq AS (SELECT DISTINCT term FROM tk WHERE regexp_matches(term, '^(?:qu.ry|t.ble)$')),
+q AS (SELECT term FROM rq UNION SELECT 'spark'),
+tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+cand AS (SELECT doc_id FROM tf WHERE term IN (SELECT term FROM rq)
+         INTERSECT SELECT doc_id FROM tf WHERE term = 'spark'),
 scored AS (
   SELECT tf.doc_id,
          sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * 2.2

@@ -33,6 +33,28 @@ _DECODED_SCHEMA = T.StructType(
 )
 
 
+def _regexp_required_prefix(pattern: str) -> str:
+    """Longest literal prefix every match of ``pattern`` must carry —
+    the dictionary-scan prune key. A top-level alternation makes any
+    prefix optional (``ab|cd`` matches need not start with "ab"), so it
+    voids the prune; grouped alternations (``ab(c|d)``) keep the prefix
+    before the group."""
+    depth, i = 0, 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        elif c == "|" and depth == 0:
+            return ""
+        i += 1
+    return re.match(r"[^.?*+\[\]{}()|\\^$]*", pattern).group(0)
+
+
 class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -303,6 +325,26 @@ class IndexReader:
             cand = cand.filter(F.col("term").startswith(lit))
         rows = (
             cand.filter(F.col("term").like(like))
+            .orderBy(F.col("df").desc(), F.col("term"))
+            .limit(max_expansion)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def expand_regexp(self, pattern: str, max_expansion: int = 100) -> list[str]:
+        """Dictionary expansion for ``/pat/`` regexp terms: the pattern
+        (Java-regex dialect, Spark ``rlike``) is anchored to match the
+        WHOLE term, as Lucene RegexpQuery does. A literal pattern prefix
+        (chars before the first regex metacharacter) prunes the
+        dictionary scan like wildcards; pure-meta patterns degrade to a
+        capped full scan. Matching runs JVM-side (whole-stage codegen);
+        expansions are df-ranked under the same cap as wildcards."""
+        lit = _regexp_required_prefix(pattern)
+        cand = self.dictionary()
+        if lit:
+            cand = cand.filter(F.col("term").startswith(lit))
+        rows = (
+            cand.filter(F.col("term").rlike(f"^(?:{pattern})$"))
             .orderBy(F.col("df").desc(), F.col("term"))
             .limit(max_expansion)
             .collect()

@@ -88,6 +88,8 @@ def _expand(reader: IndexReader, node, max_expansion: int) -> dict:
             out[leaf.prefix] = reader.expand_prefix(leaf.prefix, max_expansion)
         elif isinstance(leaf, qp.Wildcard) and leaf not in out:
             out[leaf] = reader.expand_wildcard(leaf.pattern, max_expansion)
+        elif isinstance(leaf, qp.Regexp) and leaf not in out:
+            out[leaf] = reader.expand_regexp(leaf.pattern, max_expansion)
         elif isinstance(leaf, qp.Fuzzy) and leaf not in out:
             # same cap knob as wildcards; Lucene FuzzyQuery's own default
             # (maxExpansions=50) is the caller's to request
@@ -106,7 +108,7 @@ def _leaf_terms(leaf, expansions) -> list[str]:
         return [leaf.term]
     if isinstance(leaf, qp.Phrase):
         return list(leaf.terms)
-    if isinstance(leaf, (qp.Wildcard, qp.Fuzzy, qp.TermRange)):
+    if isinstance(leaf, (qp.Wildcard, qp.Regexp, qp.Fuzzy, qp.TermRange)):
         return expansions.get(leaf, [])
     return expansions.get(leaf.prefix, [])
 
@@ -199,7 +201,7 @@ def _eval_candidates(reader: IndexReader, node, expansions, phrase_ctx=None) -> 
             .select("doc_id")
         )
         return verified
-    if isinstance(node, (qp.Term, qp.Prefix, qp.Wildcard, qp.Fuzzy, qp.TermRange)):
+    if isinstance(node, (qp.Term, qp.Prefix, qp.Wildcard, qp.Regexp, qp.Fuzzy, qp.TermRange)):
         terms = _leaf_terms(node, expansions)
         if not terms:
             # unmatched prefix / fuzzy / range -> empty set

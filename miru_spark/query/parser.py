@@ -95,6 +95,22 @@ class Wildcard(Node):
 
 
 @dataclass(frozen=True)
+class Regexp(Node):
+    """``/pat/`` — Lucene RegexpQuery: the pattern must match the WHOLE
+    indexed term (Lucene anchors regexps implicitly). The dialect here
+    is Java regex (Spark ``rlike``), a documented deviation from
+    Lucene's own regexp dialect: the shared core (``. * + ? [] | ()``)
+    behaves identically; Lucene's exotic operators (``~ # @`` under
+    extended flags) are not supported. Bare patterns match analyzed
+    text terms; ``field:/pat/`` matches the fielded keyword vocabulary
+    as a candidate mask."""
+
+    pattern: str
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class TermRange(Node):
     """``field:[lo TO hi]`` / ``{lo TO hi}``: lexicographic keyword-value
     range over a fielded keyword vocabulary (Lucene TermRangeQuery —
@@ -144,6 +160,8 @@ _FUZZ = r"(?:~\d*)?"
 _LEX = re.compile(
     r"\"[^\"]*\"" + _FUZZ + _BOOST
     + r"|\(|\)|&&|\|\|"
+    + r"|\w+:/[^/]*/" + _BOOST  # fielded regexp: `field:/pat/`
+    + r"|/[^/]*/" + _BOOST  # Lucene RegexpQuery: `/pat/`
     + r"|\w+:\("  # field-grouped clause opener: `field:(a OR b)`
     + r"|\w+:\"[^\"]*\"" + _BOOST  # fielded quoted value: `field:"two words"`
     + r"|\w+:[\[{][^\]}]*[\]}]" + _BOOST
@@ -281,6 +299,20 @@ class _Parser:
             if len(toks) == 1:  # one-token "phrase" degrades to a Term
                 return Term(toks[0], boost=boost)
             return Phrase(tuple(toks), boost=boost, slop=tilde_n or 0)
+        if t.startswith("/") and t.endswith("/") and len(t) >= 2:
+            pat = t[1:-1]
+            if not pat:
+                raise QueryParseError("empty regexp //")
+            if has_tilde:
+                raise QueryParseError(f"cannot combine regexp and fuzzy in {t!r}")
+            if self.cur_field is not None:
+                # wrap so the field prefix distributes over any
+                # top-level alternation in the value pattern
+                return Regexp(f"{self.cur_field}:(?:{pat})",
+                              field=self.cur_field, boost=boost)
+            # like wildcards, regexp terms bypass analysis but are
+            # lowercased (lowercaseExpandedTerms)
+            return Regexp(pat.lower(), boost=boost)
         rm = _RANGE_BODY.match(t)
         if rm:
             fname, ob, lo, hi, cb = rm.groups()
@@ -303,6 +335,16 @@ class _Parser:
             # KeywordAnalyzer semantics) against the composite
             # "field:value" posting term the builder wrote
             fname, _, value = t.partition(":")
+            if value.startswith("/") and value.endswith("/") and len(value) >= 2:
+                pat = value[1:-1]
+                if not pat:
+                    raise QueryParseError("empty regexp //")
+                # fielded regexp: the anchored pattern matches the whole
+                # composite "field:value" vocabulary term (the field
+                # prefix is regex-literal — field names are \w+; the
+                # (?:) wrap distributes the prefix over top-level
+                # alternations in the value pattern)
+                return Regexp(f"{fname}:(?:{pat})", field=fname, boost=boost)
             if value.startswith('"') and value.endswith('"') and len(value) >= 2:
                 # `field:"two words"` — one exact keyword value
                 return Term(f"{fname}:{value[1:-1]}", field=fname, boost=boost)
@@ -395,7 +437,7 @@ def prune_stopwords(node: Node, stopwords=None) -> Node | None:
     if isinstance(node, Term):
         # fielded terms are exact-match keyword values, never stopwords
         return None if (node.field is None and node.term in stopwords) else node
-    if isinstance(node, (Prefix, Wildcard, Fuzzy, TermRange)):
+    if isinstance(node, (Prefix, Wildcard, Regexp, Fuzzy, TermRange)):
         return node
     if isinstance(node, Phrase):
         # a stopword-stripped index has no stopword tokens to be adjacent
@@ -423,7 +465,7 @@ def prune_stopwords(node: Node, stopwords=None) -> Node | None:
     return And(kept) if isinstance(node, And) else Or(kept)
 
 
-LEAF_TYPES = (Term, Prefix, Wildcard, Phrase, Fuzzy, TermRange)
+LEAF_TYPES = (Term, Prefix, Wildcard, Regexp, Phrase, Fuzzy, TermRange)
 
 
 def positive_leaves(node: Node) -> list[Node]:

@@ -45,6 +45,11 @@ class OracleIndex:
 
         return sorted(t for t in self.df if fnmatchcase(t, pattern))
 
+    def expand_regexp(self, pattern: str) -> list[str]:
+        import re as _re
+
+        return sorted(t for t in self.df if _re.fullmatch(pattern, t))
+
     def phrase_slop_docs(self, terms: list[str], slop: int) -> set[int]:
         """Docs where ``terms`` appear in order within a window of
         len(terms)+slop tokens (the engine's ordered-sloppy semantics)."""

@@ -815,3 +815,36 @@ def test_field_group_equals_expanded_or(spark, fielded_reader):
     assert [(r["doc_id"], r["score"]) for r in a] == [
         (r["doc_id"], r["score"]) for r in b]
     assert len(a) > 0
+
+
+def test_regexp_matches_oracle(reader, oracle):
+    exp = oracle.expand_regexp("w0000[13]|w0001.")
+    assert len(exp) >= 5
+    expected = oracle.topk(oracle.candidates_or(exp), exp, 10)
+    got = bm25.search(reader, "/w0000[13]|w0001./", k=10,
+                      max_expansion=1000).collect()
+    _assert_rank_identical(got, expected)
+
+
+def test_regexp_is_whole_term_anchored(reader, oracle):
+    # /w0000/ must match NOTHING (no term is exactly "w0000"; Lucene
+    # RegexpQuery anchors — substring matches don't count)
+    assert bm25.search(reader, "/w0000/", k=10).collect() == []
+
+
+def test_fielded_regexp_equals_exact_mask(spark, fielded_reader):
+    a = bm25.search(fielded_reader, "lang:/e./ AND w00001", k=20, round_to=6).collect()
+    b = bm25.search(fielded_reader, "lang:en AND w00001", k=20, round_to=6).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b]
+    assert len(a) > 0
+
+
+def test_fielded_regexp_alternation_distributes(spark, fielded_reader):
+    """`lang:/en|de/` must equal `(lang:en OR lang:de)` — the field
+    prefix distributes over the alternation."""
+    a = bm25.search(fielded_reader, "lang:/en|de/ AND w00001", k=20, round_to=6).collect()
+    b = bm25.search(fielded_reader, "(lang:en OR lang:de) AND w00001", k=20, round_to=6).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b]
+    assert len(a) > 0

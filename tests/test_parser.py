@@ -353,3 +353,38 @@ def test_field_group_rejects_fuzzy_and_unclosed():
         parse_query("lang:(en~1)")
     with pytest.raises(QueryParseError):
         parse_query("lang:(en")
+
+
+def test_regexp_parses():
+    from miru_spark.query.parser import Regexp
+
+    assert parse_query("/qu.ry/") == Regexp("qu.ry")
+    assert parse_query("/ab+c/^2") == Regexp("ab+c", boost=2.0)
+    assert parse_query("/QU.RY/") == Regexp("qu.ry")  # lowercased
+    assert parse_query("lang:/e./") == Regexp("lang:(?:e.)", field="lang")
+    node = parse_query("lang:(/e./ OR de)")
+    from miru_spark.query.parser import Or, Term as T
+    assert node == Or([Regexp("lang:(?:e.)", field="lang"), T("lang:de", field="lang")])
+
+
+def test_regexp_in_boolean_context():
+    from miru_spark.query.parser import Regexp
+
+    node = parse_query("/qu.ry/ AND spark")
+    assert node == And([Regexp("qu.ry"), Term("spark")])
+
+
+def test_empty_regexp_rejected():
+    with pytest.raises(QueryParseError):
+        parse_query("// AND spark")
+
+
+def test_regexp_required_prefix():
+    from miru_spark.index.reader import _regexp_required_prefix as rp
+
+    assert rp("qu.ry") == "qu"
+    assert rp("ab|cd") == ""          # top-level alternation voids the prune
+    assert rp("ab(c|d)e") == "ab"     # grouped alternation keeps it
+    assert rp(r"ab\|cd") == "ab"      # escaped pipe is literal
+    assert rp("lang:(?:en|de)") == "lang:"
+    assert rp(".*x") == ""
