@@ -554,6 +554,100 @@ def q_waveforms_named(spark, sf_dir):
     return out.select("name", "bucket", F.col("n").cast("long").alias("n"))
 
 
+_STREAM_DIR_CACHE: dict[str, str] = {}
+
+
+def _stream_dir(sf_dir: str, table: str) -> str:
+    """FileStreamSource wants a DIRECTORY; the testdata tables are flat
+    files (read-only). Symlink the file into a temp dir once per
+    process — on a cluster the source would already be a directory of
+    parts and this shim disappears."""
+    key = f"{sf_dir}:{table}"
+    if key not in _STREAM_DIR_CACHE:
+        d = tempfile.mkdtemp(prefix=f"miru_stream_{table}_")
+        os.symlink(
+            os.path.join(sf_dir, f"{table}.parquet"),
+            os.path.join(d, f"{table}.parquet"),
+        )
+        _STREAM_DIR_CACHE[key] = d
+    return _STREAM_DIR_CACHE[key]
+
+
+def q_streaming_window_counts(spark, sf_dir):
+    """A REAL Structured Streaming run, bounded: the events table read as
+    a file stream (availableNow trigger), tumbling 1-day windows per
+    event_type through the same `windowed_event_counts` operator the
+    live ingest path uses (watermark + windowed agg — the streaming twin
+    of the batch waveform, Analytics.java:142-199), into a complete-mode
+    memory sink. Spark's unified batch/stream semantics make the batch
+    GROUP BY the exact oracle."""
+    import uuid
+
+    from miru_spark.streaming.ingest import windowed_event_counts
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir, "events"))
+    agg = windowed_event_counts(stream, "ts", window="1 day", group_by="event_type")
+    name = "stream_wc_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window_start").alias("bucket_ts"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def q_streaming_unread(spark, sf_dir):
+    """The custom stateful streaming operator, bounded and
+    oracle-checked: per-user unread counters folded by
+    `applyInPandasWithState` (view = +1 activity, click = read -1
+    floored at 0, error = mark-all-read reset — the reference's
+    realtime read-tracking, AmzaInboxReadTracker.java:60-98) over the
+    events table as an availableNow file stream. The SQL twin uses the
+    clamped-running-sum identity n_t = S_t - least(0, min_prefix(S)),
+    segmented at resets — an exact closed form for the max(0, n+d)
+    fold, so even this non-relational operator gets a value-hash
+    oracle."""
+    import uuid
+
+    from miru_spark.streaming.ingest import streaming_unread_counts
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(_stream_dir(sf_dir, "events"))
+        .filter(F.col("event_type").isin("view", "click", "error"))
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "view", "activity")
+            .when(F.col("event_type") == "click", "read")
+            .otherwise("mark_all_read")
+            .alias("kind"),
+            "ts",
+        )
+    )
+    out = streaming_unread_counts(stream, user_col="user_id")
+    name = "stream_unread_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # one source file -> one micro-batch -> one update row per user
+    return spark.table(name).select("user", F.col("n_unread").cast("long").alias("n_unread"))
+
+
 def q_metrics_daily(spark, sf_dir):
     from miru_spark.operators.analytics import metrics
 
@@ -1025,6 +1119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_by_user": q_latest_by_user,
         "waveform": q_waveform,
         "waveforms_named": q_waveforms_named,
+        "streaming_window_counts": q_streaming_window_counts,
+        "streaming_unread": q_streaming_unread,
         "metrics_daily": q_metrics_daily,
         "anomaly_daily": q_anomaly_daily,
         "stumptown_tail": q_stumptown_tail,
@@ -1467,6 +1563,39 @@ e AS (SELECT least(greatest(
       WHERE ts >= TIMESTAMP '{_WF_LO}' AND ts < TIMESTAMP '{_WF_HI}'),
 c AS (SELECT bucket, count(*) AS n FROM e GROUP BY 1)
 SELECT b.bucket, coalesce(c.n, 0)::BIGINT AS n FROM b LEFT JOIN c USING (bucket) ORDER BY bucket
+""",
+        # the streaming windowed agg must equal the batch GROUP BY
+        # (Spark's unified semantics; complete-mode sink emits every window)
+        "streaming_window_counts": """
+SELECT date_trunc('day', ts) AS bucket_ts, event_type, count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # closed form of the clamped fold n = max(0, n + delta) with
+        # resets: n_t = S_t - least(0, min_prefix(S_t)), per (user,
+        # reset-segment); the last row per user is the final counter
+        "streaming_unread": """
+WITH ev AS (
+  SELECT user_id AS "user", ts, event_id,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN -1 ELSE 0 END AS delta,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_reset
+  FROM events WHERE event_type IN ('view', 'click', 'error')),
+seg AS (
+  SELECT *, sum(is_reset) OVER (PARTITION BY "user" ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS seg
+  FROM ev),
+run AS (
+  SELECT *, sum(delta) OVER (PARTITION BY "user", seg ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS s
+  FROM seg),
+clamp AS (
+  SELECT *, least(0, min(s) OVER (PARTITION BY "user", seg ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING)) AS m
+  FROM run),
+fin AS (
+  SELECT "user", (s - m)::BIGINT AS n_unread,
+         row_number() OVER (PARTITION BY "user" ORDER BY ts DESC, event_id DESC) AS rn
+  FROM clamp)
+SELECT "user", n_unread FROM fin WHERE rn = 1 ORDER BY "user"
 """,
         "metrics_daily": """
 SELECT date_trunc('day', ts) AS bucket_ts, round(sum(value), 4) AS sum_value,

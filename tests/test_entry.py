@@ -48,7 +48,10 @@ def test_oracle_keys_subset_of_queries(entry):
     }
 
 
-@pytest.mark.parametrize("name", ["filter_tree", "gather", "fingerprint", "trending"])
+@pytest.mark.parametrize(
+    "name",
+    ["filter_tree", "gather", "fingerprint", "trending",
+     "streaming_window_counts", "streaming_unread"])
 def test_query_matches_oracle(entry, duck, spark, name):
     got = entry.queries()[name](spark, SF).toPandas()
     exp = duck.sql(entry.oracle_sql()[name]).df()
