@@ -573,6 +573,25 @@ def _stream_dir(sf_dir: str, table: str) -> str:
     return _STREAM_DIR_CACHE[key]
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for pretraining: docs hash into 16 independent
+    buckets (md5, engine-stable) and pack greedily in doc_id order
+    against a 512-token budget — each doc gets (bucket, seq,
+    tok_offset). Distributed formulation: buckets pack in parallel;
+    exact greedy only ever runs bucket-locally. Oracle: the same greedy
+    fold as a DuckDB recursive CTE."""
+    from miru_spark.analysis.tokenizer import tokens_col
+    from miru_spark.pipeline.pack import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"), use_stopwords=False)).alias("n_tokens"),
+    )
+    out = pack_sequences(docs, "doc_id", "n_tokens", budget=512, n_buckets=16)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "bucket", "seq", "tok_offset")
+
+
 def q_streaming_window_counts(spark, sf_dir):
     """A REAL Structured Streaming run, bounded: the events table read as
     a file stream (availableNow trigger), tumbling 1-day windows per
@@ -1134,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "sample_hash": q_sample_hash,
+        "pack_sequences": q_pack_sequences,
         "domain_cap": q_domain_cap,
         "corpus_clean": q_corpus_clean,
         "dedup_components": q_dedup_components,
@@ -1704,6 +1724,28 @@ SELECT id_a, id_b, round(n::DOUBLE / (x.sz + y.sz - n), 6) AS jaccard
 FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
 WHERE n::DOUBLE / (x.sz + y.sz - n) >= 0.8
 ORDER BY id_a, id_b
+""",
+        # greedy first-fit pack as a recursive fold per (md5) bucket —
+        # the exact sequential semantics the engine runs bucket-locally
+        "pack_sequences": f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, len({_TOKS}) AS n_tokens,
+         (CAST(('0x' || substring(md5(doc_id::VARCHAR || ':0'), 1, 8))::UBIGINT AS BIGINT)
+          % 16)::INT AS bucket
+  FROM documents),
+ord AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM t),
+pack AS (
+  SELECT bucket, rn, doc_id, n_tokens,
+         0::BIGINT AS seq, 0::BIGINT AS tok_offset, n_tokens::BIGINT AS acc
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.acc + o.n_tokens <= 512 THEN p.seq ELSE p.seq + 1 END,
+         CASE WHEN p.acc + o.n_tokens <= 512 THEN p.acc ELSE 0::BIGINT END,
+         CASE WHEN p.acc + o.n_tokens <= 512 THEN p.acc + o.n_tokens ELSE o.n_tokens::BIGINT END
+  FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens, bucket, seq, tok_offset
+FROM pack ORDER BY doc_id
 """,
         "sample_hash": """
 SELECT doc_id, lang, source FROM documents

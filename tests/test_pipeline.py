@@ -331,3 +331,57 @@ def test_sampling_deterministic_and_composable(spark):
     # deterministic winners: the 5 LOWEST ids per key
     got = sorted(r["doc_id"] for r in capped.filter(F.col("src") == 0).collect())
     assert got == [0, 37, 74, 111, 148]
+
+
+def test_pack_sequences_greedy_and_deterministic(spark):
+    import numpy as _np
+
+    from miru_spark.pipeline.pack import pack_sequences
+    from miru_spark.pipeline.sampling import hash_bucket
+
+    rng = _np.random.default_rng(11)
+    n = 3000
+    toks = rng.integers(10, 400, size=n)
+    df = spark.createDataFrame(
+        [(int(i), int(t)) for i, t in enumerate(toks)], "doc_id long, n long")
+    out = pack_sequences(df, "doc_id", "n", budget=512, n_buckets=8).collect()
+    assert len(out) == n
+
+    # python oracle: greedy first-fit in id order per bucket
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", (hash_bucket("doc_id", 0) % 8).alias("b")).collect()
+    }
+    expect = {}
+    state = {}
+    for i in sorted(buckets):
+        b = buckets[i]
+        seq, acc = state.get(b, (0, 0))
+        if acc + toks[i] > 512 and acc > 0:
+            seq, acc = seq + 1, 0
+        expect[i] = (b, seq, acc)
+        state[b] = (seq, acc + int(toks[i]))
+    got = {r["id"]: (r["bucket"], r["seq"], r["tok_offset"]) for r in out}
+    assert got == expect
+
+    # invariants: fit within budget (except oversized docs), offsets consistent
+    for r in out:
+        assert r["tok_offset"] + r["n_tokens"] <= 512 or r["tok_offset"] == 0
+
+    # partitioning-invariant (pure function of ids)
+    out2 = pack_sequences(df.repartition(17), "doc_id", "n",
+                          budget=512, n_buckets=8).collect()
+    assert got == {r["id"]: (r["bucket"], r["seq"], r["tok_offset"]) for r in out2}
+
+
+def test_pack_sequences_oversized_doc_packs_alone(spark):
+    from miru_spark.pipeline.pack import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 999), (3, 100)], "doc_id long, n long")
+    out = {r["id"]: r for r in
+           pack_sequences(df, "doc_id", "n", budget=512, n_buckets=1).collect()}
+    big = out[2]
+    assert big["tok_offset"] == 0  # oversized doc opens its own sequence
+    assert len({r["seq"] for r in out.values() if r["seq"] == big["seq"]}) == 1
+    assert out[1]["seq"] != big["seq"] and out[3]["seq"] != big["seq"]
