@@ -1,0 +1,91 @@
+"""CLI smoke tests: the spark-submit entry points (§2.3 query sinks —
+the reference's query endpoints return JSON answers the same way,
+``FullTextInjectable`` -> HTTP JSON). Run in-process against the shared
+session (get_spark's getOrCreate picks it up) with patched argv."""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def cli_index(spark, tmp_path_factory):
+    import scripts.build_index as b
+
+    out = str(tmp_path_factory.mktemp("cli") / "idx")
+    argv = [
+        "build_index.py", "--input", os.path.join(SF, "documents.parquet"),
+        "--output", out, "--shards", "2", "--stored-cols", "lang,source",
+        "--cores", "8", "--overwrite",
+    ]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        b.main()
+    finally:
+        sys.argv = old
+    return out
+
+
+def test_build_cli_writes_valid_index(spark, cli_index):
+    from miru_spark.index.reader import IndexReader
+
+    r = IndexReader(spark, cli_index)
+    assert r.stats["n_docs"] == 500
+    assert r.stats["n_terms"] > 0
+
+
+@pytest.mark.parametrize("extra", [[], ["--wand"], ["--wand", "--or"]])
+def test_query_cli_json_sink(spark, cli_index, capsys, extra):
+    import scripts.query_index as q
+
+    # the WAND path takes a FLAT term list (tokenized verbatim); the
+    # parsed-grammar path gets the boolean form — same AND semantics
+    qstr = "spark join" if extra else "spark AND join"
+    argv = ["query_index.py", "--index", cli_index,
+            "--query", qstr, "-k", "5", "--cores", "8", *extra]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        q.main()
+    finally:
+        sys.argv = old
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["query"] == qstr
+    assert len(out["hits"]) == 5
+    # the JSON sink must agree with the library call
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query.bm25 import search
+
+    if "--or" in extra:
+        direct = search(IndexReader(spark, cli_index), "spark OR join", k=5).collect()
+    else:
+        direct = search(IndexReader(spark, cli_index), "spark AND join", k=5).collect()
+    assert [h["doc_id"] for h in out["hits"]] == [r["doc_id"] for r in direct]
+
+
+def test_query_cli_keyset_paging(spark, cli_index, capsys):
+    import scripts.query_index as q
+
+    def run(argv):
+        old = sys.argv
+        sys.argv = ["query_index.py", *argv]
+        try:
+            q.main()
+        finally:
+            sys.argv = old
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    p1 = run(["--index", cli_index, "--query", "spark", "-k", "3", "--cores", "8"])
+    last = p1["hits"][-1]
+    p2 = run(["--index", cli_index, "--query", "spark", "-k", "3", "--cores", "8",
+              "--after", f"{last['score']},{last['doc_id']}"])
+    ids1 = {h["doc_id"] for h in p1["hits"]}
+    ids2 = {h["doc_id"] for h in p2["hits"]}
+    assert ids1.isdisjoint(ids2) and len(ids2) == 3

@@ -388,3 +388,42 @@ def test_regexp_required_prefix():
     assert rp(r"ab\|cd") == "ab"      # escaped pipe is literal
     assert rp("lang:(?:en|de)") == "lang:"
     assert rp(".*x") == ""
+
+
+# ---- property: the parser is total over arbitrary input ----------------
+# Any string must either parse to a Node or raise QueryParseError — no
+# other exception type, ever (the reference wraps Lucene's ParseException
+# the same way). Alphabet is biased toward grammar metacharacters to hit
+# the interesting corners.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_QUERY_ALPHABET = st.sampled_from(
+    list("abqw 019_*?~^:()[]{}\"'/\\|&!+-.TOANDR")
+)
+
+
+@given(st.text(alphabet=_QUERY_ALPHABET, min_size=0, max_size=40))
+@settings(max_examples=500, deadline=None)
+def test_parser_total_no_crashes(q):
+    from miru_spark.query.parser import Node, parse_query
+
+    try:
+        node = parse_query(q)
+    except QueryParseError:
+        return
+    assert isinstance(node, Node)
+
+
+@given(st.text(alphabet=_QUERY_ALPHABET, min_size=0, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_prune_stopwords_total(q):
+    from miru_spark.query.parser import Node, parse_query, prune_stopwords
+
+    try:
+        node = parse_query(q)
+    except QueryParseError:
+        return
+    pruned = prune_stopwords(node)
+    assert pruned is None or isinstance(pruned, Node)

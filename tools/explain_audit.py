@@ -152,6 +152,19 @@ def main() -> int:
         must_not=["CartesianProduct"],
     )
 
+    # sequence packing: exactly ONE exchange (the bucket groupBy);
+    # the greedy pack itself is bucket-local (FlatMapGroupsInPandas)
+    plan = plan_of(E.q_pack_sequences(spark, sf_dir))
+    n_ex = plan.count("Exchange")
+    print(f"-- pack_sequences: exchanges={n_ex}, "
+          f"grouped_pandas={'Y' if 'FlatMapGroupsInPandas' in plan else 'N'}")
+    if n_ex != 1:
+        failures.append(f"pack_sequences: expected 1 Exchange, found {n_ex}")
+    if "FlatMapGroupsInPandas" not in plan:
+        failures.append("pack_sequences: missing FlatMapGroupsInPandas")
+    if "CartesianProduct" in plan:
+        failures.append("pack_sequences: unexpected CartesianProduct")
+
     from miru_spark.query.bm25 import search_wand
 
     check(
