@@ -450,6 +450,7 @@ def search_wand(
     b: float = B_DEFAULT,
     mode: str = "and",
     after: tuple[float, int] | None = None,
+    gather_fields: list[str] | None = None,
 ) -> DataFrame:
     """Top-k BM25 for a flat AND/OR-of-terms query with block-max pruning.
 
@@ -660,4 +661,6 @@ def search_wand(
         ).astype({"doc_id": "int64", "score": "float64"})
 
     local = grouped.mapInPandas(_wand, schema="doc_id long, score double")
-    return local.orderBy(F.col("score").desc(), F.col("doc_id").desc()).limit(k)
+    out = local.orderBy(F.col("score").desc(), F.col("doc_id").desc()).limit(k)
+    # lazy display-field gather, same as search(): joins AFTER the limit
+    return _gather(reader, out, gather_fields)

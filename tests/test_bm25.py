@@ -848,3 +848,14 @@ def test_fielded_regexp_alternation_distributes(spark, fielded_reader):
     assert [(r["doc_id"], r["score"]) for r in a] == [
         (r["doc_id"], r["score"]) for r in b]
     assert len(a) > 0
+
+
+def test_wand_gather_fields_matches_search(spark, fielded_reader):
+    """WAND's lazy display-field gather must agree with search()'s."""
+    a = bm25.search(fielded_reader, "w00001 AND w00004", k=10, round_to=6,
+                    gather_fields=["lang", "url"]).collect()
+    b = bm25.search_wand(fielded_reader, ["w00001", "w00004"], k=10,
+                         gather_fields=["lang", "url"]).collect()
+    br = [(r["doc_id"], round(r["score"], 6), r["lang"], r["url"]) for r in b]
+    ar = [(r["doc_id"], r["score"], r["lang"], r["url"]) for r in a]
+    assert ar == br and len(ar) > 0
