@@ -385,6 +385,14 @@ def q_bm25_slop(spark, sf_dir):
     )
 
 
+def q_fulltext_match_all(spark, sf_dir):
+    """`*:* -spark` — MatchAllDocsQuery anchoring a pure negation: every
+    doc WITHOUT the term, TIME-ordered (pure-mask fallback, score 0)."""
+    from miru_spark.query.bm25 import search
+
+    return search(_reader(spark, sf_dir), "*:* -spark", k=20)
+
+
 def q_fulltext_time_newest(spark, sf_dir):
     """TIME strategy: newest-k matching docs, score = 0."""
     from miru_spark.query.bm25 import search_time_newest
@@ -1116,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_range": q_bm25_range,
         "bm25_slop": q_bm25_slop,
         "fulltext_time_newest": q_fulltext_time_newest,
+        "fulltext_match_all": q_fulltext_match_all,
         "fulltext_highlight": q_fulltext_highlight,
         "index_dictionary": q_index_dictionary,
         "index_doc_stats": q_index_doc_stats,
@@ -1404,6 +1413,12 @@ WITH base AS ({toks_base}),
 tk AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM base),
 cand AS (SELECT doc_id FROM tk WHERE term IN ('spark','query') GROUP BY 1 HAVING count(*) = 2)
 SELECT doc_id, 0.0::DOUBLE AS score FROM cand ORDER BY doc_id DESC LIMIT 20
+""",
+        "fulltext_match_all": f"""
+WITH base AS ({toks_base}),
+hit AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(toks) AS term FROM base) WHERE term = 'spark')
+SELECT b.doc_id, 0.0::DOUBLE AS score FROM base b ANTI JOIN hit h ON b.doc_id = h.doc_id
+ORDER BY b.doc_id DESC LIMIT 20
 """,
         "index_dictionary": f"""
 WITH base AS ({toks_base}),

@@ -201,6 +201,11 @@ def _eval_candidates(reader: IndexReader, node, expansions, phrase_ctx=None) -> 
             .select("doc_id")
         )
         return verified
+    if isinstance(node, qp.MatchAll):
+        # every live doc (MatchAllDocsQuery): the doc store's id column,
+        # a columnar scan of one slim column; removals/constraints fold
+        # in the callers like any candidate set
+        return reader.doc_store().select("doc_id")
     if isinstance(node, (qp.Term, qp.Prefix, qp.Wildcard, qp.Regexp, qp.Fuzzy, qp.TermRange)):
         terms = _leaf_terms(node, expansions)
         if not terms:

@@ -111,6 +111,18 @@ class Regexp(Node):
 
 
 @dataclass(frozen=True)
+class MatchAll(Node):
+    """``*:*`` — Lucene MatchAllDocsQuery. A candidate MASK matching
+    every live doc (useful to anchor pure-negation or pure-constraint
+    queries); contributes no BM25 weight, so a query of only ``*:*`` and
+    fielded masks falls back to the TIME ordering like any pure-mask
+    query."""
+
+    field: str = "*"  # non-None -> mask semantics (never scores)
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class TermRange(Node):
     """``field:[lo TO hi]`` / ``{lo TO hi}``: lexicographic keyword-value
     range over a fielded keyword vocabulary (Lucene TermRangeQuery —
@@ -160,6 +172,7 @@ _FUZZ = r"(?:~\d*)?"
 _LEX = re.compile(
     r"\"[^\"]*\"" + _FUZZ + _BOOST
     + r"|\(|\)|&&|\|\|"
+    + r"|\*:\*"  # MatchAllDocsQuery
     + r"|\w+:/[^/]*/" + _BOOST  # fielded regexp: `field:/pat/`
     + r"|/[^/]*/" + _BOOST  # Lucene RegexpQuery: `/pat/`
     + r"|\w+:\("  # field-grouped clause opener: `field:(a OR b)`
@@ -255,6 +268,8 @@ class _Parser:
             return node
         if t == ")":
             raise QueryParseError("unexpected ')'")
+        if t == "*:*":
+            return MatchAll()
         gm = re.fullmatch(r"(\w+):\(", t)
         if gm:
             # `field:(a OR b)` — classic QueryParser distributes the
@@ -437,7 +452,7 @@ def prune_stopwords(node: Node, stopwords=None) -> Node | None:
     if isinstance(node, Term):
         # fielded terms are exact-match keyword values, never stopwords
         return None if (node.field is None and node.term in stopwords) else node
-    if isinstance(node, (Prefix, Wildcard, Regexp, Fuzzy, TermRange)):
+    if isinstance(node, (Prefix, Wildcard, Regexp, Fuzzy, TermRange, MatchAll)):
         return node
     if isinstance(node, Phrase):
         # a stopword-stripped index has no stopword tokens to be adjacent
@@ -465,7 +480,7 @@ def prune_stopwords(node: Node, stopwords=None) -> Node | None:
     return And(kept) if isinstance(node, And) else Or(kept)
 
 
-LEAF_TYPES = (Term, Prefix, Wildcard, Regexp, Phrase, Fuzzy, TermRange)
+LEAF_TYPES = (Term, Prefix, Wildcard, Regexp, Phrase, Fuzzy, TermRange, MatchAll)
 
 
 def positive_leaves(node: Node) -> list[Node]:

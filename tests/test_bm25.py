@@ -859,3 +859,16 @@ def test_wand_gather_fields_matches_search(spark, fielded_reader):
     br = [(r["doc_id"], round(r["score"], 6), r["lang"], r["url"]) for r in b]
     ar = [(r["doc_id"], r["score"], r["lang"], r["url"]) for r in a]
     assert ar == br and len(ar) > 0
+
+
+def test_match_all_with_negation(reader, oracle, corpus):
+    """`*:* -w00001` anchors a pure-negation query: every doc except the
+    term's postings, TIME-ordered (pure-mask fallback, score 0)."""
+    got = bm25.search(reader, "*:* -w00001", k=10000).collect()
+    excluded = oracle.postings("w00001")
+    all_ids = set(oracle.tf)
+    assert {r["doc_id"] for r in got} == all_ids - excluded
+    assert all(r["score"] == 0.0 for r in got)
+    # newest-first = descending doc_id on this corpus
+    ids = [r["doc_id"] for r in got]
+    assert ids == sorted(ids, reverse=True)

@@ -427,3 +427,11 @@ def test_prune_stopwords_total(q):
         return
     pruned = prune_stopwords(node)
     assert pruned is None or isinstance(pruned, Node)
+
+
+def test_match_all_parses():
+    from miru_spark.query.parser import And, MatchAll, Not
+
+    assert parse_query("*:*") == MatchAll()
+    node = parse_query("*:* -spark")
+    assert node == And([MatchAll(), Not(Term("spark"))])
