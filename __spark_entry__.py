@@ -581,6 +581,31 @@ def _stream_dir(sf_dir: str, table: str) -> str:
     return _STREAM_DIR_CACHE[key]
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-family per-doc repetition filters: duplicate 2/3-gram
+    fractions + top-2-gram token fraction, all whole-stage-codegen JVM
+    array expressions (no shuffle, no Python) — the repetition half of
+    the Gopher quality rules (the length/punct/stopword half is the
+    `quality` entry)."""
+    from miru_spark.pipeline.text import repetition_signals
+
+    out = repetition_signals(_read(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens",
+        "dup_3gram_frac", "dup_2gram_frac", "top_2gram_frac")
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Corpus-frequent 5-grams (boilerplate/template chrome detector):
+    distinct grams per doc -> one partial-aggregated groupBy — the same
+    single-shuffle shape as the dictionary build."""
+    from miru_spark.pipeline.text import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        n=5, min_doc_frac=0.002, limit=50)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing for pretraining: docs hash into 16 independent
     buckets (md5, engine-stable) and pack greedily in doc_id order
@@ -1163,6 +1188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "sample_hash": q_sample_hash,
         "pack_sequences": q_pack_sequences,
+        "repetition_signals": q_repetition_signals,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
         "domain_cap": q_domain_cap,
         "corpus_clean": q_corpus_clean,
         "dedup_components": q_dedup_components,
@@ -1739,6 +1766,33 @@ SELECT id_a, id_b, round(n::DOUBLE / (x.sz + y.sz - n), 6) AS jaccard
 FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
 WHERE n::DOUBLE / (x.sz + y.sz - n) >= 0.8
 ORDER BY id_a, id_b
+""",
+        "repetition_signals": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b2 AS (SELECT doc_id, toks[i] || chr(31) || toks[i+1] AS g
+       FROM base, unnest(generate_series(1, len(toks) - 1)) AS t(i)),
+b3 AS (SELECT doc_id, toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2] AS g
+       FROM base, unnest(generate_series(1, len(toks) - 2)) AS t(i)),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM b2 GROUP BY 1, 2),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM b3 GROUP BY 1, 2),
+a2 AS (SELECT doc_id, sum(c) AS total, count(*) AS dist, max(c) AS top FROM c2 GROUP BY 1),
+a3 AS (SELECT doc_id, sum(c) AS total, count(*) AS dist FROM c3 GROUP BY 1)
+SELECT b.doc_id, len(b.toks)::BIGINT AS n_tokens,
+  round(CASE WHEN coalesce(a3.total, 0) > 0 THEN 1.0 - a3.dist::DOUBLE / a3.total ELSE 0.0 END, 6) AS dup_3gram_frac,
+  round(CASE WHEN coalesce(a2.total, 0) > 0 THEN 1.0 - a2.dist::DOUBLE / a2.total ELSE 0.0 END, 6) AS dup_2gram_frac,
+  round(CASE WHEN coalesce(a2.total, 0) > 0 THEN a2.top::DOUBLE / a2.total ELSE 0.0 END, 6) AS top_2gram_frac
+FROM base b LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+ORDER BY doc_id
+""",
+        "boilerplate_ngrams": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 5 THEN [] ELSE
+       list_transform(generate_series(1, len(toks) - 4),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) END)) AS ngram
+     FROM base)
+SELECT ngram, count(*) AS df FROM g GROUP BY 1
+HAVING count(*) > 0.002 * (SELECT count(*) FROM documents)
+ORDER BY df DESC, ngram LIMIT 50
 """,
         # greedy first-fit pack as a recursive fold per (md5) bucket —
         # the exact sequential semantics the engine runs bucket-locally

@@ -300,3 +300,112 @@ def clean_corpus(
         .select(F.col("id").alias("doc_id"), "lang", "quality", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc repetition signals in the Gopher-rules family (Rae et al.
+    2021, "Scaling Language Models": the repetition filters drop docs
+    whose content is dominated by repeated fragments — boilerplate,
+    keyword stuffing, templated chrome).
+
+    Columns (id, n_tokens, dup_3gram_frac, dup_2gram_frac,
+    top_2gram_frac):
+
+    - ``dup_Ngram_frac``: 1 - distinct(N-grams)/total(N-grams) — the
+      fraction of N-gram slots occupied by repeats.
+    - ``top_2gram_frac``: fraction of 2-gram slots taken by the single
+      most frequent 2-gram (token-slot fraction — a documented
+      simplification of Gopher's character fraction).
+
+    All three are whole-stage-codegen JVM expressions over the token
+    array (no Python): n-grams via ``transform`` over an index sequence,
+    dup fractions via ``array_distinct``, the top-2-gram count via an
+    ``aggregate`` over the sorted n-gram array. One scan, no shuffle —
+    embarrassingly parallel at any corpus size.
+    """
+    from miru_spark.analysis.tokenizer import tokens_col
+
+    def ngrams(toks, n):
+        # guard: sequence(1, 0) DESCENDS in Spark — short docs get []
+        idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+        return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(idx, lambda i: F.concat_ws("\x1f", F.slice(toks, i, n))))
+
+    def dup_frac(grams):
+        total = F.size(grams)
+        return F.when(total <= 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(grams)) / total.cast("double")
+        )
+
+    def top_frac(grams):
+        # max run length in the SORTED n-gram array == max multiplicity;
+        # aggregate carries (prev, run, best) through one pass
+        s = F.array_sort(grams)
+        best = F.aggregate(
+            s,
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        total = F.size(grams)
+        return F.when(total <= 0, F.lit(0.0)).otherwise(
+            best.cast("double") / total.cast("double")
+        )
+
+    toks = tokens_col(F.col("text"), use_stopwords=False)
+    out = _src(df, id_col, text_col).select(
+        "id",
+        toks.alias("_toks"),
+    ).select(
+        "id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.round(dup_frac(ngrams(F.col("_toks"), 3)), 6).alias("dup_3gram_frac"),
+        F.round(dup_frac(ngrams(F.col("_toks"), 2)), 6).alias("dup_2gram_frac"),
+        F.round(top_frac(ngrams(F.col("_toks"), 2)), 6).alias("top_2gram_frac"),
+    )
+    return out
+
+
+def boilerplate_ngrams(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 5,
+    min_doc_frac: float = 0.05, limit: int | None = None,
+) -> DataFrame:
+    """Corpus-frequent n-grams — the boilerplate detector: an n-gram
+    appearing in more than ``min_doc_frac`` of all docs is navigation /
+    template chrome, not content (the crawl-cleaning counterpart of the
+    reference's per-term df dictionary, one level up in gram length).
+
+    Columns (ngram, df). Plan: token n-grams per doc (JVM transform),
+    exploded DISTINCT per doc, one partial-aggregated groupBy — the same
+    single-shuffle shape as the index dictionary build, so it scales the
+    same way.
+    """
+    from miru_spark.analysis.tokenizer import tokens_col
+
+    toks = tokens_col(F.col("text"), use_stopwords=False)
+    idx = F.sequence(F.lit(1), F.size(F.col("_toks")) - F.lit(n - 1))
+    grams = F.when(
+        F.size(F.col("_toks")) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n))))
+    n_docs = df.count()
+    out = (
+        _src(df, id_col, text_col)
+        .select("id", toks.alias("_toks"))
+        .select("id", F.explode(F.array_distinct(grams)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > min_doc_frac * n_docs)
+    )
+    if limit is not None:
+        out = out.orderBy(F.col("df").desc(), F.col("ngram")).limit(limit)
+    return out

@@ -385,3 +385,48 @@ def test_pack_sequences_oversized_doc_packs_alone(spark):
     assert big["tok_offset"] == 0  # oversized doc opens its own sequence
     assert len({r["seq"] for r in out.values() if r["seq"] == big["seq"]}) == 1
     assert out[1]["seq"] != big["seq"] and out[3]["seq"] != big["seq"]
+
+
+def test_repetition_signals_python_oracle(spark):
+    from collections import Counter
+
+    from miru_spark.analysis.tokenizer import tokenize
+    from miru_spark.pipeline.text import repetition_signals
+
+    docs = [
+        (1, "a b c a b c a b c"),          # heavy repetition
+        (2, "one two three four five"),    # no repetition
+        (3, "x"),                          # shorter than any n-gram
+        (4, ""),                           # empty
+        (5, "spam spam spam spam"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: r for r in
+           repetition_signals(df, "doc_id", "text").collect()}
+
+    def grams(toks, n):
+        return [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    for i, t in docs:
+        toks = tokenize(t)
+        for n, col in ((3, "dup_3gram_frac"), (2, "dup_2gram_frac")):
+            g = grams(toks, n)
+            exp = round(1.0 - len(set(g)) / len(g), 6) if g else 0.0
+            assert got[i][col] == exp, (i, col)
+        g2 = grams(toks, 2)
+        exp_top = round(Counter(g2).most_common(1)[0][1] / len(g2), 6) if g2 else 0.0
+        assert got[i]["top_2gram_frac"] == exp_top, i
+    assert got[1]["dup_3gram_frac"] > 0.5 and got[2]["dup_2gram_frac"] == 0.0
+
+
+def test_boilerplate_ngrams_detects_template(spark):
+    from miru_spark.pipeline.text import boilerplate_ngrams
+
+    chrome = "home about contact privacy terms"
+    rows = [(i, f"{chrome} unique{i} body{i} text{i} words{i} here{i}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boilerplate_ngrams(df, "doc_id", "text", n=5, min_doc_frac=0.5)
+    got = {r["ngram"]: r["df"] for r in out.collect()}
+    assert got.get(chrome) == 40  # the template 5-gram in every doc
+    assert all(v > 20 for v in got.values())
