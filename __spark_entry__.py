@@ -607,6 +607,16 @@ def q_boilerplate_ngrams(spark, sf_dir):
         n=5, min_doc_frac=0.002, limit=50)
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-family LM quality filter, unigram member: per-doc
+    cross-entropy under the corpus's own unigram LM (broadcast model
+    join + one groupBy; spammy outliers score high)."""
+    from miru_spark.pipeline.text import lm_score
+
+    out = lm_score(_read(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(F.col("id").alias("doc_id"), "n_tokens", "cross_entropy")
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing for pretraining: docs hash into 16 independent
     buckets (md5, engine-stable) and pack greedily in doc_id order
@@ -1190,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "pack_sequences": q_pack_sequences,
         "repetition_signals": q_repetition_signals,
+        "lm_score": q_lm_score,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "domain_cap": q_domain_cap,
         "corpus_clean": q_corpus_clean,
@@ -1767,6 +1778,16 @@ SELECT id_a, id_b, round(n::DOUBLE / (x.sz + y.sz - n), 6) AS jaccard
 FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
 WHERE n::DOUBLE / (x.sz + y.sz - n) >= 0.8
 ORDER BY id_a, id_b
+""",
+        "lm_score": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tk AS (SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS term FROM base),
+lm AS (SELECT term, count(*) AS cf FROM tk GROUP BY 1),
+st AS (SELECT sum(cf)::DOUBLE AS total, count(*)::DOUBLE AS vocab FROM lm)
+SELECT tk.doc_id, tk.n_tokens::BIGINT AS n_tokens,
+  round(avg(-log2((cf + 0.5) / (total + 0.5 * (vocab + 1)))), 6) AS cross_entropy
+FROM tk JOIN lm USING (term) CROSS JOIN st
+GROUP BY 1, 2 ORDER BY 1
 """,
         "repetition_signals": f"""
 WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -400,3 +400,58 @@ def boilerplate_ngrams(
     if limit is not None:
         out = out.orderBy(F.col("df").desc(), F.col("ngram")).limit(limit)
     return out
+
+
+def lm_score(
+    df: DataFrame, id_col: str, text_col: str, *,
+    lm_df: DataFrame | None = None, alpha: float = 0.5,
+) -> DataFrame:
+    """Per-doc cross-entropy under a unigram language model — the
+    LM-quality filter of CCNet-style pipelines (Wenzek et al. 2020
+    score web docs by LM perplexity and keep the low-perplexity tail;
+    a unigram model is the exact, dependency-free member of that
+    family).
+
+    ``lm_df``: optional (term, cf) relation to use as the model — e.g.
+    a trusted reference corpus's term counts. Defaults to the input
+    corpus itself (self-perplexity: spammy outlier docs score high).
+    Unseen terms get Lidstone ``alpha`` pseudo-counts.
+
+    Columns (id, n_tokens, cross_entropy): mean negative log2
+    probability per token; lower = more typical of the model corpus.
+    Plan: tokens explode -> broadcast-join the (term, cf) model ->
+    one groupBy(id) with map-side partials. The model relation is
+    vocabulary-sized (tiny next to the corpus), so the join broadcasts;
+    the groupBy is the only shuffle.
+    """
+    from miru_spark.analysis.tokenizer import tokens_col
+
+    toks = tokens_col(F.col("text"), use_stopwords=False)
+    src = _src(df, id_col, text_col).select("id", toks.alias("_toks"))
+    if lm_df is None:
+        lm_df = (
+            src.select(F.explode("_toks").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("cf"))
+        )
+    stats = lm_df.agg(
+        F.sum("cf").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    tok = src.select("id", F.size("_toks").alias("n_tokens"),
+                     F.explode("_toks").alias("term"))
+    joined = (
+        tok.join(F.broadcast(lm_df), "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id", "n_tokens",
+            (-F.log2(
+                (F.coalesce(F.col("cf"), F.lit(0)) + F.lit(alpha))
+                / (F.col("total") + F.lit(alpha) * (F.col("vocab") + 1))
+            )).alias("nll"),
+        )
+    )
+    return (
+        joined.groupBy("id", "n_tokens")
+        .agg(F.round(F.avg("nll"), 6).alias("cross_entropy"))
+        .select("id", F.col("n_tokens").cast("long").alias("n_tokens"), "cross_entropy")
+    )

@@ -430,3 +430,41 @@ def test_boilerplate_ngrams_detects_template(spark):
     got = {r["ngram"]: r["df"] for r in out.collect()}
     assert got.get(chrome) == 40  # the template 5-gram in every doc
     assert all(v > 20 for v in got.values())
+
+
+def test_lm_score_orders_typicality(spark):
+    import math
+
+    from miru_spark.pipeline.text import lm_score
+
+    # corpus of common-word docs + one spammy outlier with rare tokens
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((99, "zxqj vvkw qqpz zzzz xxxx"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["cross_entropy"] for r in
+           lm_score(df, "doc_id", "text").collect()}
+    assert got[99] > got[0] + 1.0  # outlier is much less typical
+
+    # exact python oracle for one doc
+    from collections import Counter
+
+    from miru_spark.analysis.tokenizer import tokenize
+    all_toks = [t for _, x in rows for t in tokenize(x)]
+    cf = Counter(all_toks)
+    total, vocab = sum(cf.values()), len(cf)
+    toks0 = tokenize(rows[0][1])
+    exp = sum(-math.log2((cf[t] + 0.5) / (total + 0.5 * (vocab + 1)))
+              for t in toks0) / len(toks0)
+    assert abs(got[0] - exp) < 1e-6
+
+
+def test_lm_score_external_model(spark):
+    from miru_spark.pipeline.text import lm_score
+
+    docs = spark.createDataFrame([(1, "alpha beta"), (2, "gamma delta")],
+                                 "doc_id long, text string")
+    model = spark.createDataFrame([("alpha", 90), ("beta", 10)], "term string, cf long")
+    got = {r["id"]: r["cross_entropy"] for r in
+           lm_score(docs, "doc_id", "text", lm_df=model).collect()}
+    # doc 2's terms are unseen under the model -> strictly worse
+    assert got[2] > got[1]
