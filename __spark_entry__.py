@@ -607,6 +607,19 @@ def q_boilerplate_ngrams(spark, sf_dir):
         n=5, min_doc_frac=0.002, limit=50)
 
 
+def q_temperature_sample(spark, sf_dir):
+    """Temperature source re-mixing (alpha=0.5 flattening over lang,
+    half-budget): per-source keep rates from count^alpha shares, doc
+    verdicts by the deterministic md5 threshold — the multilingual
+    mixing rule, downsampling-only."""
+    from miru_spark.pipeline.sampling import temperature_sample
+
+    out = temperature_sample(
+        _read(spark, sf_dir, "documents"), "doc_id", "lang",
+        alpha=0.5, total_rate=0.5, seed=3)
+    return out.select("doc_id", "lang", "source")
+
+
 def q_lm_score(spark, sf_dir):
     """CCNet-family LM quality filter, unigram member: per-doc
     cross-entropy under the corpus's own unigram LM (broadcast model
@@ -1201,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "repetition_signals": q_repetition_signals,
         "lm_score": q_lm_score,
+        "temperature_sample": q_temperature_sample,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "domain_cap": q_domain_cap,
         "corpus_clean": q_corpus_clean,
@@ -1778,6 +1792,17 @@ SELECT id_a, id_b, round(n::DOUBLE / (x.sz + y.sz - n), 6) AS jaccard
 FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
 WHERE n::DOUBLE / (x.sz + y.sz - n) >= 0.8
 ORDER BY id_a, id_b
+""",
+        "temperature_sample": """
+WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+tot AS (SELECT sum(c)::DOUBLE AS n, sum(pow(c, 0.5)) AS z FROM cnt),
+rates AS (SELECT lang, least(1.0, 0.5 * n * pow(c, 0.5) / z / c) AS rate
+          FROM cnt CROSS JOIN tot)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN rates r USING (lang)
+WHERE CAST(('0x' || substring(md5(d.doc_id::VARCHAR || ':3'), 1, 8))::UBIGINT AS BIGINT)
+      < floor(r.rate * 4294967296)::BIGINT
+ORDER BY d.doc_id
 """,
         "lm_score": f"""
 WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -61,3 +61,62 @@ def cap_per_key(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    *,
+    alpha: float = 0.5,
+    total_rate: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based source re-mixing: sample so the kept corpus's
+    source shares follow ``count_s^alpha`` (normalized) instead of the
+    raw counts — the multilingual/multi-source mixing rule of
+    mBERT/XLM-R/T5-style pipelines (alpha < 1 flattens the source
+    distribution, boosting tail sources relative to head ones).
+
+    Per-source keep rate: ``min(1, total_rate * N * p_target(s) /
+    count_s)`` with ``p_target(s) = count_s^alpha / sum_t count_t^alpha``;
+    the doc-level keep decision is the same deterministic md5-bucket
+    threshold as :func:`sample_by_hash`, so results are identical across
+    runs, partitionings, and cluster sizes, and compose with the other
+    hash-keyed sampling ops (independent seeds -> independent draws).
+
+    Head sources may be unable to donate enough mass for small alpha
+    (rate caps at 1); the realized total is then below ``total_rate`` —
+    the standard behavior of mixing-by-downsampling (no upsampling).
+
+    Plan: one groupBy for source counts (tiny relation) -> rates as a
+    single declarative expression -> broadcast-join back -> hash-filter.
+    No collect, no window over the corpus; one small shuffle.
+    """
+    if not 0.0 < total_rate <= 1.0:
+        raise ValueError(f"total_rate must be in (0, 1], got {total_rate}")
+    cnt = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__c"))
+    tot = cnt.agg(
+        F.sum("__c").alias("__n"),
+        F.sum(F.pow("__c", F.lit(alpha))).alias("__z"),
+    )
+    rates = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(total_rate) * F.col("__n")
+                * F.pow("__c", F.lit(alpha)) / F.col("__z") / F.col("__c"),
+            ).alias("__rate"),
+        )
+    )
+    out = (
+        df.join(F.broadcast(rates), source_col)
+        # floor, not cast: SQL engines round on double->int casts while
+        # Spark truncates — floor() agrees everywhere, keeping the
+        # threshold reproducible in ANSI-SQL oracles
+        .filter(hash_bucket(key_col, seed) < F.floor(F.col("__rate") * _BUCKETS))
+        .drop("__rate")
+    )
+    return out

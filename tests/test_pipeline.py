@@ -468,3 +468,38 @@ def test_lm_score_external_model(spark):
            lm_score(docs, "doc_id", "text", lm_df=model).collect()}
     # doc 2's terms are unseen under the model -> strictly worse
     assert got[2] > got[1]
+
+
+def test_temperature_sample_flattens_sources(spark):
+    from miru_spark.pipeline.sampling import temperature_sample
+
+    # skewed sources: head 4000 docs, tail 400
+    df = spark.range(0, 4400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 4000, "head").otherwise("tail").alias("src"),
+    )
+    out = temperature_sample(df, "doc_id", "src", alpha=0.3, total_rate=0.5)
+    got = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    # alpha<1 boosts the tail's SHARE vs its raw share (400/4400 = 9%)
+    share_tail = got["tail"] / (got["head"] + got["tail"])
+    assert share_tail > 0.2
+    # tail rate caps at 1 -> tail kept (almost) fully; head downsampled
+    assert got["tail"] > 350 and got["head"] < 4000 * 0.6
+
+    # deterministic + partitioning-invariant
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in temperature_sample(
+        df.repartition(13), "doc_id", "src", alpha=0.3, total_rate=0.5).collect()}
+    assert a == b
+
+
+def test_temperature_sample_alpha_one_is_plain_rate(spark):
+    from miru_spark.pipeline.sampling import sample_by_hash, temperature_sample
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("src"))
+    # alpha=1: target == data distribution -> every source rate == total_rate
+    a = {r["doc_id"] for r in temperature_sample(
+        df, "doc_id", "src", alpha=1.0, total_rate=0.4, seed=5).collect()}
+    b = {r["doc_id"] for r in sample_by_hash(df, "doc_id", 0.4, seed=5).collect()}
+    assert a == b
