@@ -2279,3 +2279,138 @@ def compact_removals(spark: SparkSession, index_dir: str) -> dict:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         rem_b.unpersist()
     return {"removed_docs": int(removed.size), "shards_rewritten": affected}
+
+
+def compact_shards(
+    spark: SparkSession, index_dir: str, *, target_docs: int
+) -> dict:
+    """Merge runs of small adjacent shards into larger ones — the LSM
+    segment-merge of the reference's LAB storage (``LabFieldIndex``
+    leaps/merges), sized for the streaming indexer's one-shard-per-
+    micro-batch append pattern (10k micro-batches = 10k small shards =
+    10k-way file fan-out on every scan).
+
+    Shards partition the doc-id space disjointly and posting blocks are
+    doc-range-keyed, so merging needs NO re-encode: the compacted shard
+    is the union of its children's postings/doclens/docs/shard_stats
+    files (renamed under one partition dir), its manifest the sum of
+    the children's counts (the block checksum is an additive hash, so
+    it sums too). Shards are renumbered densely 0..m-1 afterwards; the
+    streaming cursor and stats.json follow.
+
+    Replay safety: a merged manifest keeps every child's input
+    fingerprint in ``extra["merged_fingerprints"]`` and
+    :func:`miru_spark.index.manifest.shard_is_done` honors them, so a
+    replayed micro-batch still no-ops after its shard was absorbed.
+
+    Bulk-build interaction: compacted manifests carry a ``compact:``
+    fingerprint that can never match a wave fingerprint, so a later
+    ``build_index`` over the same corpus simply rebuilds every shard by
+    its own (arithmetic) layout via dynamic partition overwrite —
+    self-healing, never double-serving.
+
+    Returns {"groups": [[child ids]...], "n_shards": m}.
+    """
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    n_shards = int(stats["n_shards"])
+    mans = []
+    for s in range(n_shards):
+        m = read_manifest(index_dir, s)
+        if m is None or m.status != "done":
+            raise RuntimeError(f"compact_shards with incomplete shard {s}")
+        mans.append(m)
+
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_docs = 0
+    for m in mans:
+        if cur and cur_docs + m.n_docs > target_docs:
+            groups.append(cur)
+            cur, cur_docs = [], 0
+        cur.append(m.shard)
+        cur_docs += m.n_docs
+    if cur:
+        groups.append(cur)
+    if all(len(g) == 1 for g in groups):
+        return {"groups": groups, "n_shards": n_shards}
+
+    rels = ("postings", "doclens", "docs", "shard_stats")
+    # stage the new layout, then swap — a crash mid-stage leaves the
+    # live dirs untouched
+    stage = os.path.join(index_dir, ".compact_stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    for rel in rels:
+        src_root = os.path.join(index_dir, rel)
+        if not os.path.isdir(src_root):
+            continue
+        for new_id, group in enumerate(groups):
+            dst = os.path.join(stage, rel, f"shard={new_id}")
+            os.makedirs(dst, exist_ok=True)
+            for child in group:
+                leaf = os.path.join(src_root, f"shard={child}")
+                if not os.path.isdir(leaf):
+                    continue
+                for fn in os.listdir(leaf):
+                    if fn.startswith(("_", ".")):
+                        continue  # _SUCCESS / hidden markers
+                    # unique name across merged children (task-numbered
+                    # parquet part files can collide between dirs)
+                    os.rename(
+                        os.path.join(leaf, fn),
+                        os.path.join(dst, f"s{child:05d}_{fn}"),
+                    )
+        for fn in os.listdir(src_root):
+            if fn.startswith("shard="):
+                shutil.rmtree(os.path.join(src_root, fn))
+        for fn in os.listdir(os.path.join(stage, rel)):
+            os.rename(os.path.join(stage, rel, fn), os.path.join(src_root, fn))
+    shutil.rmtree(stage, ignore_errors=True)
+
+    man_dir = os.path.join(index_dir, "manifests")
+    for fn in os.listdir(man_dir):
+        if fn.startswith("shard_") and fn.endswith(".json"):
+            os.remove(os.path.join(man_dir, fn))
+    for new_id, group in enumerate(groups):
+        children = [mans[c] for c in group]
+        fps = [c.input_fingerprint for c in children]
+        for c in children:
+            fps.extend(c.extra.get("merged_fingerprints", []))
+        write_manifest(
+            index_dir,
+            ShardManifest(
+                shard=new_id,
+                doc_lo=min(c.doc_lo for c in children),
+                doc_hi=max(c.doc_hi for c in children),
+                status="done",
+                n_docs=sum(c.n_docs for c in children),
+                n_postings=sum(c.n_postings for c in children),
+                n_blocks=sum(c.n_blocks for c in children),
+                n_terms=0,  # per-shard distinct terms are not additive
+                sum_doclen=sum(c.sum_doclen for c in children),
+                checksum=sum(c.checksum for c in children),
+                input_fingerprint=(
+                    fps[0] if len(children) == 1
+                    else "compact:" + ";".join(str(c.shard) for c in children)
+                ),
+                extra={"merged_fingerprints": fps} if len(children) > 1 else dict(children[0].extra),
+            ),
+        )
+
+    cursor_path = os.path.join(index_dir, "cursor.json")
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            cur_state = json.load(f)
+        cur_state["n_shards"] = len(groups)
+        tmp = cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cur_state, f, indent=1, sort_keys=True)
+        os.replace(tmp, cursor_path)
+
+    _finalize(
+        spark, index_dir, len(groups), int(stats["block_bits"]),
+        bool(stats.get("use_stopwords")),
+        "compact:" + str(stats.get("input_fingerprint", "")),
+        stats.get("locale"), keyword_fields=stats.get("keyword_fields") or [],
+    )
+    return {"groups": groups, "n_shards": len(groups)}

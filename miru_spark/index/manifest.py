@@ -56,4 +56,12 @@ def read_manifest(index_dir: str, shard: int) -> ShardManifest | None:
 
 def shard_is_done(index_dir: str, shard: int, input_fingerprint: str) -> bool:
     m = read_manifest(index_dir, shard)
-    return m is not None and m.status == "done" and m.input_fingerprint == input_fingerprint
+    if m is None or m.status != "done":
+        return False
+    # a compacted shard answers for every micro-batch it absorbed
+    # (builder.compact_shards keeps the children's fingerprints), so a
+    # replayed batch still no-ops after its shard was merged away
+    return (
+        m.input_fingerprint == input_fingerprint
+        or input_fingerprint in m.extra.get("merged_fingerprints", [])
+    )

@@ -171,3 +171,117 @@ def test_streaming_unread_counts_stateful(spark, tmp_path):
     run_once()
     got2 = {r["user"]: r["n_unread"] for r in collected}
     assert got2 == {1: 0, 2: 2}
+
+
+def test_compact_shards_preserves_results_and_replay(spark, paged_corpus, tmp_path):
+    """LSM segment merge: 3 micro-batch shards -> 1 compacted shard with
+    byte-identical query results, identical global stats, and replayed
+    micro-batches still no-op against the merged manifest."""
+    from miru_spark.index.builder import compact_shards
+    from miru_spark.index.manifest import read_manifest
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query.bm25 import search, search_wand
+    from miru_spark.streaming import StreamingIndexer
+
+    src, texts = paged_corpus
+    idx_dir = str(tmp_path / "idx")
+    indexer = StreamingIndexer(idx_dir, block_bits=4, stored_cols=["url"])
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        indexer.attach(stream)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    meta_before = indexer.finalize(spark)
+    r = IndexReader(spark, idx_dir)
+    before = [(x["doc_id"], round(x["score"], 9))
+              for x in search(r, "spark AND join", k=30).collect()]
+    dict_before = sorted(
+        (x["term"], x["df"], x["cf"]) for x in r.dictionary().collect())
+
+    out = compact_shards(spark, idx_dir, target_docs=1000)
+    assert out["n_shards"] == 1 and out["groups"] == [[0, 1, 2]]
+    assert os.path.isdir(os.path.join(idx_dir, "postings", "shard=0"))
+    assert not os.path.isdir(os.path.join(idx_dir, "postings", "shard=1"))
+
+    r2 = IndexReader(spark, idx_dir)
+    assert r2.n_docs == meta_before.n_docs and r2.avgdl == meta_before.avgdl
+    after = [(x["doc_id"], round(x["score"], 9))
+             for x in search(r2, "spark AND join", k=30).collect()]
+    wand = [(x["doc_id"], round(x["score"], 9))
+            for x in search_wand(r2, ["spark", "join"], k=30).collect()]
+    assert after == before and wand == before
+    assert sorted((x["term"], x["df"], x["cf"])
+                  for x in r2.dictionary().collect()) == dict_before
+
+    # merged manifest carries the children's lineage
+    m = read_manifest(idx_dir, 0)
+    assert m.n_docs == len(texts) and len(m.extra["merged_fingerprints"]) == 3
+
+    # a replayed stream (fresh checkpoint => every batch re-delivered)
+    # must not index anything twice against the compacted index
+    q2 = (
+        indexer.attach(
+            spark.readStream.schema("url string, text string")
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert indexer.read_cursor()["n_shards"] == 1
+    meta_after = indexer.finalize(spark)
+    assert meta_after.n_docs == meta_before.n_docs
+    r3 = IndexReader(spark, idx_dir)
+    again = [(x["doc_id"], round(x["score"], 9))
+             for x in search(r3, "spark AND join", k=30).collect()]
+    assert again == before
+
+
+def test_compact_shards_partial_groups_renumber(spark, paged_corpus, tmp_path):
+    """target_docs=20 over 3x10-doc shards -> groups [[0,1],[2]]: the
+    tail shard is renumbered (2 -> 1) and results stay identical."""
+    from miru_spark.index.builder import compact_shards
+    from miru_spark.index.manifest import read_manifest
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query.bm25 import search
+    from miru_spark.streaming import StreamingIndexer
+
+    src, _texts = paged_corpus
+    idx_dir = str(tmp_path / "idx")
+    indexer = StreamingIndexer(idx_dir, block_bits=4, stored_cols=["url"])
+    q = (
+        indexer.attach(
+            spark.readStream.schema("url string, text string")
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    indexer.finalize(spark)
+    r = IndexReader(spark, idx_dir)
+    before = [(x["doc_id"], round(x["score"], 9))
+              for x in search(r, "scan OR hash", k=30).collect()]
+
+    out = compact_shards(spark, idx_dir, target_docs=20)
+    assert out["groups"] == [[0, 1], [2]] and out["n_shards"] == 2
+    assert os.path.isdir(os.path.join(idx_dir, "postings", "shard=1"))
+    assert not os.path.isdir(os.path.join(idx_dir, "postings", "shard=2"))
+    m0, m1 = read_manifest(idx_dir, 0), read_manifest(idx_dir, 1)
+    assert m0.n_docs == 20 and m1.n_docs == 10
+    # singleton group keeps its original fingerprint (replay-safe)
+    assert not m1.input_fingerprint.startswith("compact:")
+
+    r2 = IndexReader(spark, idx_dir)
+    after = [(x["doc_id"], round(x["score"], 9))
+             for x in search(r2, "scan OR hash", k=30).collect()]
+    assert after == before
