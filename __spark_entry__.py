@@ -385,6 +385,16 @@ def q_bm25_slop(spark, sf_dir):
     )
 
 
+def q_bm25_facets(spark, sf_dir):
+    """Faceting over a fulltext answer: top lang values + counts across
+    the docs matching `spark AND data` (candidate evaluation -> doc
+    store semi-join -> one partial-agg groupBy; AggregateCounts answer
+    shape over a fulltext bitmap)."""
+    from miru_spark.query.bm25 import facet_counts
+
+    return facet_counts(_reader(spark, sf_dir), "spark AND data", "lang", k=10)
+
+
 def q_fulltext_match_all(spark, sf_dir):
     """`*:* -spark` — MatchAllDocsQuery anchoring a pure negation: every
     doc WITHOUT the term, TIME-ordered (pure-mask fallback, score 0)."""
@@ -1174,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_slop": q_bm25_slop,
         "fulltext_time_newest": q_fulltext_time_newest,
         "fulltext_match_all": q_fulltext_match_all,
+        "bm25_facets": q_bm25_facets,
         "fulltext_highlight": q_fulltext_highlight,
         "index_dictionary": q_index_dictionary,
         "index_doc_stats": q_index_doc_stats,
@@ -1466,6 +1477,15 @@ WITH base AS ({toks_base}),
 tk AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM base),
 cand AS (SELECT doc_id FROM tk WHERE term IN ('spark','query') GROUP BY 1 HAVING count(*) = 2)
 SELECT doc_id, 0.0::DOUBLE AS score FROM cand ORDER BY doc_id DESC LIMIT 20
+""",
+        "bm25_facets": f"""
+WITH base AS ({toks_base}),
+tk AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM base),
+cand AS (SELECT doc_id FROM tk WHERE term IN ('spark', 'data')
+         GROUP BY 1 HAVING count(*) = 2)
+SELECT d.lang AS value, count(*) AS n
+FROM documents d JOIN cand USING (doc_id)
+GROUP BY 1 ORDER BY n DESC, value LIMIT 10
 """,
         "fulltext_match_all": f"""
 WITH base AS ({toks_base}),

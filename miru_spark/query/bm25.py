@@ -416,6 +416,55 @@ def _gather(reader: IndexReader, topk: DataFrame, gather_fields, *, time_order=F
     return out.orderBy(*order)
 
 
+def facet_counts(
+    reader: IndexReader,
+    query: str,
+    field: str,
+    k: int = 10,
+    *,
+    max_expansion: int = 100,
+    locale: str | None = None,
+    use_stopwords: bool | None = None,
+    text_df: DataFrame | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k values of a stored field over the query's matching docs —
+    faceting, the reference's ``AggregateCounts``/``Distincts`` answer
+    shape applied to a fulltext candidate set (``MiruAggregateUtil.
+    gather`` over the answer bitmap). Returns DataFrame(value, n),
+    ordered (n desc, value) and limited to k.
+
+    Plan: boolean candidate evaluation (same index-side machinery as
+    :func:`search` — no scoring pass), removals anti-joined, one
+    semi-pruned doc-store join, one partial-aggregated groupBy, top-k
+    via TakeOrderedAndProject. Cost is O(candidates), never a corpus
+    scan."""
+    ast = _parse_for_index(reader, query, locale=locale, use_stopwords=use_stopwords)
+    if ast is None:
+        return reader.spark.createDataFrame([], f"value string, n long")
+    expansions = _expand(reader, ast, max_expansion)
+    phrase_ctx = None
+    if any(isinstance(l, qp.Phrase) for l in qp._all_leaves(ast)):
+        if text_df is None:
+            raise SearchError("phrase query needs text_df= for facets too")
+        eff_stop = (
+            use_stopwords if use_stopwords is not None
+            else bool(reader.stats.get("use_stopwords"))
+        )
+        phrase_ctx = (text_df, text_col, eff_stop)
+    cands = _eval_candidates(reader, ast, expansions, phrase_ctx)
+    cands = cands.join(reader.removed_docs(), "doc_id", "left_anti")
+    return (
+        reader.doc_store()
+        .select("doc_id", F.col(field).cast("string").alias("value"))
+        .join(cands, "doc_id", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("value"))
+        .limit(k)
+    )
+
+
 def search_time_newest(
     reader: IndexReader, query: str, k: int = 10, *, max_expansion: int = 100,
     constraint=None, locale: str | None = None, use_stopwords: bool | None = None,

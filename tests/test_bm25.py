@@ -872,3 +872,29 @@ def test_match_all_with_negation(reader, oracle, corpus):
     # newest-first = descending doc_id on this corpus
     ids = [r["doc_id"] for r in got]
     assert ids == sorted(ids, reverse=True)
+
+
+def test_facet_counts_matches_oracle(reader, oracle, corpus):
+    from collections import Counter
+
+    from miru_spark.query.bm25 import facet_counts
+
+    cands = oracle.candidates_and(["w00001", "w00004"])
+    langs = {r["doc_id"]: r["lang"] for r in corpus.select("doc_id", "lang").collect()}
+    exp = Counter(langs[d] for d in cands)
+    got = {r["value"]: r["n"] for r in
+           facet_counts(reader, "w00001 AND w00004", "lang", k=10).collect()}
+    assert got == dict(exp)
+
+
+def test_facet_counts_respects_boolean_shape(reader, oracle, corpus):
+    from collections import Counter
+
+    from miru_spark.query.bm25 import facet_counts
+
+    cands = (oracle.postings("w00003") | oracle.postings("w00050")) - oracle.postings("w00001")
+    langs = {r["doc_id"]: r["lang"] for r in corpus.select("doc_id", "lang").collect()}
+    exp = Counter(langs[d] for d in cands)
+    got = {r["value"]: r["n"] for r in
+           facet_counts(reader, "(w00003 OR w00050) -w00001", "lang", k=10).collect()}
+    assert got == dict(exp)
