@@ -89,3 +89,23 @@ def test_query_cli_keyset_paging(spark, cli_index, capsys):
     ids1 = {h["doc_id"] for h in p1["hits"]}
     ids2 = {h["doc_id"] for h in p2["hits"]}
     assert ids1.isdisjoint(ids2) and len(ids2) == 3
+
+
+def test_compact_cli(spark, cli_index, capsys):
+    import json as _json
+
+    import scripts.compact_index as c
+
+    old = sys.argv
+    sys.argv = ["compact_index.py", "--index", cli_index,
+                "--target-docs", "1000", "--cores", "8"]
+    try:
+        c.main()
+    finally:
+        sys.argv = old
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["shards"]["n_shards"] == 1  # 2 shards fit one 1000-doc target
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query.bm25 import search
+
+    assert len(search(IndexReader(spark, cli_index), "spark", k=5).collect()) == 5
