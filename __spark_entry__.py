@@ -718,9 +718,12 @@ def q_streaming_unread(spark, sf_dir):
             .otherwise("mark_all_read")
             .alias("kind"),
             "ts",
+            "event_id",
         )
     )
-    out = streaming_unread_counts(stream, user_col="user_id")
+    # event_id tie-break totalizes the fold order (matches the oracle's
+    # ORDER BY ts, event_id even if timestamps ever collide)
+    out = streaming_unread_counts(stream, user_col="user_id", tiebreak_col="event_id")
     name = "stream_unread_" + uuid.uuid4().hex[:8]
     q = (
         out.writeStream.format("memory")

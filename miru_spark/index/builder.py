@@ -67,7 +67,7 @@ import os
 import re
 import shutil
 import time
-from dataclasses import dataclass
+from dataclasses import asdict, dataclass
 
 import numpy as np
 import pandas as pd
@@ -2281,6 +2281,70 @@ def compact_removals(spark: SparkSession, index_dir: str) -> dict:
     return {"removed_docs": int(removed.size), "shards_rewritten": affected}
 
 
+def _compact_marker_path(index_dir: str) -> str:
+    return os.path.join(index_dir, ".compact_commit.json")
+
+
+def recover_compaction(spark: SparkSession, index_dir: str) -> bool:
+    """Roll an interrupted :func:`compact_shards` COMMIT forward.
+
+    Called automatically at the start of every compact_shards (and safe
+    to call any time): if a commit marker exists, the staged layout is
+    re-applied idempotently and finalize re-runs; without a marker, any
+    leftover stage directory is from a pre-commit crash — the live
+    index was never touched (staging uses hardlinks), so the stage is
+    simply discarded. Returns True when a roll-forward happened."""
+    stage = os.path.join(index_dir, ".compact_stage")
+    marker_path = _compact_marker_path(index_dir)
+    if not os.path.exists(marker_path):
+        shutil.rmtree(stage, ignore_errors=True)
+        return False
+    with open(marker_path) as f:
+        marker = json.load(f)
+    m_count = len(marker["manifests"])
+    for rel in marker["rels"]:
+        srel = os.path.join(stage, rel)
+        dst_root = os.path.join(index_dir, rel)
+        if os.path.isdir(srel):
+            # per-shard swap: only replace a live dir when its staged
+            # replacement is still present (idempotent under re-run)
+            for fn in sorted(os.listdir(srel)):
+                dst = os.path.join(dst_root, fn)
+                shutil.rmtree(dst, ignore_errors=True)
+                os.rename(os.path.join(srel, fn), dst)
+            shutil.rmtree(srel, ignore_errors=True)
+        if os.path.isdir(dst_root):
+            for fn in os.listdir(dst_root):  # stale high shard ids
+                if fn.startswith("shard=") and int(fn.split("=", 1)[1]) >= m_count:
+                    shutil.rmtree(os.path.join(dst_root, fn))
+    man_dir = os.path.join(index_dir, "manifests")
+    if os.path.isdir(man_dir):
+        for fn in os.listdir(man_dir):
+            if fn.startswith("shard_") and fn.endswith(".json"):
+                os.remove(os.path.join(man_dir, fn))
+    for m in marker["manifests"]:
+        write_manifest(index_dir, ShardManifest(**m))
+    cursor_path = os.path.join(index_dir, "cursor.json")
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            cur_state = json.load(f)
+        cur_state["n_shards"] = m_count
+        tmp = cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cur_state, f, indent=1, sort_keys=True)
+        os.replace(tmp, cursor_path)
+    st = marker["stats"]
+    _finalize(
+        spark, index_dir, m_count, int(st["block_bits"]),
+        bool(st.get("use_stopwords")),
+        "compact:" + str(st.get("input_fingerprint", "")),
+        st.get("locale"), keyword_fields=st.get("keyword_fields") or [],
+    )
+    os.remove(marker_path)
+    shutil.rmtree(stage, ignore_errors=True)
+    return True
+
+
 def compact_shards(
     spark: SparkSession, index_dir: str, *, target_docs: int
 ) -> dict:
@@ -2293,10 +2357,18 @@ def compact_shards(
     Shards partition the doc-id space disjointly and posting blocks are
     doc-range-keyed, so merging needs NO re-encode: the compacted shard
     is the union of its children's postings/doclens/docs/shard_stats
-    files (renamed under one partition dir), its manifest the sum of
-    the children's counts (the block checksum is an additive hash, so
-    it sums too). Shards are renumbered densely 0..m-1 afterwards; the
-    streaming cursor and stats.json follow.
+    files under one partition dir, its manifest the sum of the
+    children's counts (the block checksum is an additive hash, so it
+    sums too). Shards are renumbered densely 0..m-1; the streaming
+    cursor and stats.json follow.
+
+    Crash safety (two-phase): the stage is built from HARDLINKS, so the
+    live index is untouched until the commit marker is durably written;
+    a crash before the marker discards the stage, a crash after it
+    rolls FORWARD idempotently on the next call
+    (:func:`recover_compaction`). Single-box note: a cluster/object-
+    store deployment would stage by manifest-pointer swap instead of
+    hardlinks — the two-phase structure is the same.
 
     Replay safety: a merged manifest keeps every child's input
     fingerprint in ``extra["merged_fingerprints"]`` and
@@ -2311,6 +2383,7 @@ def compact_shards(
 
     Returns {"groups": [[child ids]...], "n_shards": m}.
     """
+    recover_compaction(spark, index_dir)
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     n_shards = int(stats["n_shards"])
@@ -2336,14 +2409,13 @@ def compact_shards(
         return {"groups": groups, "n_shards": n_shards}
 
     rels = ("postings", "doclens", "docs", "shard_stats")
-    # stage the new layout, then swap — a crash mid-stage leaves the
-    # live dirs untouched
+    # phase 1 — stage the merged layout from hardlinks: zero bytes
+    # copied, live dirs untouched; a crash here costs nothing
     stage = os.path.join(index_dir, ".compact_stage")
     shutil.rmtree(stage, ignore_errors=True)
-    for rel in rels:
+    present_rels = [r for r in rels if os.path.isdir(os.path.join(index_dir, r))]
+    for rel in present_rels:
         src_root = os.path.join(index_dir, rel)
-        if not os.path.isdir(src_root):
-            continue
         for new_id, group in enumerate(groups):
             dst = os.path.join(stage, rel, f"shard={new_id}")
             os.makedirs(dst, exist_ok=True)
@@ -2356,61 +2428,48 @@ def compact_shards(
                         continue  # _SUCCESS / hidden markers
                     # unique name across merged children (task-numbered
                     # parquet part files can collide between dirs)
-                    os.rename(
+                    os.link(
                         os.path.join(leaf, fn),
                         os.path.join(dst, f"s{child:05d}_{fn}"),
                     )
-        for fn in os.listdir(src_root):
-            if fn.startswith("shard="):
-                shutil.rmtree(os.path.join(src_root, fn))
-        for fn in os.listdir(os.path.join(stage, rel)):
-            os.rename(os.path.join(stage, rel, fn), os.path.join(src_root, fn))
-    shutil.rmtree(stage, ignore_errors=True)
 
-    man_dir = os.path.join(index_dir, "manifests")
-    for fn in os.listdir(man_dir):
-        if fn.startswith("shard_") and fn.endswith(".json"):
-            os.remove(os.path.join(man_dir, fn))
+    new_manifests = []
     for new_id, group in enumerate(groups):
         children = [mans[c] for c in group]
         fps = [c.input_fingerprint for c in children]
         for c in children:
             fps.extend(c.extra.get("merged_fingerprints", []))
-        write_manifest(
-            index_dir,
-            ShardManifest(
-                shard=new_id,
-                doc_lo=min(c.doc_lo for c in children),
-                doc_hi=max(c.doc_hi for c in children),
-                status="done",
-                n_docs=sum(c.n_docs for c in children),
-                n_postings=sum(c.n_postings for c in children),
-                n_blocks=sum(c.n_blocks for c in children),
-                n_terms=0,  # per-shard distinct terms are not additive
-                sum_doclen=sum(c.sum_doclen for c in children),
-                checksum=sum(c.checksum for c in children),
-                input_fingerprint=(
-                    fps[0] if len(children) == 1
-                    else "compact:" + ";".join(str(c.shard) for c in children)
-                ),
-                extra={"merged_fingerprints": fps} if len(children) > 1 else dict(children[0].extra),
+        new_manifests.append(ShardManifest(
+            shard=new_id,
+            doc_lo=min(c.doc_lo for c in children),
+            doc_hi=max(c.doc_hi for c in children),
+            status="done",
+            n_docs=sum(c.n_docs for c in children),
+            n_postings=sum(c.n_postings for c in children),
+            n_blocks=sum(c.n_blocks for c in children),
+            n_terms=0,  # per-shard distinct terms are not additive
+            sum_doclen=sum(c.sum_doclen for c in children),
+            checksum=sum(c.checksum for c in children),
+            input_fingerprint=(
+                fps[0] if len(children) == 1
+                else "compact:" + ";".join(str(c.shard) for c in children)
             ),
-        )
+            extra=(
+                {"merged_fingerprints": fps} if len(children) > 1
+                else dict(children[0].extra)
+            ),
+        ))
 
-    cursor_path = os.path.join(index_dir, "cursor.json")
-    if os.path.exists(cursor_path):
-        with open(cursor_path) as f:
-            cur_state = json.load(f)
-        cur_state["n_shards"] = len(groups)
-        tmp = cursor_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(cur_state, f, indent=1, sort_keys=True)
-        os.replace(tmp, cursor_path)
-
-    _finalize(
-        spark, index_dir, len(groups), int(stats["block_bits"]),
-        bool(stats.get("use_stopwords")),
-        "compact:" + str(stats.get("input_fingerprint", "")),
-        stats.get("locale"), keyword_fields=stats.get("keyword_fields") or [],
-    )
+    # phase 2 — durable commit marker, then roll forward
+    marker = {
+        "rels": present_rels,
+        "manifests": [asdict(m) for m in new_manifests],
+        "stats": stats,
+    }
+    marker_path = _compact_marker_path(index_dir)
+    tmp = marker_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(marker, f, indent=1, sort_keys=True)
+    os.replace(tmp, marker_path)
+    recover_compaction(spark, index_dir)
     return {"groups": groups, "n_shards": len(groups)}

@@ -35,24 +35,37 @@ _DECODED_SCHEMA = T.StructType(
 
 def _regexp_required_prefix(pattern: str) -> str:
     """Longest literal prefix every match of ``pattern`` must carry —
-    the dictionary-scan prune key. A top-level alternation makes any
-    prefix optional (``ab|cd`` matches need not start with "ab"), so it
-    voids the prune; grouped alternations (``ab(c|d)``) keep the prefix
-    before the group."""
-    depth, i = 0, 0
+    the dictionary-scan prune key. Soundness rules (a wrong prefix
+    silently drops matching terms, so every case errs toward SHORTER):
+
+    - a top-level alternation (``ab|cd``) makes any prefix optional —
+      no prune. The scan tracks parens AND character classes, so a
+      ``|``/``(`` inside ``[...]`` cannot confuse the depth count;
+    - a quantifier (``? * {``) directly after the last literal char
+      makes that char optional (``spar?k`` matches "spak") — drop it.
+      ``+`` keeps the char (one occurrence is still required)."""
+    depth, i, in_class = 0, 0, False
     while i < len(pattern):
         c = pattern[i]
         if c == "\\":
             i += 2
             continue
-        if c == "(":
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
             depth += 1
         elif c == ")":
             depth = max(0, depth - 1)
         elif c == "|" and depth == 0:
             return ""
         i += 1
-    return re.match(r"[^.?*+\[\]{}()|\\^$]*", pattern).group(0)
+    lit = re.match(r"[^.?*+\[\]{}()|\\^$]*", pattern).group(0)
+    if lit and pattern[len(lit):len(lit) + 1] in ("?", "*", "{"):
+        lit = lit[:-1]
+    return lit
 
 
 class IndexReader:

@@ -388,14 +388,19 @@ def boilerplate_ngrams(
         F.size(F.col("_toks")) < n, F.array().cast("array<string>")
     ).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n))))
-    n_docs = df.count()
+    # lazy doc count: a broadcast 1-row agg relation instead of an
+    # eager .count() job (which would add a full extra scan of a 100 TB
+    # input before the real plan runs)
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
     out = (
         _src(df, id_col, text_col)
         .select("id", toks.alias("_toks"))
         .select("id", F.explode(F.array_distinct(grams)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > min_doc_frac * n_docs)
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > min_doc_frac * F.col("__n"))
+        .drop("__n")
     )
     if limit is not None:
         out = out.orderBy(F.col("df").desc(), F.col("ngram")).limit(limit)

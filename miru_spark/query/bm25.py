@@ -298,25 +298,9 @@ def search(
         return reader.spark.createDataFrame([], "doc_id long, score double")
     expansions = _expand(reader, ast, max_expansion)
 
-    phrase_ctx = None
-    if any(isinstance(l, qp.Phrase) for l in qp._all_leaves(ast)):
-        from miru_spark.analysis.tokenizer import _DEFAULT_ANALYZER, find_analyzer
-
-        eff_locale = locale if locale is not None else reader.stats.get("locale")
-        if find_analyzer(eff_locale) is not _DEFAULT_ANALYZER:
-            raise SearchError(
-                "phrase verification uses the JVM twin of the frozen ASCII "
-                "analyzer; non-'en' locale indexes are not supported for phrases"
-            )
-        if text_df is None:
-            raise SearchError(
-                "phrase query needs text_df= (doc store or source table)"
-            )
-        eff_stop = (
-            use_stopwords if use_stopwords is not None
-            else bool(reader.stats.get("use_stopwords"))
-        )
-        phrase_ctx = (text_df, text_col, eff_stop)
+    phrase_ctx = _phrase_ctx_for(
+        reader, ast, locale=locale, use_stopwords=use_stopwords,
+        text_df=text_df, text_col=text_col)
 
     # fielded leaves (``lang:en``) are exact-match candidate MASKS — they
     # intersect the answer like the reference's constraints/authz filters
@@ -416,6 +400,31 @@ def _gather(reader: IndexReader, topk: DataFrame, gather_fields, *, time_order=F
     return out.orderBy(*order)
 
 
+def _phrase_ctx_for(reader, ast, *, locale, use_stopwords, text_df, text_col):
+    """Shared phrase-verification context guardrails for every query
+    entry point (search / facet_counts): non-ASCII-analyzer indexes and
+    missing text relations fail loudly, not silently."""
+    if not any(isinstance(l, qp.Phrase) for l in qp._all_leaves(ast)):
+        return None
+    from miru_spark.analysis.tokenizer import _DEFAULT_ANALYZER, find_analyzer
+
+    eff_locale = locale if locale is not None else reader.stats.get("locale")
+    if find_analyzer(eff_locale) is not _DEFAULT_ANALYZER:
+        raise SearchError(
+            "phrase verification uses the JVM twin of the frozen ASCII "
+            "analyzer; non-'en' locale indexes are not supported for phrases"
+        )
+    if text_df is None:
+        raise SearchError(
+            "phrase query needs text_df= (doc store or source table)"
+        )
+    eff_stop = (
+        use_stopwords if use_stopwords is not None
+        else bool(reader.stats.get("use_stopwords"))
+    )
+    return (text_df, text_col, eff_stop)
+
+
 def facet_counts(
     reader: IndexReader,
     query: str,
@@ -441,17 +450,11 @@ def facet_counts(
     scan."""
     ast = _parse_for_index(reader, query, locale=locale, use_stopwords=use_stopwords)
     if ast is None:
-        return reader.spark.createDataFrame([], f"value string, n long")
+        return reader.spark.createDataFrame([], "value string, n long")
     expansions = _expand(reader, ast, max_expansion)
-    phrase_ctx = None
-    if any(isinstance(l, qp.Phrase) for l in qp._all_leaves(ast)):
-        if text_df is None:
-            raise SearchError("phrase query needs text_df= for facets too")
-        eff_stop = (
-            use_stopwords if use_stopwords is not None
-            else bool(reader.stats.get("use_stopwords"))
-        )
-        phrase_ctx = (text_df, text_col, eff_stop)
+    phrase_ctx = _phrase_ctx_for(
+        reader, ast, locale=locale, use_stopwords=use_stopwords,
+        text_df=text_df, text_col=text_col)
     cands = _eval_candidates(reader, ast, expansions, phrase_ctx)
     cands = cands.join(reader.removed_docs(), "doc_id", "left_anti")
     return (

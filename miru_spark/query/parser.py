@@ -325,9 +325,16 @@ class _Parser:
                 # top-level alternation in the value pattern
                 return Regexp(f"{self.cur_field}:(?:{pat})",
                               field=self.cur_field, boost=boost)
-            # like wildcards, regexp terms bypass analysis but are
-            # lowercased (lowercaseExpandedTerms)
-            return Regexp(pat.lower(), boost=boost)
+            # like wildcards, regexp terms bypass analysis but literal
+            # characters are lowercased (lowercaseExpandedTerms). Escape
+            # sequences must survive verbatim — naively lowercasing
+            # would turn \D into \d (inverting its meaning).
+            pat = re.sub(
+                r"\\.|[A-Z]",
+                lambda m: m.group(0) if m.group(0)[0] == "\\" else m.group(0).lower(),
+                pat,
+            )
+            return Regexp(pat, boost=boost)
         rm = _RANGE_BODY.match(t)
         if rm:
             fname, ob, lo, hi, cb = rm.groups()

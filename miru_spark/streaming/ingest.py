@@ -185,6 +185,7 @@ def streaming_unread_counts(
     user_col: str = "user_id",
     kind_col: str = "kind",
     ts_col: str = "ts",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Live per-user unread counters — the reference's realtime
     read-tracking as a custom stateful streaming operator.
@@ -200,7 +201,10 @@ def streaming_unread_counts(
     ``kind_col`` values: ``activity`` (+1 unread), ``read`` (-1, floor
     0), ``mark_all_read`` (reset to 0). Rows fold in ``ts_col`` order
     within each micro-batch (cross-batch order is arrival order, exactly
-    the reference's WAL-replay discipline). Emits one row per user per
+    the reference's WAL-replay discipline); pass ``tiebreak_col`` (e.g.
+    an event id) to make the order total when timestamps can collide —
+    without it, same-ts rows fold in post-shuffle arrival order, which
+    Spark does not guarantee stable. Emits one row per user per
     micro-batch: (user, n_unread) in update mode.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -211,7 +215,8 @@ def streaming_unread_counts(
         frames = [pdf for pdf in pdf_iter if len(pdf)]
         if frames:
             whole = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-            whole = whole.sort_values(ts_col, kind="stable")
+            sort_keys = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+            whole = whole.sort_values(sort_keys, kind="stable")
             for kind in whole[kind_col]:
                 if kind == "activity":
                     n += 1
@@ -224,7 +229,9 @@ def streaming_unread_counts(
 
     return (
         stream_df.select(
-            F.col(user_col).alias("user"), F.col(kind_col).alias(kind_col), F.col(ts_col).alias(ts_col)
+            F.col(user_col).alias("user"), F.col(kind_col).alias(kind_col),
+            F.col(ts_col).alias(ts_col),
+            *([F.col(tiebreak_col)] if tiebreak_col else []),
         )
         .groupBy("user")
         .applyInPandasWithState(

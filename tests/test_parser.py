@@ -435,3 +435,21 @@ def test_match_all_parses():
     assert parse_query("*:*") == MatchAll()
     node = parse_query("*:* -spark")
     assert node == And([MatchAll(), Not(Term("spark"))])
+
+
+def test_regexp_lowercase_preserves_escapes():
+    from miru_spark.query.parser import Regexp
+
+    assert parse_query(r"/\D+X/") == Regexp(r"\D+x")
+    assert parse_query(r"/A\WB/") == Regexp(r"a\Wb")
+
+
+def test_regexp_required_prefix_quantifier_and_class_soundness():
+    from miru_spark.index.reader import _regexp_required_prefix as rp
+
+    assert rp("spar?k") == "spa"   # '?' makes the 'r' optional
+    assert rp("abc*") == "ab"
+    assert rp("ab{0,2}c") == "a"
+    assert rp("ab+c") == "ab"      # '+' still requires one 'b'
+    assert rp("a[(]b|cd") == ""    # '|' is top-level despite '(' in class
+    assert rp("a[|]b") == "a"      # '|' inside a class is literal

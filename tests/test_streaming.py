@@ -285,3 +285,66 @@ def test_compact_shards_partial_groups_renumber(spark, paged_corpus, tmp_path):
     after = [(x["doc_id"], round(x["score"], 9))
              for x in search(r2, "scan OR hash", k=30).collect()]
     assert after == before
+
+
+def test_compact_crash_recovery(spark, paged_corpus, tmp_path, monkeypatch):
+    """Two-phase crash safety: a crash AFTER the commit marker rolls
+    forward on the next recover; before it, the live index is untouched
+    (hardlink staging) and stale stages are discarded."""
+    import miru_spark.index.builder as B
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query.bm25 import search
+    from miru_spark.streaming import StreamingIndexer
+
+    src, _texts = paged_corpus
+    idx_dir = str(tmp_path / "idx")
+    indexer = StreamingIndexer(idx_dir, block_bits=4, stored_cols=["url"])
+    q = (
+        indexer.attach(
+            spark.readStream.schema("url string, text string")
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    indexer.finalize(spark)
+    before = [(x["doc_id"], round(x["score"], 9))
+              for x in search(IndexReader(spark, idx_dir), "spark AND join", k=30).collect()]
+
+    # stale stage without a marker (crash during phase 1) is discarded
+    os.makedirs(os.path.join(idx_dir, ".compact_stage", "postings"), exist_ok=True)
+    assert B.recover_compaction(spark, idx_dir) is False
+    assert not os.path.exists(os.path.join(idx_dir, ".compact_stage"))
+
+    # crash at commit time: marker written, swap never ran
+    real = B.recover_compaction
+    calls = {"n": 0}
+
+    def flaky(spark_, d):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the commit-phase invocation
+            raise RuntimeError("simulated crash at commit")
+        return real(spark_, d)
+
+    monkeypatch.setattr(B, "recover_compaction", flaky)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        B.compact_shards(spark, idx_dir, target_docs=1000)
+    monkeypatch.setattr(B, "recover_compaction", real)
+
+    # live index is fully intact mid-crash (staging is hardlinks)
+    mid = [(x["doc_id"], round(x["score"], 9))
+           for x in search(IndexReader(spark, idx_dir), "spark AND join", k=30).collect()]
+    assert mid == before
+    assert os.path.exists(os.path.join(idx_dir, ".compact_commit.json"))
+
+    # roll forward completes the compaction with identical results
+    assert B.recover_compaction(spark, idx_dir) is True
+    assert not os.path.exists(os.path.join(idx_dir, ".compact_commit.json"))
+    r = IndexReader(spark, idx_dir)
+    assert r.stats["n_shards"] == 1
+    after = [(x["doc_id"], round(x["score"], 9))
+             for x in search(r, "spark AND join", k=30).collect()]
+    assert after == before
+    assert not os.path.isdir(os.path.join(idx_dir, "postings", "shard=1"))
