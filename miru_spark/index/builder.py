@@ -145,6 +145,21 @@ class IndexMeta:
         return os.path.join(self.index_dir, "stats.json")
 
 
+def _group_slices(buf: bytes, sizes: np.ndarray, ends: np.ndarray) -> list[bytes]:
+    """Slice one concatenated varbyte stream into per-group byte runs:
+    ``sizes`` are per-row encoded byte lengths, ``ends`` the exclusive
+    row index of each group (cumsum of group row counts). Shared by the
+    compressor, the doclen-sidecar packer, and the map-side partial
+    packer — a future change (e.g. int64 offsets for >2 GB buffers)
+    lands once."""
+    byte_ends = np.cumsum(sizes)
+    ge = byte_ends[ends - 1]
+    gs = np.empty_like(ge)
+    gs[0] = 0
+    gs[1:] = ge[:-1]
+    return [buf[a:b] for a, b in zip(gs, ge)]
+
+
 def _compress_groups(pdf: pd.DataFrame, block_bits: int) -> pd.DataFrame:
     """Compress raw posting rows into block rows.
 
@@ -184,15 +199,7 @@ def _compress_groups(pdf: pd.DataFrame, block_bits: int) -> pd.DataFrame:
     id_buf, id_sizes = codec.varbyte_encode_with_sizes(deltas.astype(np.uint64))
     tf_buf, tf_sizes = codec.varbyte_encode_with_sizes(tfs_all.astype(np.uint64))
 
-    def group_slices(buf: bytes, sizes: np.ndarray) -> list[bytes]:
-        byte_ends = np.cumsum(sizes)
-        ge = byte_ends[ends - 1]
-        gs = np.empty_like(ge)
-        gs[0] = 0
-        gs[1:] = ge[:-1]
-        return [buf[a:b] for a, b in zip(gs, ge)]
-
-    id_slices = group_slices(id_buf, id_sizes)
+    id_slices = _group_slices(id_buf, id_sizes, ends)
     # codec choice per block (the reference's run-optimize,
     # MiruBitmaps.java:177): dense blocks (few consecutive-id runs)
     # re-encode as RLE. Heuristic: the run stream holds 2 varbytes per
@@ -220,7 +227,7 @@ def _compress_groups(pdf: pd.DataFrame, block_bits: int) -> pd.DataFrame:
             "max_tf": np.maximum.reduceat(tfs_all, starts).astype(np.int32),
             "codec": codec_col,
             "doc_ids": id_slices,
-            "tfs": group_slices(tf_buf, tf_sizes),
+            "tfs": _group_slices(tf_buf, tf_sizes, ends),
         }
     )
 
@@ -246,21 +253,13 @@ def _compress_doclen_groups(pdf: pd.DataFrame, block_bits: int) -> pd.DataFrame:
     id_buf, id_sizes = codec.varbyte_encode_with_sizes(deltas.astype(np.uint64))
     dl_buf, dl_sizes = codec.varbyte_encode_with_sizes(dls.astype(np.uint64))
 
-    def group_slices(buf: bytes, sizes: np.ndarray) -> list[bytes]:
-        byte_ends = np.cumsum(sizes)
-        ge = byte_ends[ends - 1]
-        gs = np.empty_like(ge)
-        gs[0] = 0
-        gs[1:] = ge[:-1]
-        return [buf[a:b] for a, b in zip(gs, ge)]
-
     return pd.DataFrame(
         {
             "block_key": bk[starts],
             "n": (ends - starts).astype(np.int32),
             "min_doclen": np.minimum.reduceat(dls, starts).astype(np.int32),
-            "doc_ids": group_slices(id_buf, id_sizes),
-            "doclens": group_slices(dl_buf, dl_sizes),
+            "doc_ids": _group_slices(id_buf, id_sizes, ends),
+            "doclens": _group_slices(dl_buf, dl_sizes, ends),
         }
     )
 
@@ -576,14 +575,6 @@ def _pack_partials(
     id_buf, id_sizes = codec.varbyte_encode_with_sizes(deltas.astype(np.uint64))
     tf_buf, tf_sizes = codec.varbyte_encode_with_sizes(tf_s.astype(np.uint64))
 
-    def group_slices(buf: bytes, sizes: np.ndarray) -> list[bytes]:
-        byte_ends = np.cumsum(sizes)
-        ge = byte_ends[ends - 1]
-        gs = np.empty_like(ge)
-        gs[0] = 0
-        gs[1:] = ge[:-1]
-        return [buf[a:b] for a, b in zip(gs, ge)]
-
     run_break = np.empty(len(codes), dtype=bool)
     run_break[0] = True
     run_break[1:] = change[1:] | (deltas[1:] != 1)
@@ -597,8 +588,8 @@ def _pack_partials(
             "sum_tf": np.add.reduceat(tf_s, starts),
             "max_tf": np.maximum.reduceat(tf_s, starts).astype(np.int32),
             "n_runs": np.add.reduceat(run_break.astype(np.int64), starts).astype(np.int32),
-            "doc_ids": group_slices(id_buf, id_sizes),
-            "tfs": group_slices(tf_buf, tf_sizes),
+            "doc_ids": _group_slices(id_buf, id_sizes, ends),
+            "tfs": _group_slices(tf_buf, tf_sizes, ends),
         }
     )
 
@@ -1058,13 +1049,8 @@ def _merge_arrow_body(tbl, block_bits: int):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    def col_np(name, dtype):
-        return np.concatenate(
-            [c.to_numpy(zero_copy_only=False) for c in tbl.column(name).chunks]
-        ).astype(dtype, copy=False)
-
-    n = col_np("n", np.int64)
-    bk = col_np("block_key", np.int64)
+    n = _chunked_np(tbl, "n", np.int64)
+    bk = _chunked_np(tbl, "block_key", np.int64)
     deltas = np.concatenate(
         [codec.varbyte_decode(_binary_stream(c)).astype(np.int64)
          for c in tbl.column("doc_ids").chunks]
@@ -2076,10 +2062,14 @@ def compact_removals(spark: SparkSession, index_dir: str) -> dict:
         stats = json.load(f)
     block_bits = int(stats["block_bits"])
     log = spark.read.parquet(removals_dir)
+    # SAME winner rule as the read path (reader.removed_docs): highest
+    # version, version ties resolved remove-wins — max_by alone breaks
+    # ties arbitrarily and could resurrect a doc the read path hides
     winners = (
-        log.groupBy("doc_id")
-        .agg(F.max_by("op", "version").alias("op"))
-        .filter(F.col("op") == "remove")
+        log.withColumn("rm", (F.col("op") == "remove").cast("int"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("version", "rm")).alias("w"))
+        .filter(F.col("w.rm") == 1)
     )
     removed = np.array(sorted(r["doc_id"] for r in winners.collect()), dtype=np.int64)
     if removed.size == 0:
@@ -2243,14 +2233,33 @@ def compact_removals(spark: SparkSession, index_dir: str) -> dict:
                 ).alias("checksum"),
             ).collect()
         }
+        # per-shard doc counts/lengths from the (rewritten) doclens
+        # SIDECAR — present on every build path, unlike the DOCLEN_TERM
+        # marker blocks that only the packed exchange writes (a
+        # map_pack=False index has none, and deriving from them wrote
+        # n_docs=0 into manifests, corrupting stats.json's N/avgdl).
+        # n comes straight off the block header; sum_doclen needs one
+        # tiny varbyte-decode pass over the affected blocks.
+        def _sum_sidecar(pdf_iter):
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                yield pd.DataFrame({
+                    "shard": pdf["shard"],
+                    "n": pdf["n"],
+                    "s": [int(codec.varbyte_decode(b).sum()) for b in pdf["doclens"]],
+                })
+
         docagg = {
             int(r["shard"]): r
-            for r in spark.read.parquet(post_root)
-            .filter(F.col("shard").isin(affected) & (F.col("term") == DOCLEN_TERM))
+            for r in spark.read.parquet(dl_root)
+            .filter(F.col("shard").isin(affected))
+            .select("shard", "n", "doclens")
+            .mapInPandas(_sum_sidecar, "shard int, n int, s long")
             .groupBy("shard")
             .agg(
                 F.coalesce(F.sum("n"), F.lit(0)).alias("n_docs"),
-                F.coalesce(F.sum("sum_tf"), F.lit(0)).alias("sum_doclen"),
+                F.coalesce(F.sum("s"), F.lit(0)).alias("sum_doclen"),
             ).collect()
         }
         for s in affected:

@@ -114,9 +114,7 @@ class IndexReader:
         # pruning exists to avoid scanning a corpus-scale sidecar; when
         # the WHOLE index has fewer blocks than the prune cap, the
         # discovery job costs more than the join it would save — skip it
-        n_blocks_total = (int(self.stats.get("n_docs", 0)) >> int(
-            self.stats.get("block_bits", 13))) + 1
-        if n_blocks_total <= cap:
+        if self._total_blocks() <= cap:
             return side
         light = self.blocks(terms, prefixes).select("shard", "block_key").distinct()
         rows = light.limit(cap + 1).collect()
@@ -134,6 +132,29 @@ class IndexReader:
         return side.filter(
             F.col("shard").isin(sorted({int(r["shard"]) for r in light_shards}))
         )
+
+    def _total_blocks(self) -> int:
+        """Upper-bound block count for the sidecar-prune heuristic, from
+        the shard manifests' n_blocks (actual written block rows — valid
+        for SPARSE doc-id spaces too). The old dense-id arithmetic
+        ``(n_docs >> block_bits) + 1`` wildly underestimates sparse
+        layouts, which silently disabled pruning and joined the full
+        corpus-scale sidecar on every query; it remains only as the
+        fallback when no manifests exist. Cached per reader."""
+        if not hasattr(self, "_n_blocks_cache"):
+            total, found = 0, False
+            man_dir = os.path.join(self.index_dir, "manifests")
+            if os.path.isdir(man_dir):
+                for fn in os.listdir(man_dir):
+                    if fn.startswith("shard_") and fn.endswith(".json"):
+                        with open(os.path.join(man_dir, fn)) as f:
+                            total += int(json.load(f).get("n_blocks", 0) or 0)
+                        found = True
+            if not found:
+                total = (int(self.stats.get("n_docs", 0)) >> int(
+                    self.stats.get("block_bits", 13))) + 1
+            self._n_blocks_cache = total
+        return self._n_blocks_cache
 
     def blocks(self, terms: list[str] | None = None, prefixes: list[str] | None = None) -> DataFrame:
         """Posting blocks, filtered by exact terms and/or prefixes (pushed down).
@@ -308,11 +329,23 @@ class IndexReader:
         rows = self.dictionary().filter(F.col("term").isin(list(terms))).collect()
         return {r["term"]: {"df": r["df"], "cf": r["cf"]} for r in rows}
 
+    def _expand_dict(self, fielded: bool):
+        """Dictionary slice for term expansion. The dictionary is a
+        SHARED namespace: analyzed text terms (never contain ':') plus
+        composite ``field:value`` keyword terms. An UNFIELDED expansion
+        must not match composites — ``lang*`` would otherwise expand
+        into the corpus-scale-df ``lang:en`` masks, crowd out real text
+        expansions under the df-ranked cap, and score them as text."""
+        d = self.dictionary()
+        return d if fielded else d.filter(~F.col("term").contains(":"))
+
     def expand_prefix(self, prefix: str, max_expansion: int = 100) -> list[str]:
         """Dictionary range scan for wildcard expansion, capped like the
-        reference's ``maxWildcardExpansion`` (``MiruAggregateUtil.java:826-839``)."""
+        reference's ``maxWildcardExpansion`` (``MiruAggregateUtil.java:826-839``).
+        A ``field:value``-shaped prefix expands the composite keyword
+        vocabulary; a bare prefix expands text terms only."""
         rows = (
-            self.dictionary()
+            self._expand_dict(":" in prefix)
             .filter(F.col("term").startswith(prefix))
             .orderBy(F.col("df").desc(), F.col("term"))
             .limit(max_expansion)
@@ -333,7 +366,7 @@ class IndexReader:
             pattern.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
             .replace("*", "%").replace("?", "_")
         )
-        cand = self.dictionary()
+        cand = self._expand_dict(":" in pattern)
         if lit:
             cand = cand.filter(F.col("term").startswith(lit))
         rows = (
@@ -353,7 +386,7 @@ class IndexReader:
         capped full scan. Matching runs JVM-side (whole-stage codegen);
         expansions are df-ranked under the same cap as wildcards."""
         lit = _regexp_required_prefix(pattern)
-        cand = self.dictionary()
+        cand = self._expand_dict(":" in pattern)
         if lit:
             cand = cand.filter(F.col("term").startswith(lit))
         rows = (
@@ -380,7 +413,7 @@ class IndexReader:
         cap (``MiruAggregateUtil.java:826-839``)."""
         length = len(term)
         rows = (
-            self.dictionary()
+            self._expand_dict(False)  # fuzzy is default-field only
             .filter(
                 (F.length("term") >= length - max_edits)
                 & (F.length("term") <= length + max_edits)

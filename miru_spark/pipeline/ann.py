@@ -507,6 +507,9 @@ def ivf_topk(
     scales with probed-list occupancy (~nprobe/k of the corpus), not
     corpus size; recall < 1 by design (tested against ``cosine_topk``).
     Columns: query_id, vec_id, cos, rank."""
+    # probing more lists than exist is just "probe everything" — clamp
+    # instead of letting the assign kernel crash on mismatched arrays
+    nprobe = min(nprobe, n_centroids)
     cents = ivf_train(
         vectors, vec_col=vec_col, dim=dim, n_centroids=n_centroids,
         iters=iters, seed=seed,

@@ -48,14 +48,20 @@ def sample_by_hash(
 
 
 def cap_per_key(
-    df: DataFrame, key_col: str, n: int, *, order_col: str
+    df: DataFrame, key_col: str, n: int, *, order_col: str,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Keep at most ``n`` rows per key, lowest ``order_col`` first (the
-    per-domain cap of crawl pipelines). Deterministic total order:
-    (order_col, then key) — ties cannot reorder across runs."""
+    per-domain cap of crawl pipelines). Determinism requires the order
+    to be TOTAL within each key: pass a unique ``order_col`` (e.g. a
+    doc id) or add ``tiebreak_col`` — with a non-unique order alone,
+    tied rows are kept/dropped by shuffle arrival order, which varies
+    across runs and partitionings."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col).orderBy(F.col(order_col))
+    order = [F.col(order_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n)

@@ -56,8 +56,10 @@ def solve(plugin: Plugin, slices: list[DataFrame], *, check_done_each: bool = Fa
     if not slices:
         raise ValueError("no input slices")
     fragments = plugin.build_fragment(slices[0])
-    if check_done_each and plugin.is_done(plugin.merge(fragments)):
-        return plugin.merge(fragments)
+    if check_done_each:
+        merged = plugin.merge(fragments)
+        if plugin.is_done(merged):
+            return merged
     for s in slices[1:]:
         fragments = fragments.unionByName(plugin.build_fragment(s))
         if check_done_each:

@@ -472,7 +472,7 @@ def prune_stopwords(node: Node, stopwords=None) -> Node | None:
             return None
         if len(kept) == 1:
             return Term(kept[0], boost=node.boost)
-        return Phrase(kept, boost=node.boost)
+        return Phrase(kept, boost=node.boost, slop=node.slop)
     if isinstance(node, Not):
         child = prune_stopwords(node.child, stopwords)
         return Not(child) if child is not None else None

@@ -898,3 +898,16 @@ def test_facet_counts_respects_boolean_shape(reader, oracle, corpus):
     got = {r["value"]: r["n"] for r in
            facet_counts(reader, "(w00003 OR w00050) -w00001", "lang", k=10).collect()}
     assert got == dict(exp)
+
+
+def test_unfielded_expansion_never_matches_composites(spark, fielded_reader):
+    """A bare `lang*` / fuzzy / wildcard text expansion must not leak
+    into the composite `lang:en` keyword vocabulary (shared dictionary
+    namespace): no text term starts with 'lang' on this corpus, so all
+    three must come back empty instead of scoring the keyword masks."""
+    assert bm25.search(fielded_reader, "lang* AND w00001", k=10).collect() == []
+    assert bm25.search(fielded_reader, "langen~2 AND w00001", k=10).collect() == []
+    assert bm25.search(fielded_reader, "la?g AND w00001", k=10).collect() == []
+    assert bm25.search(fielded_reader, "/lang.*/ AND w00001", k=10).collect() == []
+    # the fielded syntax still reaches the composites
+    assert len(bm25.search(fielded_reader, "lang:en AND w00001", k=10).collect()) > 0

@@ -453,3 +453,11 @@ def test_regexp_required_prefix_quantifier_and_class_soundness():
     assert rp("ab+c") == "ab"      # '+' still requires one 'b'
     assert rp("a[(]b|cd") == ""    # '|' is top-level despite '(' in class
     assert rp("a[|]b") == "a"      # '|' inside a class is literal
+
+
+def test_prune_stopwords_keeps_slop():
+    from miru_spark.query.parser import Phrase, prune_stopwords
+
+    node = parse_query('"quick the brown fox"~4')
+    pruned = prune_stopwords(node)
+    assert pruned == Phrase(("quick", "brown", "fox"), slop=4)
