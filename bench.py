@@ -369,7 +369,14 @@ def run_scaling(n_docs: int, cores_pair=(8, 32), repeats: int = 5) -> dict:
             for i in range(n_rounds)
         ]
         out["efficiency_paired_rounds"] = paired
-        out["efficiency_paired"] = max(paired)
+        # headline = MEDIAN paired round (the max-of-ratios reading was
+        # optimistically biased — ADVICE r2); the best round stays
+        # published under its honest name
+        sp = sorted(paired)
+        mid = len(sp) // 2
+        med = sp[mid] if len(sp) % 2 else (sp[mid - 1] + sp[mid]) / 2.0
+        out["efficiency_paired"] = round(med, 4)
+        out["efficiency_paired_best"] = max(paired)
     # single-box hardware ceiling for the same N->4N (virtualized clocks /
     # turbo make <4x the max even for pure arithmetic); on a real cluster
     # N->4N adds machines, so the normalized number is the cluster proxy
@@ -383,6 +390,9 @@ def run_scaling(n_docs: int, cores_pair=(8, 32), repeats: int = 5) -> dict:
         if "efficiency_paired" in out:
             out["efficiency_paired_normalized"] = round(
                 out["efficiency_paired"] / ceil["ceiling"], 4)
+        if "efficiency_paired_best" in out:
+            out["efficiency_paired_best_normalized"] = round(
+                out["efficiency_paired_best"] / ceil["ceiling"], 4)
     except Exception as e:  # noqa: BLE001
         out["hardware_ceiling"] = {"error": str(e)}
     # the other rail of the capacity bracket: streaming-DRAM weak-scaling
@@ -598,7 +608,52 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             result["scaling"] = {"error": f"{type(e).__name__}: {e}"}
 
-    print(json.dumps(result))
+    # Full diagnostics (per-run arrays, phase walls, multiexec rounds,
+    # capacity brackets) go to a FILE; stdout's LAST line is a compact
+    # summary. Round 2's single giant line overflowed the driver's tail
+    # capture and the round recorded `parsed: null` — the headline must
+    # never share a line with the diagnostics again.
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        detail_path = None
+
+    compact = {
+        "metric": "headline_total",
+        "value": result["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "index": result["index"],
+        "bm25_rank_match_rate": bm25_rank_match_rate,
+        "cores": CPUS,
+        "detail": detail_path,
+    }
+    scal = result.get("scaling")
+    if isinstance(scal, dict) and "error" not in scal:
+        lo, hi = SCALING_PAIR
+        compact["scaling"] = {
+            k: v
+            for k, v in {
+                "pair": f"local[{lo}]->local[{hi}]",
+                "docs_per_sec_lo": round(scal.get(f"local[{lo}]", {}).get("docs_per_sec", 0), 1),
+                "docs_per_sec_hi": round(scal.get(f"local[{hi}]", {}).get("docs_per_sec", 0), 1),
+                "efficiency": scal.get("efficiency"),
+                "efficiency_paired": scal.get("efficiency_paired"),
+                "efficiency_paired_best": scal.get("efficiency_paired_best"),
+                "efficiency_normalized": scal.get("efficiency_normalized"),
+                "efficiency_paired_normalized": scal.get("efficiency_paired_normalized"),
+                "multiexec_efficiency": (scal.get("multiexec") or {}).get("efficiency"),
+                "launcher": scal.get("launcher"),
+            }.items()
+            if v is not None
+        }
+    elif isinstance(scal, dict):
+        compact["scaling"] = scal
+
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

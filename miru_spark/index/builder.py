@@ -2058,6 +2058,15 @@ def compact_removals(spark: SparkSession, index_dir: str) -> dict:
     removals_dir = os.path.join(index_dir, "removals")
     if not os.path.exists(removals_dir):
         return {"removed_docs": 0, "shards_rewritten": []}
+    # validate mandatory structure UP FRONT: compaction rewrites several
+    # relations in sequence, so a missing sidecar must abort before the
+    # first overwrite, not crash halfway through (ADVICE r2)
+    if not os.path.exists(os.path.join(index_dir, "doclens")):
+        raise FileNotFoundError(
+            f"{index_dir}/doclens missing — the doclens sidecar is "
+            "mandatory index structure (every build path writes it); "
+            "refusing to compact a structurally incomplete index"
+        )
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     block_bits = int(stats["block_bits"])
@@ -2184,16 +2193,20 @@ def compact_removals(spark: SparkSession, index_dir: str) -> dict:
         new_post.write.mode("overwrite").option("compression", "zstd") \
             .partitionBy("shard").parquet(post_root)
 
+        # the doclens sidecar is MANDATORY index structure (every build
+        # path writes it — bulk, packed, streaming — and the manifest doc
+        # aggregates below read it unconditionally), so no existence
+        # guard: a missing sidecar should fail HERE, before any further
+        # rewrites, not after (ADVICE r2)
         dl_root = os.path.join(index_dir, "doclens")
-        if os.path.exists(dl_root):
-            dl = spark.read.parquet(dl_root).filter(F.col("shard").isin(affected))
-            dl_schema = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}" for f in dl.schema.fields
-            )
-            new_dl = dl.mapInPandas(_strip_doclens, schema=dl_schema) \
-                .localCheckpoint(eager=True)
-            new_dl.write.mode("overwrite").option("compression", "zstd") \
-                .partitionBy("shard").parquet(dl_root)
+        dl = spark.read.parquet(dl_root).filter(F.col("shard").isin(affected))
+        dl_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in dl.schema.fields
+        )
+        new_dl = dl.mapInPandas(_strip_doclens, schema=dl_schema) \
+            .localCheckpoint(eager=True)
+        new_dl.write.mode("overwrite").option("compression", "zstd") \
+            .partitionBy("shard").parquet(dl_root)
 
         docs_root = os.path.join(index_dir, "docs")
         if os.path.exists(docs_root):

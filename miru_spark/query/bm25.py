@@ -87,9 +87,13 @@ def _expand(reader: IndexReader, node, max_expansion: int) -> dict:
         if isinstance(leaf, qp.Prefix) and leaf.prefix not in out:
             out[leaf.prefix] = reader.expand_prefix(leaf.prefix, max_expansion)
         elif isinstance(leaf, qp.Wildcard) and leaf not in out:
-            out[leaf] = reader.expand_wildcard(leaf.pattern, max_expansion)
+            # fielded-ness rides the AST leaf, never a ':'-in-pattern guess
+            # (a bare pattern containing ':' must stay in the text vocab)
+            out[leaf] = reader.expand_wildcard(
+                leaf.pattern, max_expansion, fielded=leaf.field is not None)
         elif isinstance(leaf, qp.Regexp) and leaf not in out:
-            out[leaf] = reader.expand_regexp(leaf.pattern, max_expansion)
+            out[leaf] = reader.expand_regexp(
+                leaf.pattern, max_expansion, fielded=leaf.field is not None)
         elif isinstance(leaf, qp.Fuzzy) and leaf not in out:
             # same cap knob as wildcards; Lucene FuzzyQuery's own default
             # (maxExpansions=50) is the caller's to request
@@ -110,7 +114,11 @@ def _leaf_terms(leaf, expansions) -> list[str]:
         return list(leaf.terms)
     if isinstance(leaf, (qp.Wildcard, qp.Regexp, qp.Fuzzy, qp.TermRange)):
         return expansions.get(leaf, [])
-    return expansions.get(leaf.prefix, [])
+    if isinstance(leaf, qp.Prefix):
+        return expansions.get(leaf.prefix, [])
+    # total over LEAF_TYPES: MatchAll (and any future leaf) contributes no
+    # scoring terms — it is a candidate-set construct, not a term source
+    return []
 
 
 def _phrase_hit_col(terms: list[str], text_col: str, use_stopwords: bool,
@@ -457,9 +465,12 @@ def facet_counts(
         text_df=text_df, text_col=text_col)
     cands = _eval_candidates(reader, ast, expansions, phrase_ctx)
     cands = cands.join(reader.removed_docs(), "doc_id", "left_anti")
+    # docs missing the facet field are SKIPPED, as Lucene/miru faceting
+    # does — without this a corpus-scale null bucket can occupy the top-k
     return (
         reader.doc_store()
         .select("doc_id", F.col(field).cast("string").alias("value"))
+        .filter(F.col("value").isNotNull())
         .join(cands, "doc_id", "left_semi")
         .groupBy("value")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -551,52 +562,77 @@ def search_wand(
     # (score desc, doc_id desc) total order enter the heap
     cursor = (float(after[0]), int(after[1])) if after is not None else None
 
-    # countDistinct (not count): an incrementally-built index may hold
-    # several blocks of the same term under one block_key (one per shard
-    # touching that doc range); presence means >=1 block per query term
+    # ONE exchange for the whole block assembly: postings blocks, the
+    # doclens sidecar, and the removal log union into a single relation
+    # tagged by nullable struct columns, then ONE groupBy(block_key)
+    # gathers everything a block group needs (collect_list / countDistinct
+    # / min all skip nulls, so each source lands only in its own slot).
+    # Round 2 ran two groupBys + two joins here — three exchanges plus an
+    # explicit repartition — and the fixed overhead showed up as a
+    # +56%/+47% WAND regression at sf0.1 (VERDICT r2); the union plan is
+    # also the 100-TB shape: everything co-partitions on block_key in one
+    # shuffle whose volume is the same bytes the old plan moved three times.
+    #
+    # countDistinct (not count) on the posting term: an incrementally-
+    # built index may hold several blocks of the same term under one
+    # block_key (one per shard touching that doc range); presence means
+    # >=1 block per query term. The sidecar may likewise contribute one
+    # row per shard; min over its per-block min_doclen stays an
+    # admissible bound for the block-max upper bound. pruned_doclens
+    # pushes the touched-block set down to the sidecar scan via a
+    # broadcast semi-join (the sidecar has no term column of its own).
+    posts_raw = reader.blocks(terms=terms)
+    pb_t = posts_raw.select(
+        F.struct("term", "n", "max_tf", "codec", "doc_ids", "tfs").alias("pb")
+    ).schema["pb"].dataType.simpleString()
+    side_raw = reader.pruned_doclens(terms=terms)
+    sb_t = side_raw.select(
+        F.struct("doc_ids", "doclens").alias("sb")
+    ).schema["sb"].dataType.simpleString()
+    posts = posts_raw.select(
+        "block_key",
+        F.struct("term", "n", "max_tf", "codec", "doc_ids", "tfs").alias("pb"),
+        F.lit(None).cast(sb_t).alias("sb"),
+        F.lit(None).cast("int").alias("mdl"),
+        F.lit(None).cast("long").alias("rm_id"),
+    )
+    side = side_raw.select(
+        "block_key",
+        F.lit(None).cast(pb_t).alias("pb"),
+        F.struct("doc_ids", "doclens").alias("sb"),
+        F.col("min_doclen").cast("int").alias("mdl"),
+        F.lit(None).cast("long").alias("rm_id"),
+    )
+    # removal mask rides the same exchange (NOT a driver-collected
+    # closure — the removal log is usually a small delta, but nothing
+    # bounds it at 100x scale): each surviving block group carries only
+    # ITS removed ids, sorted for searchsorted
+    rems = reader.removed_docs().select(
+        F.shiftright(F.col("doc_id"), block_bits).alias("block_key"),
+        F.lit(None).cast(pb_t).alias("pb"),
+        F.lit(None).cast(sb_t).alias("sb"),
+        F.lit(None).cast("int").alias("mdl"),
+        F.col("doc_id").alias("rm_id"),
+    )
     grouped = (
-        reader.blocks(terms=terms)
+        posts.unionByName(side).unionByName(rems)
         .groupBy("block_key")
         .agg(
-            F.countDistinct("term").alias("n_terms_present"),
-            F.collect_list(
-                F.struct("term", "n", "max_tf", "codec", "doc_ids", "tfs")
-            ).alias("blocks"),
+            F.countDistinct("pb.term").alias("n_terms_present"),
+            F.collect_list("pb").alias("blocks"),
+            F.collect_list("sb").alias("side"),
+            F.min("mdl").alias("min_doclen"),
+            F.sort_array(F.collect_list("rm_id")).alias("removed_ids"),
         )
     )
+    # conjunctive: only doc ranges where EVERY term has postings survive
+    # (block-granular intersection); disjunctive: any query-term posting
+    # qualifies the group — either filter also drops sidecar-/removal-only
+    # groups (blocks none of the query terms touch)
     if conjunctive:
         grouped = grouped.filter(F.col("n_terms_present") == len(terms))
-    # doclens ride the per-block sidecar, not the postings: join ONE
-    # (doc_ids, doclens) copy per block group (vs one per term-block when
-    # postings carried them). min over the sidecar's block docs is <= any
-    # term's per-posting min, so the block-max upper bound stays
-    # admissible. collect_list: an incrementally-built index may hold one
-    # sidecar row per shard touching the doc range. pruned_doclens pushes
-    # the touched-block set down to the sidecar scan (the sidecar has no
-    # term column to prune by on its own).
-    side = (
-        reader.pruned_doclens(terms=terms)
-        .groupBy("block_key")
-        .agg(
-            F.min("min_doclen").alias("min_doclen"),
-            F.collect_list(F.struct("doc_ids", "doclens")).alias("side"),
-        )
-    )
-    grouped = grouped.join(side, "block_key")
-    # removal mask as a distributed equi-join on block_key (NOT a
-    # driver-collected closure — the removal log is usually a small
-    # delta, but nothing bounds it at 100x scale): each surviving block
-    # group carries only ITS removed ids, sorted for searchsorted
-    removals = (
-        reader.removed_docs()
-        .withColumn("block_key", F.shiftright(F.col("doc_id"), block_bits))
-        .groupBy("block_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("removed_ids"))
-    )
-    # no broadcast hint: AQE broadcasts the (tiny) removal relation when
-    # it is tiny and falls back to a shuffle join when it is not
-    grouped = grouped.join(removals, "block_key", "left")
-    grouped = grouped.repartition(reader.spark.sparkContext.defaultParallelism, "block_key")
+    else:
+        grouped = grouped.filter(F.col("n_terms_present") >= 1)
 
     def _ub(idf_t: float, max_tf: int, min_doclen: int) -> float:
         norm = k1 * (1.0 - b + b * min_doclen / avgdl)
