@@ -40,19 +40,20 @@ _INDEX_CACHE: dict[str, str] = {}
 _INDEX_LOCK = __import__("threading").Lock()
 
 
-def _reader(spark: SparkSession, sf_dir: str):
-    """Build (once per process per sf_dir) and open the on-disk inverted
-    index over the `documents` table. Lock: a driver running queries()
-    callables concurrently must not double-build."""
+def _reader(spark: SparkSession, sf_dir: str, locale: str | None = None):
+    """Build (once per process per (sf_dir, locale)) and open the on-disk
+    inverted index over the `documents` table. Lock: a driver running
+    queries() callables concurrently must not double-build."""
     from miru_spark.index.builder import build_index
     from miru_spark.index.reader import IndexReader
 
     with _INDEX_LOCK:
-        return _reader_locked(spark, sf_dir, build_index, IndexReader)
+        return _reader_locked(spark, sf_dir, build_index, IndexReader, locale)
 
 
-def _reader_locked(spark, sf_dir, build_index, IndexReader):
-    if sf_dir not in _INDEX_CACHE:
+def _reader_locked(spark, sf_dir, build_index, IndexReader, locale=None):
+    key = sf_dir if locale is None else f"{sf_dir}\x00{locale}"
+    if key not in _INDEX_CACHE:
         d = os.path.join(tempfile.mkdtemp(prefix="miru_entry_"), "idx")
         build_index(
             spark,
@@ -63,13 +64,29 @@ def _reader_locked(spark, sf_dir, build_index, IndexReader):
             stored_cols=["lang", "source"],
             keyword_fields={"lang": "lang", "source": "source"},
             n_shards=4,
+            locale=locale,
             overwrite=True,
         )
-        _INDEX_CACHE[sf_dir] = d
-    return IndexReader(spark, _INDEX_CACHE[sf_dir])
+        _INDEX_CACHE[key] = d
+    return IndexReader(spark, _INDEX_CACHE[key])
 
 
 _TOKS_CACHE: dict[str, DataFrame] = {}
+# Bounded cache lifecycle: a long driver session iterating many sf dirs
+# must not accumulate persisted relations (executor storage memory) —
+# entries past the bound are unpersisted LRU-style. Two is enough for the
+# driver's pattern (one sf dir per round, occasionally two when comparing).
+_TOKS_CACHE_MAX = 2
+
+
+def clear_entry_caches() -> None:
+    """Unpersist + drop every cached relation this module holds (tokenized
+    corpora; the built on-disk indexes stay — they are temp dirs, not
+    executor memory). For drivers embedding the entry across many sf dirs."""
+    with _INDEX_LOCK:
+        for df in _TOKS_CACHE.values():
+            df.unpersist()
+        _TOKS_CACHE.clear()
 
 
 def _toks_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,6 +96,9 @@ def _toks_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     calls in one session reuse the same cache entry instead of leaking."""
     with _INDEX_LOCK:
         if sf_dir not in _TOKS_CACHE:
+            while len(_TOKS_CACHE) >= _TOKS_CACHE_MAX:
+                old_key = next(iter(_TOKS_CACHE))
+                _TOKS_CACHE.pop(old_key).unpersist()
             docs = _read(spark, sf_dir, "documents")
             tok = tokenize_udf()
             _TOKS_CACHE[sf_dir] = (
@@ -171,6 +191,28 @@ ORDER BY score DESC, doc_id DESC LIMIT {k}{off}
 
 _BM25_TERMS = ["spark", "query", "data"]
 _OR_TERMS = ["merge", "window"]
+
+_PHRASE_SQL = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
+st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+ph AS (SELECT doc_id FROM base
+       WHERE len(list_filter(generate_series(1, len(toks) - 1),
+                             i -> toks[i] = 'table' AND toks[i + 1] = 'hash')) > 0),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
+q(term) AS (VALUES ('data'), ('table'), ('hash')),
+tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * {K1 + 1.0}
+              / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / st.avgdl)) ) AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT s.doc_id, round(s.score, 4) AS score FROM scored s JOIN ph USING (doc_id)
+WHERE nt = 3 ORDER BY score DESC, doc_id DESC LIMIT 10
+"""
 
 
 # ---------------------------------------------------------------------
@@ -312,6 +354,21 @@ def q_bm25_phrase(spark, sf_dir):
     )
 
 
+def q_bm25_phrase_de(spark, sf_dir):
+    """Phrase verification over a NON-en-locale index: the unicode
+    analyzer has a JVM ``tokens_col`` twin (parity-tested), so quoted
+    phrases no longer refuse non-ASCII analyzers (round 2 raised here).
+    The documents corpus is ASCII, where the de/unicode token stream
+    equals the frozen ASCII stream, so the SQL oracle carries over
+    unchanged; non-ASCII adjacency is pytest-covered (test_locale)."""
+    from miru_spark.query.bm25 import search
+
+    return search(
+        _reader(spark, sf_dir, locale="de"), 'data AND "table hash"', k=10,
+        round_to=4, text_df=_read(spark, sf_dir, "documents"),
+    )
+
+
 def q_bm25_fuzzy(spark, sf_dir):
     """Lucene `term~N` fuzzy query: the misspelling 'qery' expands to
     dictionary terms within Levenshtein distance 1 (JVM levenshtein over
@@ -411,17 +468,20 @@ def q_fulltext_time_newest(spark, sf_dir):
 
 
 def q_fulltext_highlight(spark, sf_dir):
-    """Top-5 BM25 hits with <b>-tagged snippet fragments (rows-only:
-    fragment extraction is regex-windowing, not SQL-expressible)."""
+    """Top-5 BM25 hits with <b>-tagged snippet fragments. Token-level
+    greedy windowing (query/highlight.py::token_fragments): the rule is
+    a pure codegen expression AND exactly SQL-expressible, so the oracle
+    reproduces the fragment strings byte-for-byte (the char-level
+    highlighter's lookaround windows stay pytest-covered)."""
     from miru_spark.query.bm25 import search
-    from miru_spark.query.highlight import highlight
+    from miru_spark.query.highlight import token_fragments
 
     r = _reader(spark, sf_dir)
     hits = search(r, "spark AND query", k=5, round_to=4)
     docs = _read(spark, sf_dir, "documents")
-    out = highlight(hits, docs, ["spark", "query"])
-    # driver canonicalizer can't hash array columns — flatten to one string
-    return out.withColumn("fragments", F.concat_ws(" … ", "fragments"))
+    out = token_fragments(hits, docs, ["spark", "query"])
+    return out.select("doc_id", "score", "fragments").orderBy(
+        F.col("score").desc(), F.col("doc_id").desc())
 
 
 def q_index_dictionary(spark, sf_dir):
@@ -826,6 +886,28 @@ def q_catwalk_model(spark, sf_dir):
     ).withColumn("weight", F.round("weight", 6))
 
 
+def q_catwalk_incremental(spark, sf_dir):
+    """Incrementally maintained Catwalk model (the reference's
+    lastId-versioned Strut model cache, StrutModelScorer.java:208-238):
+    fit the first half of events, then refresh with the full table — the
+    refresh aggregates ONLY rows past the watermark and merges additive
+    (numerator, denominator) partials. Oracle = one-shot full fit."""
+    from miru_spark.operators.aggregates import catwalk_fit_incremental
+
+    events = _read(spark, sf_dir, "events")
+    cache = os.path.join(tempfile.mkdtemp(prefix="miru_catwalk_"), "cache")
+    mid = events.agg(F.expr("percentile_approx(event_id, 0.5)").alias("m")).collect()[0]["m"]
+    catwalk_fit_incremental(
+        events.filter(F.col("event_id") <= mid), ["event_type", "user_id"],
+        F.col("value") > 10, cache, id_col="event_id",
+    )
+    out = catwalk_fit_incremental(
+        events, ["event_type", "user_id"], F.col("value") > 10, cache,
+        id_col="event_id",
+    )
+    return out.withColumn("weight", F.round("weight", 6))
+
+
 def q_trending_strategies(spark, sf_dir):
     """Reference trending strategies (slope / total / max) over per-term
     waveforms, top-5 per strategy. PEAKS (peakdet-based) is covered by
@@ -986,6 +1068,49 @@ def q_corpus_clean(spark, sf_dir):
     return clean_corpus(
         _read(spark, sf_dir, "documents"), "doc_id", "text",
         min_quality=0.75, langs=("en",), dedup_threshold=0.8, max_shingle_df=100,
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / phones / IPv4 -> typed placeholders). The
+    synthetic corpus carries no natural PII, so deterministic PII derived
+    from doc_id is appended to every text on BOTH sides — the oracle
+    re-runs the identical (RE2-compatible) regex chain in DuckDB and
+    hash-compares the scrubbed text md5 plus per-class counts."""
+    from miru_spark.pipeline.text import pii_scrub
+
+    docs = _read(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        ).alias("text"),
+    )
+    out = pii_scrub(aug, "doc_id", "text")
+    return (
+        out.select(
+            F.col("id").alias("doc_id"), F.md5("text").alias("text_md5"),
+            "n_email", "n_phone", "n_ipv4",
+        ).orderBy("doc_id")
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: drop corpus docs sharing any analyzed
+    5-gram with the benchmark set (docs with doc_id % 97 == 0 stand in
+    for an eval set). Benchmark grams broadcast; the corpus side is a
+    map-only scan + broadcast semi probe — no corpus shuffle."""
+    from miru_spark.pipeline.text import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return (
+        decontaminate(docs, "doc_id", "text", bench, n=5)
+        .select("doc_id").orderBy("doc_id")
     )
 
 
@@ -1184,6 +1309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "cosine_pairs_lsh": q_cosine_pairs_lsh,
         "multimodal_meta": q_multimodal_meta,
+        "catwalk_incremental": q_catwalk_incremental,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
         # fulltext / index
         "bm25_and": q_bm25_and,
         "bm25_or": q_bm25_or,
@@ -1199,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fielded": q_bm25_fielded,
         "bm25_gather_fields": q_bm25_gather_fields,
         "bm25_phrase": q_bm25_phrase,
+        "bm25_phrase_de": q_bm25_phrase_de,
         "bm25_fuzzy": q_bm25_fuzzy,
         "bm25_wildcard": q_bm25_wildcard,
         "bm25_regexp": q_bm25_regexp,
@@ -1460,27 +1589,11 @@ scored AS (
 SELECT s.doc_id, round(s.score, 4) AS score FROM scored s JOIN ph USING (doc_id)
 WHERE nt = 2 ORDER BY score DESC, doc_id DESC LIMIT 10
 """,
-        "bm25_phrase": f"""
-WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
-st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
-ph AS (SELECT doc_id FROM base
-       WHERE len(list_filter(generate_series(1, len(toks) - 1),
-                             i -> toks[i] = 'table' AND toks[i + 1] = 'hash')) > 0),
-tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
-q(term) AS (VALUES ('data'), ('table'), ('hash')),
-tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
-dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-scored AS (
-  SELECT tf.doc_id,
-         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * {K1 + 1.0}
-              / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / st.avgdl)) ) AS score,
-         count(DISTINCT tf.term) AS nt
-  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-  GROUP BY tf.doc_id)
-SELECT s.doc_id, round(s.score, 4) AS score FROM scored s JOIN ph USING (doc_id)
-WHERE nt = 3 ORDER BY score DESC, doc_id DESC LIMIT 10
-""",
+        "bm25_phrase": _PHRASE_SQL,
+        # same oracle by design: the corpus is ASCII, where the de/unicode
+        # analyzer's token stream equals the frozen ASCII stream — the
+        # entry exercises the non-en-locale phrase PATH, not new semantics
+        "bm25_phrase_de": _PHRASE_SQL,
         "fulltext_time_newest": f"""
 WITH base AS ({toks_base}),
 tk AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM base),
@@ -1502,6 +1615,36 @@ WITH base AS ({toks_base}),
 hit AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(toks) AS term FROM base) WHERE term = 'spark')
 SELECT b.doc_id, 0.0::DOUBLE AS score FROM base b ANTI JOIN hit h ON b.doc_id = h.doc_id
 ORDER BY b.doc_id DESC LIMIT 20
+""",
+        "fulltext_highlight": f"""
+WITH topk AS ({_bm25_sql(["spark", "query"], 5, "and")}),
+base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+hp AS (
+  SELECT t.doc_id, t.score, b.toks,
+         list_filter(range(1, len(b.toks) + 1),
+                     i -> list_contains(['query','spark'], b.toks[i])) AS hits
+  FROM topk t JOIN base b USING (doc_id)),
+sel AS (
+  SELECT doc_id, score, toks, hits, hits[1] AS h1,
+         list_min(list_filter(hits, p -> p > hits[1] + 5)) AS h2
+  FROM hp),
+sel2 AS (SELECT *, list_min(list_filter(hits, p -> p > h2 + 5)) AS h3 FROM sel)
+SELECT doc_id, score,
+  concat_ws(' … ',
+    CASE WHEN h1 IS NOT NULL THEN array_to_string(list_transform(
+      toks[greatest(1, h1 - 5):least(len(toks), h1 + 5)],
+      t -> CASE WHEN list_contains(['query','spark'], t)
+                THEN '<b>' || t || '</b>' ELSE t END), ' ') END,
+    CASE WHEN h2 IS NOT NULL THEN array_to_string(list_transform(
+      toks[greatest(1, h2 - 5):least(len(toks), h2 + 5)],
+      t -> CASE WHEN list_contains(['query','spark'], t)
+                THEN '<b>' || t || '</b>' ELSE t END), ' ') END,
+    CASE WHEN h3 IS NOT NULL THEN array_to_string(list_transform(
+      toks[greatest(1, h3 - 5):least(len(toks), h3 + 5)],
+      t -> CASE WHEN list_contains(['query','spark'], t)
+                THEN '<b>' || t || '</b>' ELSE t END), ' ') END
+  ) AS fragments
+FROM sel2 ORDER BY score DESC, doc_id DESC
 """,
         "index_dictionary": f"""
 WITH base AS ({toks_base}),
@@ -1589,6 +1732,54 @@ SELECT event_id,
 FROM events ORDER BY score DESC, event_id LIMIT 25
 """,
         "catwalk_model": """
+WITH melted AS (
+  SELECT 'event_type' AS feature, event_type AS val,
+         CASE WHEN value > 10 THEN 1 ELSE 0 END AS pos FROM events
+  UNION ALL
+  SELECT 'user_id', user_id::VARCHAR, CASE WHEN value > 10 THEN 1 ELSE 0 END FROM events
+)
+SELECT feature, val AS value, sum(pos)::BIGINT AS numerator, count(*) AS denominator,
+       round(sum(pos)::DOUBLE / count(*), 6) AS weight
+FROM melted GROUP BY 1, 2 ORDER BY feature, value
+""",
+        "pii_scrub": """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com or +1 (555) 010-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              || ' at 10.0.' || (doc_id % 256)::VARCHAR || '.7' AS t0
+  FROM documents),
+s1 AS (SELECT doc_id,
+         len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+         regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+       FROM aug),
+s2 AS (SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '\\+?[0-9][0-9()\\- ]{6,14}[0-9]'))::BIGINT AS n_phone,
+         regexp_replace(t1, '\\+?[0-9][0-9()\\- ]{6,14}[0-9]', '[PHONE]', 'g') AS t2
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_phone,
+         len(regexp_extract_all(t2, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))::BIGINT AS n_ipv4,
+         regexp_replace(t2, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g') AS t3
+       FROM s2)
+SELECT doc_id, md5(t3) AS text_md5, n_email, n_phone, n_ipv4
+FROM s3 ORDER BY doc_id
+""",
+        "decontaminate": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5
+              THEN list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))
+              ELSE [array_to_string(toks, ' ')] END AS gs
+  FROM toks),
+bg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(gs) AS g FROM grams) dg
+  JOIN bg USING (g))
+SELECT d.doc_id FROM documents d ANTI JOIN contaminated c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+""",
+        "catwalk_incremental": """
 WITH melted AS (
   SELECT 'event_type' AS feature, event_type AS val,
          CASE WHEN value > 10 THEN 1 ELSE 0 END AS pos FROM events

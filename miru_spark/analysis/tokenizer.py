@@ -57,6 +57,50 @@ STOPWORDS_FR = frozenset(
     votre vous""".split()
 )
 
+STOPWORDS_ES = frozenset(
+    """a al algo antes como con contra cual cuando de del desde donde
+    durante e el ella ellas ellos en entre era es esa ese eso esta este
+    esto fue ha han hasta la las le les lo los me mi mis muy más ni no
+    nos o os otra otro para pero por porque que quien se ser si sin sobre
+    son su sus también te tu tus un una uno unos y ya yo""".split()
+)
+
+STOPWORDS_IT = frozenset(
+    """a ad agli ai al alla alle allo anche che chi ci come con contro da
+    dal dalla de degli dei del della delle dello di dove e ed era fra gli
+    ha hanno il in io la le lei lo loro lui ma mi ne nei nel nella no noi
+    non o per perché più quella quelle quello questa queste questo se sei
+    si sono su sua sue sui sul sulla suo tra tu un una uno vi voi è""".split()
+)
+
+STOPWORDS_PT = frozenset(
+    """a ao aos as até com como da das de dela dele deles dem depois do
+    dos e ela elas ele eles em entre era essa esse esta este eu foi for
+    há isso isto já lhe lhes mais mas me mesmo meu minha muito na nas não
+    nem no nos nossa nosso num numa o os ou para pela pelo por qual quando
+    que quem se sem ser seu sua são só também te tem teu tu tua um uma
+    você vocês à às""".split()
+)
+
+STOPWORDS_NL = frozenset(
+    """aan al alles als altijd andere ben bij daar dan dat de der deze die
+    dit doch doen door dus een en er ge geen geweest haar had heb hebben
+    heeft hem het hier hij hoe hun iemand iets ik in is ja je kan kon kunnen
+    maar me meer men met mij mijn moet na naar niet niets nog nu of om omdat
+    onder ons ook op over reeds te tegen toch toen tot u uit uw van veel
+    voor want waren was wat werd wezen wie wil worden wordt zal ze zelf zich
+    zij zijn zo zonder zou""".split()
+)
+
+STOPWORDS_RU = frozenset(
+    """а без более бы был была были было быть в вам вас весь во вот все
+    всего всех вы где да даже для до его ее ей ею если есть еще же за здесь
+    и из или им их к как ко когда кто ли либо мне может мы на надо наш не
+    него нее нет ни них но ну о об однако он она они оно от очень по под
+    при с со так также такой там те тем то того тоже той только том ты у
+    уже хотя чего чей чем что чтобы чье чья эта эти это я""".split()
+)
+
 
 class _Analyzer:
     __slots__ = ("token_re", "stopwords")
@@ -70,6 +114,14 @@ _ANALYZERS: dict[str, _Analyzer] = {
     "en": _Analyzer(_TOKEN_RE, STOPWORDS_EN),
     "de": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_DE),
     "fr": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_FR),
+    "es": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_ES),
+    "it": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_IT),
+    "pt": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_PT),
+    # pt_br resolves to "pt" via the fallback chain, as the reference
+    # registers BrazilianAnalyzer separately but we share one Portuguese
+    # stopword analyzer (no stemming on either branch here)
+    "nl": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_NL),
+    "ru": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_RU),
     "unicode": _Analyzer(_UNICODE_TOKEN_RE, frozenset()),
 }
 _DEFAULT_ANALYZER = _ANALYZERS["en"]
@@ -77,8 +129,9 @@ _DEFAULT_ANALYZER = _ANALYZERS["en"]
 
 def find_analyzer(locale: str | None) -> _Analyzer:
     """Resolve a locale code to its analyzer, with the reference's
-    fallback chain: exact code, then strip trailing ``_``-suffixes
-    ("de_DE" -> "de"), then the default."""
+    fallback chain (``TermAnalyzers.findAnalyzer:124-138``): exact code,
+    then strip at the FIRST ``_`` ("de_DE_bavaria" -> "de" in one step —
+    the reference's ``code.substring(0, indexOf('_'))``), then default."""
     code = locale or ""
     while code:
         a = _ANALYZERS.get(code)
@@ -86,7 +139,7 @@ def find_analyzer(locale: str | None) -> _Analyzer:
             return a
         if "_" not in code:
             break
-        code = code.rsplit("_", 1)[0]
+        code = code.split("_", 1)[0]
     return _DEFAULT_ANALYZER
 
 
@@ -173,17 +226,30 @@ def term_counts_udf(use_stopwords: bool = False, locale: str | None = None):
     return _tc
 
 
-def tokens_col(col, use_stopwords: bool = False):
+def tokens_col(col, use_stopwords: bool = False, locale: str | None = None):
     """JVM-codegen twin of :func:`tokenize` (split/lower/regexp — no
-    Python). Token-identical to the UDF for ASCII inputs; used where only
-    counts/sets are needed (doclen, text stats) so the hot path stays in
-    whole-stage codegen. Tests assert parity against the Python tokenizer
-    on the fixture corpora."""
-    toks = F.filter(
-        F.split(F.lower(F.regexp_replace(col, r"[^A-Za-z0-9]+", " ")), r"\s+"),
-        lambda x: x != "",
-    )
+    Python). Token-identical to the UDF on the supported alphabets; used
+    where only counts/sets/adjacency are needed (doclen, text stats,
+    phrase verification) so the hot path stays in whole-stage codegen.
+    Tests assert parity against the Python tokenizer on the fixture
+    corpora, including non-ASCII (Latin-accented / Cyrillic / Greek)
+    samples for the unicode analyzers.
+
+    ``locale`` resolves through the same :func:`find_analyzer` chain:
+    the frozen ASCII analyzer keeps the ASCII regex; every other analyzer
+    maps to the Unicode word twin — Java's ``(?U)\\W`` and Python's
+    ``re.UNICODE \\W`` agree on letters/digits of every script (exotic
+    numeral-category codepoints are the only divergence surface, and the
+    parity test pins the alphabets we claim)."""
+    analyzer = find_analyzer(locale)
+    if analyzer.token_re is _TOKEN_RE:
+        lowered = F.lower(F.regexp_replace(col, r"[^A-Za-z0-9]+", " "))
+    else:
+        # lower BEFORE word-breaking, as the Python twin does — case
+        # folding may rewrite codepoints, so the order is part of parity
+        lowered = F.regexp_replace(F.lower(col), r"(?U)[\W_]+", " ")
+    toks = F.filter(F.split(lowered, r"\s+"), lambda x: x != "")
     if use_stopwords:
-        stop = F.array(*[F.lit(s) for s in sorted(STOPWORDS_EN)])
+        stop = F.array(*[F.lit(s) for s in sorted(analyzer.stopwords)])
         toks = F.filter(toks, lambda x: ~F.array_contains(stop, x))
     return toks

@@ -79,6 +79,7 @@ from miru_spark.analysis.tokenizer import term_counts_udf, tokenize_udf
 from miru_spark.index import codec
 from miru_spark.index._prof import profiled
 from miru_spark.index.manifest import ShardManifest, read_manifest, shard_is_done, write_manifest
+from miru_spark.index.schema import IndexSchema, enforce_additive, write_schema
 
 BLOCK_BITS_DEFAULT = 13  # 8192-doc ranges per block (Roaring container analogue)
 
@@ -1362,6 +1363,15 @@ def build_index(
     for fname in kw:
         if not re.fullmatch(r"[a-z_][a-z0-9_]*", fname):
             raise ValueError(f"keyword field name {fname!r} must be [a-z0-9_]")
+    # additive-evolution guard (MiruSchema.checkAdditive analogue): an
+    # append/resume configured with a different analyzer/layout fails HERE,
+    # before any write, instead of silently mixing vocabularies
+    idx_schema = enforce_additive(index_dir, IndexSchema(
+        id_col=id_col, text_col=text_col, locale=locale,
+        use_stopwords=use_stopwords, block_bits=block_bits,
+        keyword_fields=dict(sorted(kw.items())),
+        stored_cols=sorted(c for c in (stored_cols or []) if c != id_col),
+    ))
     indexed_cols = [text_col, *kw.values()]
     block_size = 1 << block_bits
 
@@ -1392,6 +1402,7 @@ def build_index(
         if os.path.exists(index_dir):
             shutil.rmtree(index_dir)
         os.makedirs(index_dir)
+        write_schema(index_dir, idx_schema)  # the wipe above removed it
         stored = [c for c in (stored_cols or []) if c != id_col]
         # same shard-partitioned layout as normal builds (an empty shard=0
         # leaf) so later dynamic-partition-overwrite builds don't mix

@@ -18,6 +18,8 @@ Reference operators re-expressed (SURVEY §2.5):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -141,6 +143,96 @@ def catwalk_fit(
     )
 
 
+def catwalk_fit_incremental(
+    df: DataFrame,
+    feature_cols: list[str],
+    positive,
+    cache_dir: str,
+    *,
+    id_col: str = "doc_id",
+    flt: Filter | None = None,
+    min_denominator: int = 1,
+) -> DataFrame:
+    """Incrementally maintained Catwalk model — the reference's
+    lastId-versioned Strut model cache (``StrutModelScorer.java:208-238``
+    scores carry a per-term lastId; terms whose lastId trails the
+    activity index are rescored over only the NEW activity,
+    ``MiruAggregateUtil.java:109-247``), re-expressed as a watermarked
+    additive materialized view.
+
+    The model's per-(feature, value) ``numerator``/``denominator`` are
+    pure sums, so the delta fit over ``id_col > last_doc_id`` rows (a
+    pushed-down scan predicate — at 100 TB the delta touches only new
+    partitions) merges with the cached counts by one tiny groupBy-sum
+    over (cached model ∪ delta model). The merged model is committed
+    two-phase (write aside + atomic rename, like index compaction) with
+    a ``meta.json`` watermark, so a crashed refresh never corrupts the
+    cache and a replayed refresh is a no-op.
+
+    Returns the refreshed model with the same columns/order as
+    :func:`catwalk_fit`; repeated calls with an unchanged corpus return
+    the cache without any aggregation job.
+
+    Assumes an append-only corpus (miru's activity index is append-only;
+    removals there version-bump rather than mutate) and row-local
+    ``positive``/``flt`` predicates — a predicate over global state
+    would make the cached partial sums unmergeable.
+    """
+    import json
+    import shutil
+
+    spark = df.sparkSession
+    model_dir = os.path.join(cache_dir, "model")
+    meta_path = os.path.join(cache_dir, "meta.json")
+    last_id = -1
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            last_id = int(json.load(f)["last_doc_id"])
+
+    new_max = df.agg(F.max(F.col(id_col).cast("long")).alias("m")).collect()[0]["m"]
+    new_max = -1 if new_max is None else int(new_max)
+    if new_max > last_id:
+        delta = df.filter(F.col(id_col).cast("long") > last_id)
+        delta_model = catwalk_fit(
+            delta, feature_cols, positive, flt=flt, min_denominator=1
+        ).select("feature", "value", "numerator", "denominator")
+        if os.path.exists(model_dir):
+            merged = (
+                spark.read.parquet(model_dir)
+                .select("feature", "value", "numerator", "denominator")
+                .unionByName(delta_model)
+                .groupBy("feature", "value")
+                .agg(
+                    F.sum("numerator").alias("numerator"),
+                    F.sum("denominator").alias("denominator"),
+                )
+            )
+        else:
+            merged = delta_model
+        tmp_dir = model_dir + ".next"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        old_dir = model_dir + ".old"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if os.path.exists(model_dir):
+            os.rename(model_dir, old_dir)
+        os.rename(tmp_dir, model_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp_meta = meta_path + ".tmp"
+        with open(tmp_meta, "w") as f:
+            json.dump({"last_doc_id": new_max}, f)
+        os.replace(tmp_meta, meta_path)
+
+    return (
+        spark.read.parquet(model_dir)
+        .filter(F.col("denominator") >= min_denominator)
+        .withColumn("weight", F.col("numerator") / F.col("denominator"))
+        .select("feature", "value", "numerator", "denominator", "weight")
+        .orderBy("feature", "value")
+    )
+
+
 def catwalk_weights(model_df: DataFrame) -> dict[str, dict[str, float]]:
     """Collect a (small) fitted model into the broadcastable nested-dict
     shape ``strut_score`` consumes: {feature_col: {value: weight}}."""
@@ -210,6 +302,7 @@ def aggregate_counts(
     flt: Filter | None = None,
     k: int | None = None,
     start_from: int = 0,
+    after: tuple | None = None,
     read_state: DataFrame | None = None,
 ) -> DataFrame:
     """Stream-view rollup: newest doc per distinct pivot value + collapse
@@ -220,6 +313,14 @@ def aggregate_counts(
     ``k`` = desiredNumberOfDistincts, ``start_from`` = startFromDistinctN
     (``AggregateCountsQueryConstraint.java:16-17`` paging pair): rows
     ranked [start_from, start_from+k) in the newest-first total order.
+
+    Paging is KEYSET-based, like ``search``'s ``after=``: pass the last
+    row's ``after=(latest_time, pivot)`` to get the next page as a pure
+    filter + top-k (no global ranking anywhere in the plan). A numeric
+    ``start_from`` is honored for reference-API parity by deriving that
+    cursor from a bounded TakeOrderedAndProject over ``start_from`` slim
+    rows — never an unpartitioned row_number window, whose single-task
+    sort would serialize the whole relation at corpus scale.
 
     ``read_state``: optional (<id_col>, read boolean) relation — e.g.
     ``inbox.resolve_read_state`` output — adding per-pivot ``n_unread``
@@ -251,11 +352,25 @@ def aggregate_counts(
         )
         .orderBy(F.col("latest_time").desc(), F.col(pivot))
     )
-    if start_from:
-        wr = Window.orderBy(F.col("latest_time").desc(), F.col(pivot))
-        rolled = (
-            rolled.withColumn("_gr", F.row_number().over(wr))
-            .filter(F.col("_gr") > start_from)
-            .drop("_gr")
+    if after is None and start_from:
+        # derive the keyset cursor: the start_from-th row's sort key, via
+        # a bounded distributed top-N heap (TakeOrderedAndProject) over
+        # two slim columns — the page offset never forces a global sort
+        edge = (
+            rolled.select("latest_time", F.col(pivot).alias("_p"))
+            .orderBy(F.col("latest_time").desc(), F.col("_p"))
+            .limit(start_from)
+            .orderBy(F.col("latest_time").asc(), F.col("_p").desc())
+            .limit(1)
+            .collect()
+        )
+        if not edge:  # fewer than start_from rows exist -> empty page
+            return rolled.limit(0)
+        after = (edge[0]["latest_time"], edge[0]["_p"])
+    if after is not None:
+        a_time, a_pivot = after
+        rolled = rolled.filter(
+            (F.col("latest_time") < F.lit(a_time))
+            | ((F.col("latest_time") == F.lit(a_time)) & (F.col(pivot) > F.lit(a_pivot)))
         )
     return rolled.limit(k) if k else rolled

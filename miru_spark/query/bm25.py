@@ -122,15 +122,16 @@ def _leaf_terms(leaf, expansions) -> list[str]:
 
 
 def _phrase_hit_col(terms: list[str], text_col: str, use_stopwords: bool,
-                    slop: int = 0):
+                    slop: int = 0, locale: str | None = None):
     """JVM predicate: the analyzed token stream of ``text_col`` contains
     ``terms`` consecutively (slop=0), or in order within a window of
     ``len(terms) + slop`` tokens (ordered sloppy phrase, ``"a b"~N``).
     Whole-stage-codegen expression (tokens_col is the parity-tested JVM
-    twin of the Arrow tokenizer) — no Python in the verify path."""
+    twin of the Arrow tokenizer — per locale, so non-en analyzers verify
+    phrases too) — no Python in the verify path."""
     from miru_spark.analysis.tokenizer import tokens_col
 
-    toks = tokens_col(F.col(text_col), use_stopwords=use_stopwords)
+    toks = tokens_col(F.col(text_col), use_stopwords=use_stopwords, locale=locale)
     n = len(terms)
     pat = F.array(*[F.lit(t) for t in terms])
     # greatest(...,1) keeps the sequence ascending for docs shorter than
@@ -195,7 +196,7 @@ def _eval_candidates(reader: IndexReader, node, expansions, phrase_ctx=None) -> 
                 "phrase query needs text_df= (a (doc_id, text) relation — "
                 "the doc store or source table) for adjacency verification"
             )
-        text_df, text_col, use_stop = phrase_ctx
+        text_df, text_col, use_stop, loc = phrase_ctx
         acc = None
         for t in dict.fromkeys(node.terms):
             df = reader.postings(terms=[t]).select("doc_id")
@@ -205,7 +206,7 @@ def _eval_candidates(reader: IndexReader, node, expansions, phrase_ctx=None) -> 
             .join(acc, "doc_id", "left_semi")
             .filter(_phrase_hit_col(
                 list(node.terms), text_col, use_stop,
-                slop=getattr(node, "slop", 0)))
+                slop=getattr(node, "slop", 0), locale=loc))
             .select("doc_id")
         )
         return verified
@@ -409,19 +410,15 @@ def _gather(reader: IndexReader, topk: DataFrame, gather_fields, *, time_order=F
 
 
 def _phrase_ctx_for(reader, ast, *, locale, use_stopwords, text_df, text_col):
-    """Shared phrase-verification context guardrails for every query
-    entry point (search / facet_counts): non-ASCII-analyzer indexes and
-    missing text relations fail loudly, not silently."""
+    """Shared phrase-verification context for every query entry point
+    (search / facet_counts): a missing text relation fails loudly, not
+    silently, and the index's analyzer locale rides along so the JVM
+    verify expression tokenizes the text exactly as the index did
+    (``tokens_col`` has a parity-tested twin per analyzer — non-en
+    locales verify phrases too)."""
     if not any(isinstance(l, qp.Phrase) for l in qp._all_leaves(ast)):
         return None
-    from miru_spark.analysis.tokenizer import _DEFAULT_ANALYZER, find_analyzer
-
     eff_locale = locale if locale is not None else reader.stats.get("locale")
-    if find_analyzer(eff_locale) is not _DEFAULT_ANALYZER:
-        raise SearchError(
-            "phrase verification uses the JVM twin of the frozen ASCII "
-            "analyzer; non-'en' locale indexes are not supported for phrases"
-        )
     if text_df is None:
         raise SearchError(
             "phrase query needs text_df= (doc store or source table)"
@@ -430,7 +427,7 @@ def _phrase_ctx_for(reader, ast, *, locale, use_stopwords, text_df, text_col):
         use_stopwords if use_stopwords is not None
         else bool(reader.stats.get("use_stopwords"))
     )
-    return (text_df, text_col, eff_stop)
+    return (text_df, text_col, eff_stop, eff_locale)
 
 
 def facet_counts(

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from miru_spark.index.builder import BLOCK_BITS_DEFAULT, _build_wave, _finalize
 from miru_spark.index.manifest import shard_is_done
+from miru_spark.index.schema import IndexSchema, enforce_additive
 
 
 class StreamingIndexer:
@@ -62,6 +63,15 @@ class StreamingIndexer:
         self.block_bits = block_bits
         self.use_stopwords = use_stopwords
         os.makedirs(index_dir, exist_ok=True)
+        # additive-evolution guard (MiruSchema.checkAdditive analogue):
+        # attaching a differently-configured indexer to an existing index
+        # fails HERE, before the first micro-batch touches it
+        enforce_additive(index_dir, IndexSchema(
+            id_col=id_col, text_col=text_col, locale=None,
+            use_stopwords=use_stopwords, block_bits=block_bits,
+            keyword_fields={},
+            stored_cols=sorted(c for c in self.stored_cols if c != id_col),
+        ))
 
     # -- cursor (sip analogue) -----------------------------------------
     @property

@@ -39,11 +39,13 @@ def test_oracle_keys_subset_of_queries(entry):
     assert set(osql) <= set(qs)
     # the rows-only set is intentional and documented — keep it small
     rows_only = set(qs) - set(osql)
+    # fulltext_highlight left this set in round 3: the token-level
+    # fragment rule is exactly SQL-expressible, so it carries a value
+    # oracle now
     assert rows_only == {
         "minhash_lsh", "simhash", "winnow", "ann_lsh_topk",
         "ann_ivf_topk",
         "cosine_pairs_lsh",
-        "fulltext_highlight",
         "distinct_count_approx",
     }
 

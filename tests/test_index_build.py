@@ -471,3 +471,69 @@ def test_compact_removals_folds_log_and_updates_stats(spark, corpus, tmp_path):
     b = bm25.search(IndexReader(spark, out_ref), "the0 AND w00001", k=20).collect()
     assert [(x["doc_id"], round(x["score"], 9)) for x in a] == \
            [(x["doc_id"], round(x["score"], 9)) for x in b]
+
+
+def test_schema_guard_rejects_non_additive_append(spark, corpus, tmp_path):
+    """MiruSchema.checkAdditive semantics (MiruSchema.java:303-314): an
+    append configured with a different analyzer / layout fails loudly
+    BEFORE touching the index; an added keyword field is accepted."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.schema import SchemaEvolutionError, read_schema
+
+    out = str(tmp_path / "idx_schema")
+    first = corpus.filter(F.col("doc_id") < 256)
+    build_index(spark, first, out, block_bits=7, shard_span_blocks=1, overwrite=True)
+    sc0 = read_schema(out)
+    assert sc0 is not None and sc0.version == 1 and sc0.use_stopwords is False
+
+    post_dir = os.path.join(out, "postings")
+    mtimes_before = {f: os.path.getmtime(os.path.join(post_dir, f))
+                     for f in os.listdir(post_dir)}
+
+    # changed analyzer config -> rejected, index untouched
+    with pytest.raises(SchemaEvolutionError, match="use_stopwords"):
+        build_index(spark, corpus, out, block_bits=7, shard_span_blocks=1,
+                    use_stopwords=True)
+    # changed block size -> rejected
+    with pytest.raises(SchemaEvolutionError, match="block_bits"):
+        build_index(spark, corpus, out, block_bits=8, shard_span_blocks=1)
+    # changed locale -> rejected
+    with pytest.raises(SchemaEvolutionError, match="locale"):
+        build_index(spark, corpus, out, block_bits=7, shard_span_blocks=1,
+                    locale="de")
+    assert {f: os.path.getmtime(os.path.join(post_dir, f))
+            for f in os.listdir(post_dir)} == mtimes_before
+
+    # ADDITIVE: a new keyword field is accepted, schema version bumps
+    build_index(spark, corpus, out, block_bits=7, shard_span_blocks=1,
+                keyword_fields={"lang": "lang"})
+    sc1 = read_schema(out)
+    assert sc1.version == 2 and sc1.keyword_fields == {"lang": "lang"}
+
+    # removing that keyword field again is NON-additive
+    with pytest.raises(SchemaEvolutionError, match="keyword field"):
+        build_index(spark, corpus, out, block_bits=7, shard_span_blocks=1)
+
+    # overwrite=True resets the schema entirely
+    build_index(spark, first, out, block_bits=8, shard_span_blocks=1, overwrite=True)
+    assert read_schema(out).block_bits == 8
+
+
+def test_schema_guard_streaming_indexer(spark, tmp_path):
+    """StreamingIndexer refuses to attach to an index built with a
+    different configuration (before any micro-batch runs)."""
+    import pytest
+
+    from miru_spark.index.schema import SchemaEvolutionError
+    from miru_spark.streaming.ingest import StreamingIndexer
+
+    out = str(tmp_path / "idx_stream_schema")
+    StreamingIndexer(out, block_bits=7)
+    with pytest.raises(SchemaEvolutionError, match="block_bits"):
+        StreamingIndexer(out, block_bits=9)
+    # identical config re-attaches fine (restart path)
+    StreamingIndexer(out, block_bits=7)

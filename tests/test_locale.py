@@ -117,3 +117,89 @@ def test_stats_json_records_locale(spark, tmp_path):
                 locale="fr", overwrite=True)
     with open(os.path.join(out, "stats.json")) as f:
         assert json.load(f)["locale"] == "fr"
+
+
+def test_new_locale_analyzers_resolve():
+    """es/it/pt/nl/ru analyzers exist with their own stopword sets;
+    pt_br falls back to pt at the FIRST underscore (the reference's
+    ``code.substring(0, indexOf('_'))`` — TermAnalyzers.java:124-138)."""
+    from miru_spark.analysis.tokenizer import (
+        STOPWORDS_ES,
+        STOPWORDS_IT,
+        STOPWORDS_NL,
+        STOPWORDS_PT,
+        STOPWORDS_RU,
+    )
+
+    assert find_analyzer("es").stopwords is STOPWORDS_ES
+    assert find_analyzer("it").stopwords is STOPWORDS_IT
+    assert find_analyzer("pt").stopwords is STOPWORDS_PT
+    assert find_analyzer("pt_br").stopwords is STOPWORDS_PT
+    assert find_analyzer("nl").stopwords is STOPWORDS_NL
+    assert find_analyzer("ru").stopwords is STOPWORDS_RU
+    # first-underscore strip in ONE step: es_MX_slang -> es, not es_MX
+    assert find_analyzer("es_MX_slang").stopwords is STOPWORDS_ES
+
+    assert tokenize("el niño pequeño", locale="es", use_stopwords=True) == ["niño", "pequeño"]
+    assert tokenize("Это новый дом", locale="ru", use_stopwords=True) == ["новый", "дом"]
+
+
+def test_jvm_tokens_col_parity_unicode(spark):
+    """tokens_col(locale=...) (whole-stage-codegen) must produce the same
+    token stream as the Python analyzer on non-ASCII text — the contract
+    that lets phrase verification run JVM-side on non-en indexes."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.analysis.tokenizer import tokens_col
+
+    samples = [
+        "Die Straße über der Brücke — und die Größe!",
+        "El niño comió mañana; ¿qué pasó?",
+        "Это новый дом, а это — старый.",
+        "Ελληνικά κείμενα με τόνους.",
+        "mixed ASCII and ümlauts côte-à-côte 42 times_underscored",
+        "",
+        "   ",
+        "123 αβγ один_two",
+    ]
+    for locale in ("de", "es", "ru", "unicode"):
+        df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, t string")
+        for use_stop in (False, True):
+            got = {
+                r["i"]: r["toks"]
+                for r in df.select(
+                    "i", tokens_col(F.col("t"), use_stopwords=use_stop, locale=locale).alias("toks")
+                ).collect()
+            }
+            want = {
+                i: tokenize(s, use_stopwords=use_stop, locale=locale)
+                for i, s in enumerate(samples)
+            }
+            assert got == want, (locale, use_stop)
+
+
+def test_phrase_search_on_de_locale_index(spark, tmp_path):
+    """Quoted phrases now verify on non-en indexes: the JVM unicode twin
+    tokenizes the text exactly as the index's analyzer did."""
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query.bm25 import search
+
+    rows = [
+        (0, "die große Brücke über den Fluss"),
+        (1, "die Brücke große ist nicht hier"),   # both terms, wrong order
+        (2, "eine große neue Brücke"),            # not adjacent
+        (3, "große brücke am Abend"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "idx_de_phrase")
+    build_index(spark, docs, out, n_shards=1, block_bits=7, locale="de", overwrite=True)
+    reader = IndexReader(spark, out)
+
+    got = {r["doc_id"] for r in
+           search(reader, '"große Brücke"', k=10, text_df=docs).collect()}
+    assert got == {0, 3}
+    # sloppy phrase: one intervening token allowed -> doc 2 joins
+    got = {r["doc_id"] for r in
+           search(reader, '"große Brücke"~1', k=10, text_df=docs).collect()}
+    assert got == {0, 2, 3}

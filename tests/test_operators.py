@@ -259,6 +259,35 @@ def test_catwalk_fit(events, ddb):
     assert got == [tuple(e) for e in exp]
 
 
+def test_catwalk_fit_incremental_matches_full(events, tmp_path):
+    """Watermarked delta fit + additive merge == one-shot full fit (the
+    lastId-versioned Strut model cache, StrutModelScorer.java:208-238),
+    and an unchanged corpus refresh is a pure cache read."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    cache = str(tmp_path / "catwalk_cache")
+    cols = ["event_type", "user_id"]
+    pos = F.col("value") > 10
+
+    first = events.filter(F.col("event_id") <= 300)
+    aggregates.catwalk_fit_incremental(first, cols, pos, cache, id_col="event_id")
+    with open(cache + "/meta.json") as f:
+        wm1 = json.load(f)["last_doc_id"]
+    assert wm1 == first.agg(F.max("event_id")).collect()[0][0]
+
+    inc = aggregates.catwalk_fit_incremental(
+        events, cols, pos, cache, id_col="event_id").collect()
+    full = aggregates.catwalk_fit(events, cols, pos).collect()
+    assert sorted(map(tuple, inc)) == sorted(map(tuple, full))
+
+    # idempotent refresh: watermark unchanged, model unchanged
+    again = aggregates.catwalk_fit_incremental(
+        events, cols, pos, cache, id_col="event_id").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, inc))
+
+
 def test_catwalk_fit_feeds_strut(events):
     """fit -> weights_dict -> strut_score roundtrip is consistent."""
     from pyspark.sql import functions as F
@@ -394,6 +423,27 @@ def test_aggregate_counts_paging(events):
         events, "user_id", "ts", "event_id", k=10, start_from=10
     ).collect()
     assert [r["user_id"] for r in p1 + p2] == [r["user_id"] for r in full]
+
+    # keyset cursor (after=) returns the same page 2 as the numeric offset
+    cur = (p1[-1]["latest_time"], p1[-1]["user_id"])
+    p2k = aggregates.aggregate_counts(
+        events, "user_id", "ts", "event_id", k=10, after=cur
+    ).collect()
+    assert p2k == p2
+
+    # paging must not add an unpartitioned row_number window (single-task
+    # global sort at scale): the only Window is the per-pivot latest-doc one
+    plan = (
+        aggregates.aggregate_counts(
+            events, "user_id", "ts", "event_id", k=10, after=cur)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") == 1
+
+    # offset past the end -> empty page, not an error
+    assert aggregates.aggregate_counts(
+        events, "user_id", "ts", "event_id", k=10, start_from=10**6
+    ).collect() == []
 
 
 def test_trending_strategies(events, ddb):

@@ -503,3 +503,47 @@ def test_temperature_sample_alpha_one_is_plain_rate(spark):
         df, "doc_id", "src", alpha=1.0, total_rate=0.4, seed=5).collect()}
     b = {r["doc_id"] for r in sample_by_hash(df, "doc_id", 0.4, seed=5).collect()}
     assert a == b
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (0, "reach me at jane.doe+spam@mail.example.org thanks"),
+        (1, "call +1 (555) 010-4242 or 555-010-9999 now"),
+        (2, "server at 192.168.1.77 and 10.0.0.1 responded"),
+        (3, "no pii here at all"),
+        (4, "mixed: bob@x.co from 172.16.254.3 dial 555 010 1234"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in text.pii_scrub(df, "doc_id", "text").collect()}
+    assert got[0]["n_email"] == 1 and "[EMAIL]" in got[0]["text"]
+    assert "@" not in got[0]["text"].replace("[EMAIL]", "")
+    assert got[1]["n_phone"] == 2 and got[1]["text"].count("[PHONE]") == 2
+    assert got[2]["n_ipv4"] == 2 and got[2]["text"].count("[IP]") == 2
+    assert got[3]["text"] == "no pii here at all"
+    assert (got[4]["n_email"], got[4]["n_phone"], got[4]["n_ipv4"]) == (1, 1, 1)
+
+
+def test_decontaminate(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),      # contains bench 5-gram
+            (1, "one two three four five six seven"),                  # clean
+            (2, "x y alpha beta gamma delta epsilon tail words here"), # shares bench 5-gram
+            (3, "short text"),                                         # clean (short)
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "prefix alpha beta gamma delta epsilon suffix")], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in text.decontaminate(corpus, "doc_id", "text", bench, n=5).collect()
+    )
+    assert kept == [1, 3]
+    # plan shape: the benchmark side must broadcast (no corpus shuffle)
+    plan = (
+        text.decontaminate(corpus, "doc_id", "text", bench, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
