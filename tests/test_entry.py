@@ -70,3 +70,24 @@ def test_entry_returns_rows(entry, spark):
     df = entry.entry(spark)
     assert df.columns == ["doc_id", "score"]
     assert df.count() >= 0
+
+
+def test_toks_cache_bounded_and_clearable(entry, spark):
+    """A long driver session over many sf dirs must not accumulate
+    persisted relations: the tokenized-corpus cache is LRU-bounded and
+    clear_entry_caches() unpersists everything it holds."""
+    entry.clear_entry_caches()
+    assert entry._TOKS_CACHE == {}
+    a = entry._toks_cached(spark, SF)
+    assert a.storageLevel.useMemory  # persisted
+    # same dir -> same cached object, no growth
+    assert entry._toks_cached(spark, SF) is a
+    assert len(entry._TOKS_CACHE) == 1
+    # pushing more dirs past the bound evicts (and unpersists) the oldest
+    entry._TOKS_CACHE["fake1"] = spark.range(2).persist()
+    entry._toks_cached(spark, "/root/testdata/sf0.01")  # triggers eviction
+    assert len(entry._TOKS_CACHE) <= entry._TOKS_CACHE_MAX
+    assert SF not in entry._TOKS_CACHE  # oldest evicted
+    assert not a.storageLevel.useMemory  # ...and unpersisted
+    entry.clear_entry_caches()
+    assert entry._TOKS_CACHE == {}
