@@ -95,7 +95,11 @@ def _toks_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts) — one Arrow-UDF pass instead of three — and repeated entry
     calls in one session reuse the same cache entry instead of leaking."""
     with _INDEX_LOCK:
-        if sf_dir not in _TOKS_CACHE:
+        if sf_dir in _TOKS_CACHE:
+            # true LRU: refresh recency on hit, else round-robin access
+            # over N>max dirs would evict exactly the dir needed next
+            _TOKS_CACHE[sf_dir] = _TOKS_CACHE.pop(sf_dir)
+        else:
             while len(_TOKS_CACHE) >= _TOKS_CACHE_MAX:
                 old_key = next(iter(_TOKS_CACHE))
                 _TOKS_CACHE.pop(old_key).unpersist()

@@ -93,9 +93,13 @@ class IndexReader:
         storage and shuffle)."""
         return self.spark.read.parquet(os.path.join(self.index_dir, "doclens"))
 
+    # broadcast the touched-block header relation only when it is provably
+    # bounded: 2^20 (shard, block_key) rows ~ tens of MB serialized
+    _BROADCAST_BLOCK_CAP = 1 << 20
+
     def pruned_doclens(
         self, terms: list[str] | None = None, prefixes: list[str] | None = None,
-        cap: int = 8192,
+        cap: int = 8192, df_bound: int | None = None,
     ) -> DataFrame:
         """Sidecar slice covering the blocks the given terms touch.
 
@@ -111,6 +115,17 @@ class IndexReader:
         slim columns under a pushed-down term filter, so its broadcast
         build side is bounded by the query's own postings footprint;
         ``cap`` survives only as the small-index shortcut below.
+
+        ``df_bound``: caller-known Σdf of the queried terms (the BM25
+        path already collected term_stats — no extra job). It upper-
+        bounds the touched (shard, block) rows, so the broadcast hint
+        applies only when the bound fits ``_BROADCAST_BLOCK_CAP``: a
+        stopword-like head term over a 10^12-doc corpus touches ~every
+        block, and an unconditional ``F.broadcast`` there would collect
+        a corpus-scale relation to the driver. Unknown or oversized
+        bounds fall back to an unhinted semi-join — still distributed,
+        and AQE converts it to broadcast at runtime when the built side
+        turns out small.
         """
         side = self.doclens_blocks()
         # pruning exists to avoid decoding a corpus-scale sidecar; when
@@ -119,7 +134,9 @@ class IndexReader:
         if self._total_blocks() <= cap:
             return side
         light = self.blocks(terms, prefixes).select("shard", "block_key").distinct()
-        return side.join(F.broadcast(light), ["shard", "block_key"], "left_semi")
+        if df_bound is not None and df_bound <= self._BROADCAST_BLOCK_CAP:
+            light = F.broadcast(light)
+        return side.join(light, ["shard", "block_key"], "left_semi")
 
     def _total_blocks(self) -> int:
         """Upper-bound block count for the sidecar-prune heuristic, from
@@ -278,10 +295,13 @@ class IndexReader:
                 "side_n", "side_doc_ids", "side_doclens"]
         return joined.select(*cols).mapInPandas(_decode, schema=_DECODED_SCHEMA)
 
-    def postings(self, terms: list[str] | None = None, prefixes: list[str] | None = None) -> DataFrame:
+    def postings(
+        self, terms: list[str] | None = None, prefixes: list[str] | None = None,
+        df_bound: int | None = None,
+    ) -> DataFrame:
         return self.decode(
             self.blocks(terms, prefixes),
-            sidecar=self.pruned_doclens(terms, prefixes),
+            sidecar=self.pruned_doclens(terms, prefixes, df_bound=df_bound),
         )
 
     def removed_docs(self) -> DataFrame:

@@ -164,30 +164,50 @@ def catwalk_fit_incremental(
     pure sums, so the delta fit over ``id_col > last_doc_id`` rows (a
     pushed-down scan predicate — at 100 TB the delta touches only new
     partitions) merges with the cached counts by one tiny groupBy-sum
-    over (cached model ∪ delta model). The merged model is committed
-    two-phase (write aside + atomic rename, like index compaction) with
-    a ``meta.json`` watermark, so a crashed refresh never corrupts the
-    cache and a replayed refresh is a no-op.
+    over (cached model ∪ delta model). Commit protocol: the merged
+    model is written to a fresh epoch directory, then ``meta.json`` —
+    carrying the model pointer, the ``last_doc_id`` watermark, and a
+    config fingerprint in ONE document — is swapped in with a single
+    atomic ``os.replace``. A crash anywhere before that replace leaves
+    the old meta pointing at the old epoch (orphaned epoch dirs are
+    swept on the next refresh), and a replayed refresh re-reads the
+    committed watermark, so it recomputes the same delta instead of
+    double-counting it.
 
     Returns the refreshed model with the same columns/order as
     :func:`catwalk_fit`; repeated calls with an unchanged corpus return
-    the cache without any aggregation job.
+    the cache without any aggregation job. Calling with a different
+    ``feature_cols``/``positive``/``flt`` than the cache was built with
+    raises (mixing partial sums from different configs would silently
+    corrupt the weights) — use a fresh ``cache_dir`` per model config.
 
     Assumes an append-only corpus (miru's activity index is append-only;
     removals there version-bump rather than mutate) and row-local
     ``positive``/``flt`` predicates — a predicate over global state
     would make the cached partial sums unmergeable.
     """
+    import hashlib
     import json
     import shutil
 
     spark = df.sparkSession
-    model_dir = os.path.join(cache_dir, "model")
     meta_path = os.path.join(cache_dir, "meta.json")
-    last_id = -1
+    fingerprint = hashlib.md5(
+        repr((sorted(feature_cols), str(positive), str(flt), id_col)).encode()
+    ).hexdigest()
+    meta = None
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            last_id = int(json.load(f)["last_doc_id"])
+            meta = json.load(f)
+        cached_fp = meta.get("fingerprint")
+        if cached_fp is not None and cached_fp != fingerprint:
+            raise ValueError(
+                "catwalk_fit_incremental: cache at %r was built with a different "
+                "feature_cols/positive/flt config; partial sums are unmergeable — "
+                "use a fresh cache_dir" % cache_dir
+            )
+    last_id = int(meta["last_doc_id"]) if meta else -1
+    model_dir = os.path.join(cache_dir, meta["model_rel"]) if meta else None
 
     new_max = df.agg(F.max(F.col(id_col).cast("long")).alias("m")).collect()[0]["m"]
     new_max = -1 if new_max is None else int(new_max)
@@ -196,7 +216,7 @@ def catwalk_fit_incremental(
         delta_model = catwalk_fit(
             delta, feature_cols, positive, flt=flt, min_denominator=1
         ).select("feature", "value", "numerator", "denominator")
-        if os.path.exists(model_dir):
+        if model_dir is not None:
             merged = (
                 spark.read.parquet(model_dir)
                 .select("feature", "value", "numerator", "denominator")
@@ -209,21 +229,35 @@ def catwalk_fit_incremental(
             )
         else:
             merged = delta_model
-        tmp_dir = model_dir + ".next"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        merged.write.mode("overwrite").parquet(tmp_dir)
-        old_dir = model_dir + ".old"
-        shutil.rmtree(old_dir, ignore_errors=True)
-        if os.path.exists(model_dir):
-            os.rename(model_dir, old_dir)
-        os.rename(tmp_dir, model_dir)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        epoch = (int(meta["epoch"]) if meta else 0) + 1
+        next_rel = "model-%06d" % epoch
+        next_dir = os.path.join(cache_dir, next_rel)
+        shutil.rmtree(next_dir, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(next_dir)
         os.makedirs(cache_dir, exist_ok=True)
         tmp_meta = meta_path + ".tmp"
         with open(tmp_meta, "w") as f:
-            json.dump({"last_doc_id": new_max}, f)
-        os.replace(tmp_meta, meta_path)
+            json.dump(
+                {
+                    "last_doc_id": new_max,
+                    "model_rel": next_rel,
+                    "epoch": epoch,
+                    "fingerprint": fingerprint,
+                },
+                f,
+            )
+        os.replace(tmp_meta, meta_path)  # the commit point
+        for name in os.listdir(cache_dir):  # sweep pre-commit orphans + old epochs
+            if name.startswith("model-") and name != next_rel:
+                shutil.rmtree(os.path.join(cache_dir, name), ignore_errors=True)
+        model_dir = next_dir
 
+    if model_dir is None:
+        return spark.createDataFrame(
+            [],
+            "feature string, value string, numerator bigint, "
+            "denominator bigint, weight double",
+        )
     return (
         spark.read.parquet(model_dir)
         .filter(F.col("denominator") >= min_denominator)

@@ -281,6 +281,23 @@ def _shingle_hashes(hv: np.ndarray, counts: np.ndarray, n: int) -> tuple[np.ndar
     return out, out_counts
 
 
+def _doc_chunks(counts: np.ndarray, max_items: int):
+    """Yield (d0, d1, i0, i1) doc-aligned chunks of a flat item stream
+    (``counts[d]`` items per doc) with at most ~``max_items`` items per
+    chunk (a single larger doc gets its own chunk). Bounds the peak size
+    of per-chunk (items x width) matrices to chunk scale instead of
+    Arrow-batch scale — a 10k-doc batch of 100-token web docs would
+    otherwise gather ~0.5 GB per task at num_perm=64."""
+    offs = np.concatenate(([0], np.cumsum(counts, dtype=np.int64)))
+    n = len(counts)
+    d0 = 0
+    while d0 < n:
+        d1 = int(np.searchsorted(offs, offs[d0] + max_items, side="right")) - 1
+        d1 = min(max(d1, d0 + 1), n)
+        yield d0, d1, int(offs[d0]), int(offs[d1])
+        d0 = d1
+
+
 def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
@@ -321,17 +338,24 @@ def minhash_signatures(
             if flat:
                 hv = _token_hashes(flat, memo)
                 win, win_counts = _shingle_hashes(hv, tok_counts, n)
-                if len(win):
-                    uvals, codes = np.unique(win, return_inverse=True)
+                # unique + permute + gather run per doc-aligned chunk:
+                # shingle windows are mostly distinct, so a batch-level
+                # (n_distinct x num_perm) table would grow with the batch,
+                # not the vocabulary — chunking caps peak memory.
+                for d0, d1, i0, i1 in _doc_chunks(win_counts, 1 << 17):
+                    if i1 == i0:
+                        continue
+                    uvals, codes = np.unique(win[i0:i1], return_inverse=True)
                     # (n_distinct, num_perm): values < 2^31, product fits int64
                     perm = ((uvals[:, None] * a[None, :]) % _MERSENNE + b[None, :]) % _MERSENNE
-                    nz = win_counts > 0
+                    seg = win_counts[d0:d1]
+                    nz = seg > 0
                     # empty docs contribute no windows, so nonempty docs'
                     # segments are contiguous and reduceat sees no
                     # zero-length segment (which it cannot represent)
-                    starts = np.zeros(len(ids), dtype=np.int64)
-                    np.cumsum(win_counts[:-1], out=starts[1:])
-                    sigs[nz] = np.minimum.reduceat(perm[codes], starts[nz], axis=0)
+                    starts = np.zeros(d1 - d0, dtype=np.int64)
+                    np.cumsum(seg[:-1], out=starts[1:])
+                    sigs[d0:d1][nz] = np.minimum.reduceat(perm[codes], starts[nz], axis=0)
             yield pd.DataFrame({"id": ids, "signature": list(sigs)})
 
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
@@ -428,21 +452,29 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             if flat:
                 if len(memo) > 2_000_000:
                     memo.clear()
-                codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
-                uh = np.empty(len(uniques), dtype=np.uint64)
-                for j, tok in enumerate(uniques):
-                    v = memo.get(tok)
-                    if v is None:
-                        v = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                        memo[tok] = v
-                    uh[j] = v
-                # (n_distinct, 64) signed bit votes: +1 where bit set, -1 where not
-                signed = (((uh[:, None] >> shifts[None, :]) & np.uint64(1))
-                          .astype(np.int64) * 2 - 1)
-                nz = counts > 0
-                starts = np.zeros(len(ids), dtype=np.int64)
-                np.cumsum(counts[:-1], out=starts[1:])
-                votes[nz] = np.add.reduceat(signed[codes], starts[nz], axis=0)
+                flat_arr = np.asarray(flat, dtype=object)
+                # factorize + gather per doc-aligned chunk so the
+                # (occurrences x 64) gather is capped at chunk scale;
+                # the md5 memo still dedups token hashing across chunks.
+                for d0, d1, i0, i1 in _doc_chunks(counts, 1 << 17):
+                    if i1 == i0:
+                        continue
+                    codes, uniques = pd.factorize(flat_arr[i0:i1])
+                    uh = np.empty(len(uniques), dtype=np.uint64)
+                    for j, tok in enumerate(uniques):
+                        v = memo.get(tok)
+                        if v is None:
+                            v = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                            memo[tok] = v
+                        uh[j] = v
+                    # (n_distinct, 64) signed bit votes: +1 where bit set, -1 where not
+                    signed = (((uh[:, None] >> shifts[None, :]) & np.uint64(1))
+                              .astype(np.int64) * 2 - 1)
+                    seg = counts[d0:d1]
+                    nz = seg > 0
+                    starts = np.zeros(d1 - d0, dtype=np.int64)
+                    np.cumsum(seg[:-1], out=starts[1:])
+                    votes[d0:d1][nz] = np.add.reduceat(signed[codes], starts[nz], axis=0)
             # pack (votes > 0) into a two's-complement int64 per doc
             packed = ((votes > 0).astype(np.uint64)
                       << shifts[None, :]).sum(axis=1, dtype=np.uint64)

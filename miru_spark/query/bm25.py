@@ -375,7 +375,10 @@ def search(
     candidates = candidates.join(reader.removed_docs(), "doc_id", "left_anti")
 
     scored = (
-        reader.postings(terms=[t for t, _ in idf_rows])
+        reader.postings(
+            terms=[t for t, _ in idf_rows],
+            df_bound=sum(stats[t]["df"] for t, _ in idf_rows),
+        )
         .join(F.broadcast(idf_df), "term")
         .withColumn("contrib", _bm25_score_col(F.col("idf"), k1, b, reader.avgdl))
         .join(candidates, "doc_id", "left_semi")
@@ -582,7 +585,9 @@ def search_wand(
     pb_t = posts_raw.select(
         F.struct("term", "n", "max_tf", "codec", "doc_ids", "tfs").alias("pb")
     ).schema["pb"].dataType.simpleString()
-    side_raw = reader.pruned_doclens(terms=terms)
+    side_raw = reader.pruned_doclens(
+        terms=terms, df_bound=sum(stats[t]["df"] for t in terms)
+    )
     sb_t = side_raw.select(
         F.struct("doc_ids", "doclens").alias("sb")
     ).schema["sb"].dataType.simpleString()

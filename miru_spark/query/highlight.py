@@ -59,6 +59,7 @@ def token_fragments(
     context_tokens: int = 5,
     max_fragments: int = 3,
     use_stopwords: bool = False,
+    locale: str | None = None,
 ) -> DataFrame:
     """Token-level fragment twin of :func:`highlight` — same greedy
     windowing rule, but over the ANALYZED token stream, which makes it a
@@ -73,6 +74,12 @@ def token_fragments(
     fragment is the ±``context_tokens`` token window with every hit token
     wrapped in ``<b>..</b>``, fragments joined with ``" … "``. Adds a
     ``fragments`` string column to ``hits``.
+
+    ``locale`` must be the locale the index was analyzed with (it
+    resolves through the same ``find_analyzer`` chain as indexing), so
+    hit positions and windows agree with the index's token stream —
+    the frozen ASCII default would mis-tokenize e.g. 'Straße' on a
+    ``de`` index.
     """
     from miru_spark.analysis.tokenizer import tokens_col
 
@@ -87,7 +94,7 @@ def token_fragments(
     # pick several times -> exponential expression blowup; measured 22s
     # for 5 rows inlined vs milliseconds projected).
     step = joined.withColumn(
-        "_toks", tokens_col(F.col("_text"), use_stopwords=use_stopwords)
+        "_toks", tokens_col(F.col("_text"), use_stopwords=use_stopwords, locale=locale)
     )
     # guard: sequence(1, 0) would count DOWN; empty texts get no positions
     pos = F.when(

@@ -288,6 +288,54 @@ def test_catwalk_fit_incremental_matches_full(events, tmp_path):
     assert sorted(map(tuple, again)) == sorted(map(tuple, inc))
 
 
+def test_catwalk_incremental_commit_protocol(events, tmp_path):
+    """Crash-safety + guards of the watermarked model cache: a replayed
+    refresh after a simulated pre-commit crash double-counts nothing
+    (meta.json is the single commit point), an empty first fit returns an
+    empty model instead of crashing, and a refresh under a different
+    model config is rejected (unmergeable partial sums)."""
+    import json
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    cols = ["event_type"]
+    pos = F.col("value") > 10
+
+    # empty first call: no model committed, empty model returned
+    cache0 = str(tmp_path / "empty_cache")
+    out = aggregates.catwalk_fit_incremental(
+        events.filter(F.lit(False)), cols, pos, cache0, id_col="event_id")
+    assert out.count() == 0
+    assert not os.path.exists(cache0 + "/meta.json")
+
+    cache = str(tmp_path / "crash_cache")
+    first = events.filter(F.col("event_id") <= 300)
+    aggregates.catwalk_fit_incremental(first, cols, pos, cache, id_col="event_id")
+    with open(cache + "/meta.json") as f:
+        meta1 = json.load(f)
+
+    # simulate a crash AFTER the delta model parquet was written but
+    # BEFORE the meta.json commit: an orphan epoch dir appears, meta
+    # still points at epoch 1 — the replayed refresh must recompute the
+    # same delta from the committed watermark and sweep the orphan
+    orphan = cache + "/model-000099"
+    shutil.copytree(cache + "/" + meta1["model_rel"], orphan)
+    replayed = aggregates.catwalk_fit_incremental(
+        events, cols, pos, cache, id_col="event_id").collect()
+    full = aggregates.catwalk_fit(events, cols, pos).collect()
+    assert sorted(map(tuple, replayed)) == sorted(map(tuple, full))
+    assert not os.path.exists(orphan)
+
+    # config drift: different positive predicate on the same cache raises
+    with pytest.raises(ValueError, match="different"):
+        aggregates.catwalk_fit_incremental(
+            events.withColumn("event_id", F.col("event_id") + 10_000),
+            cols, F.col("value") > 20, cache, id_col="event_id")
+
+
 def test_catwalk_fit_feeds_strut(events):
     """fit -> weights_dict -> strut_score roundtrip is consistent."""
     from pyspark.sql import functions as F
