@@ -373,6 +373,61 @@ def q_bm25_phrase_de(spark, sf_dir):
     )
 
 
+# Deterministic synthetic Japanese corpus for the CJK-analyzer entry.
+# The driver's DuckDB side sees only the fixed testdata views, so the
+# SAME literals are embedded in the oracle SQL as a VALUES relation —
+# no external data, identical on both sides by construction. Pure
+# Han/Hiragana/Katakana + spaces (no ASCII / punctuation), so the
+# oracle tokenizer needs only the unigram-spacing rule.
+_JA_DOCS: list[tuple[int, str]] = [
+    (0, "東京タワーは東京の名所です"),
+    (1, "京都は古い都で名所が多い"),
+    (2, "タワーから東京の街を見る"),
+    (3, "大阪の名所はお城です"),
+    (4, "東京と京都を結ぶ新幹線"),
+    (5, "名所めぐりはたのしい"),
+    (6, "タワーのある街の夜景"),
+    (7, "東の空と京の街なみ"),
+    (8, "城と寺は京都の名所です"),
+    (9, "東京タワーと京都タワーをくらべる"),
+    (10, "街の名所を歩いてまわる"),
+    (11, "新幹線で東へむかう"),
+]
+
+
+def _ja_reader(spark):
+    """ja-locale index over the synthetic corpus (once per process)."""
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+
+    with _INDEX_LOCK:
+        key = "\x00ja_synth"
+        if key not in _INDEX_CACHE:
+            d = os.path.join(tempfile.mkdtemp(prefix="miru_entry_ja_"), "idx")
+            docs = spark.createDataFrame(_JA_DOCS, "doc_id long, text string")
+            build_index(spark, docs, d, id_col="doc_id", text_col="text",
+                        n_shards=1, block_bits=7, locale="ja", overwrite=True)
+            _INDEX_CACHE[key] = d
+        return IndexReader(spark, _INDEX_CACHE[key])
+
+
+def q_bm25_cjk(spark, sf_dir):
+    """CJK analyzer end-to-end over a ja-locale index: the reference
+    serves ja/zh/ko through its StandardAnalyzer fallback
+    (TermAnalyzers.java:119-138), whose UAX#29 tokenizer emits Han and
+    Hiragana as single-character tokens and keeps Katakana runs whole —
+    so the quoted phrase "東京" is adjacency of the 東,京 unigrams and
+    タワー is one term. Same BM25 scoring as every fulltext entry; the
+    oracle reproduces segmentation, adjacency, and scoring in SQL over
+    the identical VALUES corpus. (sf_dir is unused: the corpus is the
+    module literal — the driver compares like-for-like.)"""
+    from miru_spark.query.bm25 import search
+
+    docs = spark.createDataFrame(_JA_DOCS, "doc_id long, text string")
+    return search(_ja_reader(spark), '"東京" AND タワー', k=10, round_to=4,
+                  text_df=docs)
+
+
 def q_bm25_fuzzy(spark, sf_dir):
     """Lucene `term~N` fuzzy query: the misspelling 'qery' expands to
     dictionary terms within Levenshtein distance 1 (JVM levenshtein over
@@ -1316,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catwalk_incremental": q_catwalk_incremental,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
+        "bm25_cjk": q_bm25_cjk,
         # fulltext / index
         "bm25_and": q_bm25_and,
         "bm25_or": q_bm25_or,
@@ -1594,6 +1650,37 @@ SELECT s.doc_id, round(s.score, 4) AS score FROM scored s JOIN ph USING (doc_id)
 WHERE nt = 2 ORDER BY score DESC, doc_id DESC LIMIT 10
 """,
         "bm25_phrase": _PHRASE_SQL,
+        # CJK entry: identical VALUES corpus as the Spark side (_JA_DOCS);
+        # segmentation = space out each Han/Hiragana char (UAX#29 unigram
+        # rule), split on whitespace; Katakana runs survive whole. Phrase
+        # "東京" = adjacency of the 東,京 unigrams; scoring is the same
+        # BM25 CTE as _PHRASE_SQL with nt = 3 terms.
+        "bm25_cjk": f"""
+WITH docs(doc_id, text) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in _JA_DOCS)}),
+base AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(
+        regexp_replace(text, '([㐀-䶿一-鿿豈-﫿぀-ゟ])', ' \\1 ', 'g'),
+        '\\s+'), x -> x <> '') AS toks FROM docs),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
+st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+ph AS (SELECT doc_id FROM base
+       WHERE len(list_filter(generate_series(1, len(toks) - 1),
+                             i -> toks[i] = '東' AND toks[i + 1] = '京')) > 0),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
+q(term) AS (VALUES ('東'), ('京'), ('タワー')),
+tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * {K1 + 1.0}
+              / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / st.avgdl)) ) AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT s.doc_id::BIGINT AS doc_id, round(s.score, 4) AS score
+FROM scored s JOIN ph USING (doc_id)
+WHERE nt = 3 ORDER BY score DESC, doc_id DESC LIMIT 10
+""",
         # same oracle by design: the corpus is ASCII, where the de/unicode
         # analyzer's token stream equals the frozen ASCII stream — the
         # entry exercises the non-en-locale phrase PATH, not new semantics

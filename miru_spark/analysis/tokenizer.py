@@ -41,7 +41,46 @@ _WS_RE = re.compile(r"\s+")
 # letters+digits, lowercased) plus their stopword list.
 # ---------------------------------------------------------------------
 
-_UNICODE_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+def _mark_class() -> str:
+    """Combining marks (Mn/Mc/Me), connector punctuation minus ``_``,
+    and the ZWNJ/ZWJ join controls, as a BMP regex char class.
+
+    Java's ``(?U)\\w`` counts all of these as word characters
+    (UNICODE_CHARACTER_CLASS: Alpha|Mn|Me|Mc|Digit|Pc|Join_Control);
+    Python's ``\\w`` counts none of them — so without this union the
+    Python tokenizer and its JVM ``tokens_col`` twin silently disagree
+    on every mark-bearing script (Thai vowels/tones, Devanagari matras,
+    Arabic/Hebrew points, Persian ZWNJ). Built once at import from the
+    interpreter's Unicode DB; the parity tests pin the claimed
+    alphabets, which are stable across Unicode versions."""
+    import unicodedata
+
+    cps = [
+        cp
+        for cp in range(0x10000)
+        if (lambda c: c in ("Mn", "Mc", "Me") or (c == "Pc" and cp != 0x5F))(
+            unicodedata.category(chr(cp))
+        )
+    ]
+    cps.extend((0x200C, 0x200D))
+    cps.sort()
+    parts: list[str] = []
+    i = 0
+    while i < len(cps):
+        j = i
+        while j + 1 < len(cps) and cps[j + 1] == cps[j] + 1:
+            j += 1
+        parts.append(
+            f"\\u{cps[i]:04x}" if j == i else f"\\u{cps[i]:04x}-\\u{cps[j]:04x}"
+        )
+        i = j + 1
+    return "".join(parts)
+
+
+_MARK_CLASS = _mark_class()
+# a "word run" = maximal run of (letter|digit|mark|join-control), the
+# exact complement of the JVM twin's (?U)[\W_]+ separator
+_UNICODE_TOKEN_RE = re.compile(rf"(?:[^\W_]|[{_MARK_CLASS}])+", re.UNICODE)
 
 STOPWORDS_DE = frozenset(
     """aber als am an auch auf aus bei bin bis da das dass dem den der des
@@ -102,26 +141,218 @@ STOPWORDS_RU = frozenset(
 )
 
 
-class _Analyzer:
-    __slots__ = ("token_re", "stopwords")
+# Compact stopword sets for the rest of the reference's 31-locale
+# registry (TermAnalyzers.java:52-84). The reference ships Lucene's
+# default per-language lists; these are engine-owned compact sets of the
+# highest-frequency function words — FROZEN like STOPWORDS_EN (changing
+# one changes every index built with use_stopwords under that locale).
+STOPWORDS_AR = frozenset(
+    """أن إلى إن او أو التي الذي على عن في قد كان كانت كل لا لم لن له
+    ما مع من هذا هذه هو هي و يكون""".split()
+)
+STOPWORDS_BG = frozenset(
+    """а без беше би бил бяха в вие да до е за и из или им ли между на
+    не него нея ние но от по при са се си след съм та те то това той
+    тя че ще я""".split()
+)
+STOPWORDS_CA = frozenset(
+    """a al als amb com de del dels el els en es i la les li mi més no
+    o per que què se ses seu seus si sobre sí tot un una uns vos""".split()
+)
+STOPWORDS_CS = frozenset(
+    """a aby ale ani až bez bude by byl byla bylo být co či do i jak
+    jako je jeho její jen ještě k kde která které který má mezi na nad
+    není nebo o od po pod pro před přes při s se si tak také tato ten
+    to tohle toto u v ve z za že""".split()
+)
+STOPWORDS_DA = frozenset(
+    """af alle at blev da de dem den denne der det dette dig din dog du
+    efter en end er et for fra ham han hans har havde have hun hvad
+    hvis hvor i ikke ind jeg jer kan kunne man mange med meget men mig
+    min mod ned noget nogle nu når og også om op os over på sig sin
+    skal skulle som sådan thi til ud under var vi vil ville vor være""".split()
+)
+STOPWORDS_EU = frozenset(
+    """al anitz arabera asko baina bat batean batek bati batzuei batzuek
+    be beste bere da dago dira du dute edo egin ere eta eurak ez gainera
+    gu hainbeste hau honek hori hura izan ni noiz nola non nondik nongo
+    nor zein zen zer zuek""".split()
+)
+STOPWORDS_FA = frozenset(
+    """از است این اما او با باشد به بود برای تا در را كه که می ما من نه
+    نیز هر هم همه و وی یا یک""".split()
+)
+STOPWORDS_FI = frozenset(
+    """ei että he hän ja jo joka jos kanssa kuin kun me minä mitä mukaan
+    mutta myös ne niin nyt ole oli olla on ovat se sekä sen siinä sitä
+    tai tämä te vaan vain voi""".split()
+)
+STOPWORDS_GL = frozenset(
+    """a ao aos as coa con da das de do dos e el ela en era foi lle máis
+    na nas no non nos o os ou para pero polo por que se sen seu sobre
+    súa tamén un unha uns xa""".split()
+)
+STOPWORDS_GR = frozenset(
+    """αλλά από αυτά αυτές αυτή αυτό αυτόν αυτός για δε δεν είμαι είναι
+    εγώ εσύ έχει θα και κατά με μετά μη μου να ο οι όπως ότι ου πολύ
+    που προς πως σε στη στην στο στον τα την της τι το τον του των ως""".split()
+)
+STOPWORDS_HI = frozenset(
+    """अपने और एक इस इसके का की के को जो तक तो था थी थे नहीं ने पर भी मैं
+    यह वह से हम हो ही है हैं""".split()
+)
+STOPWORDS_HY = frozenset(
+    """այդ այլ այն այս դու ես և էր ըստ թե ին իր կամ համար հետ մեջ մի նա
+    նաև որ որը վրա ու""".split()
+)
+STOPWORDS_ID = frozenset(
+    """ada adalah akan atau bagi dalam dan dari dengan di dia harus ia
+    ini itu juga kami kamu karena ke kita lain mereka oleh pada para
+    saya sebagai sudah tak telah tidak untuk yang""".split()
+)
+STOPWORDS_KU = frozenset(
+    """بە بۆ دە ئەو ئەم لە لەگەڵ و کە هەر هەموو ئەوە دەبێت بوو نە یان""".split()
+)
+STOPWORDS_LV = frozenset(
+    """ar bet bija būs būt es ir jau ja kā kad kas ko kur mēs ne nav no
+    pēc par pie šis šī tā tad tas tie tik to un uz vai var viņa viņš""".split()
+)
+STOPWORDS_NO = frozenset(
+    """av alle at da de dem den denne der det dette du eller en er et
+    etter for fra ham han hans har hadde hun hva hvis hvor i ikke jeg
+    kan kunne man med meg men mer mitt min mot nå når og også om opp
+    oss over på sa seg selv sin sitt skal skulle som så til ut var ved
+    vi vil ville være vært""".split()
+)
+STOPWORDS_RO = frozenset(
+    """a acea această al ale am ar au că ce cel cele cu dar de din după
+    ea ei el este eu fi fie i îi în între la le lor lui mai mea mult nu
+    o pe pentru prin sa să se și sunt un una unei unui va voi""".split()
+)
+STOPWORDS_SV = frozenset(
+    """alla att av blev bli den denna det detta dig din du där då efter
+    ej eller en er ett för från ha hade han hans har hon hur i icke
+    inte jag kan kunde man med men mig min mot mycket ni nu när och om
+    oss på sig sin sitt skall skulle som så till under upp ut utan var
+    vad vara varför vi vid vilken än är åt över""".split()
+)
+STOPWORDS_TH = frozenset(
+    """กว่า จะ จาก ใน ได้ ไป มี มา แล้ว และ ว่า ไว้ ให้ ของ คือ ค่ะ ครับ ที่
+    นี้ นั้น เป็น อยู่ อย่าง ก็ การ กับ แต่ ต้อง ถ้า หรือ เขา เรา ฉัน คุณ""".split()
+)
+STOPWORDS_TR = frozenset(
+    """acaba ama ancak bana bazı belki ben beni bir biri birkaç biz bu
+    çok çünkü da daha de defa diye eğer en gibi hem hep hepsi her hiç
+    için ile ise kez ki kim mı mu mü nasıl ne neden nerde nerede nereye
+    niçin niye o on ona ondan onlar onu sanki şey siz şu tüm ve veya ya
+    yani""".split()
+)
 
-    def __init__(self, token_re: re.Pattern, stopwords: frozenset):
+# Script ranges for the CJK/Thai segmentation modes. UAX#29 (Lucene's
+# StandardTokenizer, the reference's fallback for ja/zh/ko text) emits
+# Han ideographs and Hiragana as SINGLE-character tokens and keeps
+# Katakana / Hangul runs together as words; Thai needs dictionary
+# segmentation (Lucene ThaiAnalyzer), for which character bigrams over
+# Thai runs are the deterministic, dictionary-free substitute (the same
+# trick Lucene's CJKAnalyzer applies to CJK).
+_UNIGRAM_CHARS = (
+    "㐀-䶿一-鿿豈-﫿"  # Han (ext A, unified, compat)
+    "぀-ゟ"  # Hiragana
+)
+# Thai letters + vowel/tone marks, excluding ฿ (currency) and digits —
+# both sides' word break already removes non-word chars, so the class
+# only has to agree between Python fullmatch and JVM rlike
+_THAI_CHARS = "ก-ฺเ-๎"
+_UNIGRAM_RE = re.compile(f"([{_UNIGRAM_CHARS}])")
+_THAI_RUN_RE = re.compile(f"[{_THAI_CHARS}]+")
+
+
+class _Analyzer:
+    __slots__ = ("token_re", "stopwords", "mode")
+
+    def __init__(self, token_re: re.Pattern, stopwords: frozenset, mode: str = "word"):
         self.token_re = token_re
         self.stopwords = stopwords
+        # "word": regex word-break; "cjk": UAX#29-style unigram
+        # Han/Hiragana + word-run everything else; "thai_bigram":
+        # character bigrams over Thai runs + word-run everything else
+        self.mode = mode
 
 
+def _segment_cjk(text: str) -> list[str]:
+    """UAX#29-style token stream: lowercase, Han/Hiragana per-char,
+    every other script's word runs as words."""
+    spaced = _UNIGRAM_RE.sub(r" \1 ", text.lower())
+    return _UNICODE_TOKEN_RE.findall(spaced)
+
+
+def _segment_thai_bigram(text: str) -> list[str]:
+    """Lowercase word stream where each all-Thai token is replaced by
+    its character bigrams (single char for length-1 tokens). The rule is
+    whole-token, exactly like the JVM twin in :func:`tokens_col` — a
+    mixed-script token keeps word semantics (it matches no claimed
+    alphabet; parity is pinned per alphabet by tests)."""
+    out: list[str] = []
+    for t in _UNICODE_TOKEN_RE.findall(text.lower()):
+        if _THAI_RUN_RE.fullmatch(t):
+            if len(t) == 1:
+                out.append(t)
+            else:
+                out.extend(t[i:i + 2] for i in range(len(t) - 1))
+        else:
+            out.append(t)
+    return out
+
+
+def _u(stopwords: frozenset) -> _Analyzer:
+    return _Analyzer(_UNICODE_TOKEN_RE, stopwords)
+
+
+# The full registry mirrors the reference's 31 analyzer bindings
+# (TermAnalyzers.java:52-84) minus stemming (no stemmers here — the
+# analyzer is a frozen pure function; a stemmer would be an additive
+# schema change). ja/zh/ko are NOT in the reference's map — they fall
+# through to its StandardAnalyzer default, whose UAX#29 tokenizer emits
+# Han/Hiragana unigrams; our frozen-ASCII default would instead drop
+# CJK text entirely, so the "cjk" analyzer reproduces the reference's
+# EFFECTIVE behavior for those locales explicitly (with the fallback
+# StandardAnalyzer's English stopword set, TermAnalyzers.java:49).
 _ANALYZERS: dict[str, _Analyzer] = {
     "en": _Analyzer(_TOKEN_RE, STOPWORDS_EN),
-    "de": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_DE),
-    "fr": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_FR),
-    "es": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_ES),
-    "it": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_IT),
-    "pt": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_PT),
-    # pt_br resolves to "pt" via the fallback chain, as the reference
-    # registers BrazilianAnalyzer separately but we share one Portuguese
-    # stopword analyzer (no stemming on either branch here)
-    "nl": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_NL),
-    "ru": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_RU),
+    "en_ie": _u(STOPWORDS_EN),  # IrishAnalyzer(EN stopwords) in the reference
+    "de": _u(STOPWORDS_DE),
+    "fr": _u(STOPWORDS_FR),
+    "es": _u(STOPWORDS_ES),
+    "it": _u(STOPWORDS_IT),
+    "pt": _u(STOPWORDS_PT),
+    "pt_br": _u(STOPWORDS_PT),  # BrazilianAnalyzer: own key, shared stopwords
+    "nl": _u(STOPWORDS_NL),
+    "ru": _u(STOPWORDS_RU),
+    "ar": _u(STOPWORDS_AR),
+    "bg": _u(STOPWORDS_BG),
+    "ca": _u(STOPWORDS_CA),
+    "cs": _u(STOPWORDS_CS),
+    "da": _u(STOPWORDS_DA),
+    "eu": _u(STOPWORDS_EU),
+    "fa": _u(STOPWORDS_FA),
+    "fi": _u(STOPWORDS_FI),
+    "gl": _u(STOPWORDS_GL),
+    "gr": _u(STOPWORDS_GR),
+    "hi": _u(STOPWORDS_HI),
+    "hy": _u(STOPWORDS_HY),
+    "id": _u(STOPWORDS_ID),
+    "ku": _u(STOPWORDS_KU),
+    "lv": _u(STOPWORDS_LV),
+    "nb": _u(STOPWORDS_NO),
+    "nn": _u(STOPWORDS_NO),  # reference binds nb and nn to one analyzer
+    "ro": _u(STOPWORDS_RO),
+    "sv": _u(STOPWORDS_SV),
+    "tr": _u(STOPWORDS_TR),
+    "th": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_TH, mode="thai_bigram"),
+    "ja": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_EN, mode="cjk"),
+    "zh": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_EN, mode="cjk"),
+    "ko": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_EN, mode="cjk"),
+    "cjk": _Analyzer(_UNICODE_TOKEN_RE, frozenset(), mode="cjk"),
     "unicode": _Analyzer(_UNICODE_TOKEN_RE, frozenset()),
 }
 _DEFAULT_ANALYZER = _ANALYZERS["en"]
@@ -172,7 +403,12 @@ def tokenize(
     if not text:
         return []
     analyzer = find_analyzer(locale)
-    toks = analyzer.token_re.findall(text.lower())
+    if analyzer.mode == "cjk":
+        toks = _segment_cjk(text)
+    elif analyzer.mode == "thai_bigram":
+        toks = _segment_thai_bigram(text)
+    else:
+        toks = analyzer.token_re.findall(text.lower())
     if use_stopwords:
         toks = [t for t in toks if t not in analyzer.stopwords]
     return toks
@@ -242,13 +478,40 @@ def tokens_col(col, use_stopwords: bool = False, locale: str | None = None):
     numeral-category codepoints are the only divergence surface, and the
     parity test pins the alphabets we claim)."""
     analyzer = find_analyzer(locale)
-    if analyzer.token_re is _TOKEN_RE:
+    if analyzer.token_re is _TOKEN_RE and analyzer.mode == "word":
         lowered = F.lower(F.regexp_replace(col, r"[^A-Za-z0-9]+", " "))
+    elif analyzer.mode == "cjk":
+        # UAX#29 twin: space out each Han/Hiragana char BEFORE the word
+        # break, so unigrams fall out of the same split; Katakana/Hangul
+        # are word chars under (?U)\w and stay as runs
+        spaced = F.regexp_replace(
+            F.lower(col), f"([{_UNIGRAM_CHARS}])", r" $1 ")
+        lowered = F.regexp_replace(spaced, r"(?U)[\W_]+", " ")
     else:
         # lower BEFORE word-breaking, as the Python twin does — case
         # folding may rewrite codepoints, so the order is part of parity
         lowered = F.regexp_replace(F.lower(col), r"(?U)[\W_]+", " ")
     toks = F.filter(F.split(lowered, r"\s+"), lambda x: x != "")
+    if analyzer.mode == "thai_bigram":
+        # per word-token: replace each Thai RUN with its char bigrams.
+        # Tokens are single-script in practice after the word break; the
+        # JVM twin handles the all-Thai-run case (mixed-script tokens
+        # keep word semantics, matching no claimed alphabet)
+        thai_pat = f"^[{_THAI_CHARS}]+$"
+
+        def _expand(t):
+            bi = F.transform(
+                F.sequence(F.lit(1), F.length(t) - 1),
+                lambda i: t.substr(i, F.lit(2)),
+            )
+            return F.when(F.length(t) == 1, F.array(t)).otherwise(bi)
+
+        toks = F.flatten(
+            F.transform(
+                toks,
+                lambda t: F.when(t.rlike(thai_pat), _expand(t)).otherwise(F.array(t)),
+            )
+        )
     if use_stopwords:
         stop = F.array(*[F.lit(s) for s in sorted(analyzer.stopwords)])
         toks = F.filter(toks, lambda x: ~F.array_contains(stop, x))

@@ -203,3 +203,122 @@ def test_phrase_search_on_de_locale_index(spark, tmp_path):
     got = {r["doc_id"] for r in
            search(reader, '"große Brücke"~1', k=10, text_df=docs).collect()}
     assert got == {0, 2, 3}
+
+
+def test_full_reference_registry_resolves():
+    """Every code the reference registers (TermAnalyzers.java:52-84, the
+    31-analyzer map) resolves to its OWN analyzer here, not the default —
+    plus ja/zh/ko/th, which the reference serves through its
+    StandardAnalyzer fallback (CJK unigrams) / ThaiAnalyzer."""
+    from miru_spark.analysis.tokenizer import _ANALYZERS
+
+    reference_codes = [
+        "ar", "bg", "ca", "cs", "en", "en_ie", "es", "eu", "da", "de",
+        "fa", "fi", "fr", "gl", "gr", "hi", "hy", "id", "it", "ku",
+        "lv", "nl", "nb", "nn", "pt", "pt_br", "ro", "ru", "sv", "th",
+        "tr",
+    ]
+    assert len(reference_codes) == 31
+    for code in reference_codes:
+        assert code in _ANALYZERS, code
+    # nb and nn share one stopword set, like the reference binding
+    # NorwegianAnalyzer to both codes
+    assert find_analyzer("nb").stopwords is find_analyzer("nn").stopwords
+    # stopword sets are per-locale, not shared with the default
+    assert find_analyzer("sv").stopwords is not STOPWORDS_EN
+    assert "och" in find_analyzer("sv").stopwords
+    assert "ve" in find_analyzer("tr").stopwords
+
+
+def test_cjk_segmentation_semantics():
+    """ja/zh/ko: UAX#29-style — Han + Hiragana emit per-char unigrams,
+    Katakana and Hangul runs stay whole, Latin/digits are words
+    (what the reference's StandardAnalyzer fallback produces for CJK)."""
+    assert tokenize("漢字", locale="ja") == ["漢", "字"]
+    assert tokenize("ひらがな", locale="ja") == ["ひ", "ら", "が", "な"]
+    assert tokenize("カタカナ", locale="ja") == ["カタカナ"]
+    assert tokenize("한국어 분석", locale="ko") == ["한국어", "분석"]
+    assert tokenize("自然语言", locale="zh") == ["自", "然", "语", "言"]
+    assert tokenize("Tokyo 2020 東京", locale="ja") == ["tokyo", "2020", "東", "京"]
+    # the frozen ASCII default drops CJK entirely — the cjk analyzers exist
+    # precisely so a ja corpus is not indexed as empty docs
+    assert tokenize("漢字") == []
+
+
+def test_thai_bigram_segmentation():
+    """th: character bigrams over all-Thai tokens (the deterministic
+    substitute for ThaiAnalyzer's dictionary segmentation), combining
+    vowels/tones INCLUDED as word chars (U+0E31 etc.); non-Thai tokens
+    keep word semantics."""
+    toks = tokenize("สวัสดี", locale="th")
+    assert toks == ["สว", "วั", "ัส", "สด", "ดี"]
+    assert tokenize("ก x7", locale="th") == ["ก", "x7"]
+
+
+def test_jvm_tokens_col_parity_cjk_thai_marks(spark):
+    """Parity of the JVM twin across the mark-bearing and CJK alphabets:
+    Thai vowels/tones, Devanagari matras, Arabic diacritics, Persian
+    ZWNJ, Han/Hiragana/Katakana/Hangul — the alphabets where Python \\w
+    and Java (?U)\\w disagree without the explicit mark-class union."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.analysis.tokenizer import tokens_col
+
+    samples = {
+        "ja": ["東京タワーはにほんのランドマークです Tokyo 2020",
+               "カタカナとひらがなと漢字"],
+        "zh": ["自然语言处理很有趣"],
+        "ko": ["한국어 형태소 분석은 재미있다"],
+        "th": ["ภาษาไทยนั้นสนุก test123", "สวัสดีครับ"],
+        "hi": ["यह नहीं की किताब है"],
+        "ar": ["هذا كتابٌ جميلٌ جدًا"],
+        "fa": ["این می‌شود فارسی"],
+        "tr": ["bu bir türkçe testi İIıi"],
+    }
+    for locale, texts in samples.items():
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(texts)], "i long, t string")
+        got = {
+            r["i"]: r["toks"]
+            for r in df.select(
+                "i", tokens_col(F.col("t"), locale=locale).alias("toks")
+            ).collect()
+        }
+        want = {i: tokenize(s, locale=locale) for i, s in enumerate(texts)}
+        assert got == want, locale
+
+
+def test_japanese_index_end_to_end(spark, tmp_path):
+    """ja-locale index: unigram Han terms are searchable, Katakana runs
+    match whole, and quoted phrases verify through the JVM twin
+    (adjacent unigrams = substring match, the CJK phrase semantics)."""
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query.bm25 import search
+
+    rows = [
+        (0, "東京タワーは東京の名所です"),
+        (1, "京都は古い都です"),
+        (2, "タワーから東京を見る"),
+        (3, "大阪の名所はお城です"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "idx_ja")
+    meta = build_index(spark, docs, out, n_shards=1, block_bits=7,
+                       locale="ja", overwrite=True)
+    assert meta.locale == "ja"
+    reader = IndexReader(spark, out)
+
+    # unigram term: 京 appears in docs 0 (東京 x2), 1 (京都), 2 (東京)
+    got = {r["doc_id"] for r in search(reader, "京", k=10).collect()}
+    assert got == {0, 1, 2}
+    # Katakana run is one whole term
+    got = {r["doc_id"] for r in search(reader, "タワー", k=10).collect()}
+    assert got == {0, 2}
+    # phrase = adjacency of unigrams: "東京" as a phrase needs 東 then 京
+    got = {r["doc_id"] for r in
+           search(reader, '"東京"', k=10, text_df=docs).collect()}
+    assert got == {0, 2}
+    # AND of unigrams without adjacency also matches 京都...の都 order swaps
+    got = {r["doc_id"] for r in search(reader, "東 AND 京", k=10).collect()}
+    assert got == {0, 2}
