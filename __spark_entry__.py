@@ -1077,6 +1077,42 @@ def q_dedup_exact(spark, sf_dir):
     return out.select("doc_id").orderBy("doc_id")
 
 
+def q_substring_dedup(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2021): maximal token spans whose
+    sequence occurs >= 2x anywhere in the corpus. Distributed shape: one
+    occurrence-scale gram-hash relation (128-bit double xxhash64 keys),
+    one co-partitioned count>=2 self-join, per-doc gaps-and-islands span
+    merge — no suffix array, no global sort. The oracle reproduces the
+    gram/count/island pipeline over the literal gram STRINGS (DuckDB has
+    no xxhash64; equality of the underlying strings is the semantics the
+    hashes stand in for)."""
+    from miru_spark.pipeline.dedup import duplicate_spans
+
+    out = duplicate_spans(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", min_len=8)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_grams"),
+    )
+
+
+def q_substring_strip(spark, sf_dir):
+    """Token-space removal companion of `substring_dedup`: corpus with
+    every duplicated span's tokens dropped; value-oracled via the same
+    islands CTE + per-token span-coverage filter in SQL."""
+    from miru_spark.pipeline.dedup import strip_duplicate_spans
+
+    return strip_duplicate_spans(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", min_len=8
+    ).select(
+        F.col("id").alias("doc_id"), "text_clean",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("removed_tokens").cast("long").alias("removed_tokens"),
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact Jaccard pairs, AllPairs/PPJoin prefix-filtered: candidates
     join only on each doc's rarest ``sz - ceil(t*sz) + 1`` shingles
@@ -1372,6 +1408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "bm25_cjk": q_bm25_cjk,
+        "substring_dedup": q_substring_dedup,
+        "substring_strip": q_substring_strip,
         # fulltext / index
         "bm25_and": q_bm25_and,
         "bm25_or": q_bm25_or,
@@ -2087,6 +2125,50 @@ FROM documents
 SELECT doc_id FROM (
   SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM documents)
 WHERE doc_id = keep ORDER BY doc_id
+""",
+        # ExactSubstr spans: grams over the literal strings (the Spark
+        # side's 128-bit hash pair stands in for string equality), global
+        # count >= 2, then per-doc gaps-and-islands with the same merge
+        # rule (gap <= min_len merges)
+        "substring_dedup": f"""
+WITH base AS ({toks_base}),
+g AS (SELECT doc_id, unnest([{{'pos': i - 1, 'gram': array_to_string(toks[i:i+7], ' ')}}
+                             for i in range(1, len(toks) - 6)]) AS gr FROM base),
+gg AS (SELECT doc_id, gr.pos AS pos, gr.gram AS gram FROM g),
+dup AS (SELECT gram FROM gg GROUP BY gram HAVING count(*) >= 2),
+cand AS (SELECT doc_id, pos FROM gg JOIN dup USING (gram)),
+flg AS (SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos, 1, -8) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+             THEN 1 ELSE 0 END AS brk FROM cand),
+isl AS (SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM flg)
+SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_grams
+FROM isl GROUP BY doc_id, island
+""",
+        "substring_strip": f"""
+WITH base AS ({toks_base}),
+g AS (SELECT doc_id, unnest([{{'pos': i - 1, 'gram': array_to_string(toks[i:i+7], ' ')}}
+                             for i in range(1, len(toks) - 6)]) AS gr FROM base),
+gg AS (SELECT doc_id, gr.pos AS pos, gr.gram AS gram FROM g),
+dup AS (SELECT gram FROM gg GROUP BY gram HAVING count(*) >= 2),
+cand AS (SELECT doc_id, pos FROM gg JOIN dup USING (gram)),
+flg AS (SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos, 1, -8) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+             THEN 1 ELSE 0 END AS brk FROM cand),
+isl AS (SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM flg),
+spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM isl GROUP BY doc_id, island),
+sp AS (SELECT doc_id, list({{'s': s, 'e': e}}) AS spans FROM spans GROUP BY doc_id)
+SELECT b.doc_id,
+  coalesce(array_to_string([b.toks[i] for i in range(1, len(b.toks) + 1)
+    if len(list_filter(coalesce(sp.spans, []), x -> i - 1 >= x.s AND i - 1 < x.e)) = 0],
+    ' '), '') AS text_clean,
+  len(b.toks)::BIGINT AS n_tokens,
+  (len(b.toks) - len([b.toks[i] for i in range(1, len(b.toks) + 1)
+    if len(list_filter(coalesce(sp.spans, []), x -> i - 1 >= x.s AND i - 1 < x.e)) = 0]
+  ))::BIGINT AS removed_tokens
+FROM base b LEFT JOIN sp ON b.doc_id = sp.doc_id
 """,
         "ngram_jaccard": f"""
 WITH base AS ({toks_base}),

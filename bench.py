@@ -543,6 +543,7 @@ def main() -> None:
         "waveform", "metrics_daily", "trending", "reco_cf",
         "token_stats", "quality", "lang_id", "fingerprint",
         "dedup_exact", "ngram_jaccard", "minhash_lsh", "simhash",
+        "substring_dedup",
         "pack_sequences", "streaming_window_counts", "streaming_unread",
         "repetition_signals", "boilerplate_ngrams",
         "ann_cosine_topk", "ann_lsh_topk", "cosine_pairs",

@@ -656,3 +656,162 @@ def dedup_canonical(
         .agg(F.min("doc_id").alias("keep_doc"), F.count("*").alias("n_docs"))
         .where(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr mode): find, and
+# optionally strip, every >= min_len-token span whose token sequence
+# occurs more than once in the corpus.
+# ---------------------------------------------------------------------
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 20,
+    keep_first: bool = False,
+) -> DataFrame:
+    """Maximal duplicated token spans per document.
+
+    The centralized reference algorithm builds one suffix array over the
+    corpus (O(corpus) construction, impossible to hold on one node at
+    100 TB). The distributed equivalent used here: every ``min_len``-gram
+    is a probe — a span is duplicated iff all its grams are duplicated,
+    and maximal duplicated spans are exactly the merged runs of
+    duplicated grams. Plan shape:
+
+    1. JVM-side gram hashing: ``xxhash64`` over token slices, one row
+       per token position (occurrence scale — the same O(corpus) cost
+       the suffix array pays, but embarrassingly parallel). TWO
+       independent 64-bit hashes (seeded by a prepended literal) make
+       the effective key 128-bit: at 10^13 grams the single-hash
+       birthday bound would manufacture false duplicate pairs, the
+       double-hash bound is ~2^-38.
+    2. One groupBy(h1, h2) marks grams with global count >= 2 (map-side
+       partial aggregation absorbs within-partition repeats); candidates
+       re-join the gram stream on the same key — both sides arrive
+       hash-partitioned on (h1, h2), so AQE plans a co-partitioned join.
+    3. Per-doc gaps-and-islands over candidate positions (window
+       partitioned BY DOC — no global sort): positions closer than
+       ``min_len`` merge into one maximal span.
+
+    ``keep_first=True`` exempts the globally-first occurrence of each
+    gram (min (id, pos), one extra aggregation on the same shuffle key)
+    — the paper's "leave one occurrence" variant; the default marks ALL
+    occurrences, the stricter filter common in replication pipelines.
+
+    Returns ``(id, span_start, span_end, n_grams)``, token positions,
+    ``span_end`` exclusive; spans whose every gram is globally unique
+    never appear.
+    """
+    from pyspark.sql import Window
+
+    from miru_spark.analysis.tokenizer import tokens_col
+
+    L = int(min_len)
+    toks = tokens_col(F.col(text_col))
+    src = df.select(F.col(id_col).cast("long").alias("id"), toks.alias("toks"))
+    grams = (
+        src.filter(F.size("toks") >= L)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - L),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(F.concat_ws(" ", F.slice("toks", i + 1, L))).alias("h1"),
+                        F.xxhash64(
+                            F.lit("s2"), F.concat_ws(" ", F.slice("toks", i + 1, L))
+                        ).alias("h2"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("id", "g.pos", "g.h1", "g.h2")
+    )
+    agg = [F.count(F.lit(1)).alias("cnt")]
+    if keep_first:
+        agg.append(F.min(F.struct("id", "pos")).alias("first_occ"))
+    dup = grams.groupBy("h1", "h2").agg(*agg).filter(F.col("cnt") >= 2)
+    cand = grams.join(dup, ["h1", "h2"], "inner")
+    if keep_first:
+        cand = cand.filter(
+            (F.col("id") != F.col("first_occ.id")) | (F.col("pos") != F.col("first_occ.pos"))
+        )
+    w = Window.partitionBy("id").orderBy("pos")
+    with_island = cand.select("id", "pos").withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("pos") - F.lag("pos", 1, -L).over(w) > L, 1
+            ).otherwise(0)
+        ).over(w),
+    )
+    return (
+        with_island.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + L).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("id", "span_start", "span_end", "n_grams")
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 20,
+    keep_first: bool = False,
+) -> DataFrame:
+    """Token-space ExactSubstr removal: drop every duplicated span's
+    tokens and rejoin with single spaces (the dedup operates on the
+    analyzed token stream, like the reference algorithm operates on the
+    BPE stream — byte-exact reconstruction of the surrounding raw text
+    is deliberately out of scope). Returns ``(id, text_clean,
+    n_tokens, removed_tokens)``; docs with no duplicated span pass
+    through with ``removed_tokens = 0``."""
+    from miru_spark.analysis.tokenizer import tokens_col
+
+    spans = (
+        duplicate_spans(df, id_col, text_col, min_len=min_len, keep_first=keep_first)
+        .groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("spans")
+        )
+    )
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+    joined = src.join(spans, "id", "left")
+    # a token survives iff no span covers its position; spans per doc are
+    # few (merged maximal islands), so the per-token exists() probe is a
+    # short JVM loop, not a join
+    kept = F.filter(
+        F.transform(
+            "toks", lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+        ),
+        lambda s: ~F.coalesce(
+            F.exists(
+                "spans",
+                lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] < sp["span_end"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("text_clean"),
+        F.size("toks").alias("n_tokens"),
+        (
+            F.size("toks") - F.size(kept)
+        ).alias("removed_tokens"),
+    )

@@ -547,3 +547,72 @@ def test_decontaminate(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_duplicate_spans_semantics(spark):
+    """ExactSubstr span detection (Lee et al. 2021): exact-dup docs flag
+    whole-doc spans, a partially shared run flags exactly the shared
+    window, unique docs are absent, islands merge overlapping grams."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta unique0 tail0"),
+        (1, "prefix1 alpha beta gamma delta epsilon zeta eta theta tail1"),
+        (2, "totally different words here nothing repeated at all okay"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta unique0 tail0"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in dedup.duplicate_spans(df, "doc_id", "text", min_len=4).collect()
+    }
+    # docs 0/3: all 7 4-grams duplicated -> one [0, 10) span; doc 1: the
+    # 8-token shared run alpha..theta at positions 1..8 -> 5 grams, [1, 9)
+    assert got == {(0, 0, 10, 7), (1, 1, 9, 5), (3, 0, 10, 7)}
+
+    # keep_first: the globally-first occurrence (doc 0) is exempt; the
+    # later occurrences (docs 1 and 3) still flag
+    got_kf = {
+        (r["id"], r["span_start"], r["span_end"])
+        for r in dedup.duplicate_spans(
+            df, "doc_id", "text", min_len=4, keep_first=True).collect()
+    }
+    assert got_kf == {(1, 1, 9), (3, 0, 10)}
+
+
+def test_strip_duplicate_spans(spark):
+    """Token-space removal: flagged spans vanish, clean docs and
+    docs shorter than min_len pass through untouched."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta unique0 tail0"),
+        (1, "prefix1 alpha beta gamma delta epsilon zeta eta theta tail1"),
+        (2, "totally different words here nothing repeated at all okay"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta unique0 tail0"),
+        (4, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["text_clean"], r["n_tokens"], r["removed_tokens"])
+        for r in dedup.strip_duplicate_spans(df, "doc_id", "text", min_len=4).collect()
+    }
+    assert got[0] == ("", 10, 10)
+    assert got[1] == ("prefix1 tail1", 10, 8)
+    assert got[2] == ("totally different words here nothing repeated at all okay", 9, 0)
+    assert got[4] == ("tiny", 1, 0)
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """Scale shape: the islands window is partitioned by doc (no global
+    sort), and no cartesian product appears anywhere in the plan."""
+    rows = [(i, f"w{i} x y z alpha beta gamma delta") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = (
+        dedup.duplicate_spans(df, "doc_id", "text", min_len=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the islands window is partitioned (by doc id), never a
+    # single-partition global window
+    assert "Window" in plan
+    import re as _re
+
+    for m in _re.finditer(r"Window .*", plan):
+        assert "id#" in m.group(0), m.group(0)
