@@ -704,7 +704,8 @@ def duplicate_spans(
 
     Returns ``(id, span_start, span_end, n_grams)``, token positions,
     ``span_end`` exclusive; spans whose every gram is globally unique
-    never appear.
+    never appear. ``id_col`` keeps its own type (string url keys work;
+    ``keep_first`` then picks the lexicographically-first occurrence).
     """
     from pyspark.sql import Window
 
@@ -712,7 +713,15 @@ def duplicate_spans(
 
     L = int(min_len)
     toks = tokens_col(F.col(text_col))
-    src = df.select(F.col(id_col).cast("long").alias("id"), toks.alias("toks"))
+    src = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    # the gram explode multiplies rows ~doclen x: make sure it runs wide.
+    # At corpus scale the parquet scan already yields >= cores splits and
+    # this is a no-op; on a small/single-file input the one doc-scale
+    # shuffle (token arrays, BEFORE the occurrence-scale expansion) buys
+    # full parallelism for the dominant stage.
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(cores // 2, 1):
+        src = src.repartition(cores)
     grams = (
         src.filter(F.size("toks") >= L)
         .select(
@@ -788,7 +797,7 @@ def strip_duplicate_spans(
         )
     )
     src = df.select(
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).alias("id"),
         tokens_col(F.col(text_col)).alias("toks"),
     )
     joined = src.join(spans, "id", "left")

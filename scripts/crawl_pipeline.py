@@ -11,7 +11,9 @@ each stage a declarative DataFrame transform the next stage composes on:
 3. quality   — deterministic [0,1] score; keep ``score >= --min-quality``.
 4. dedup     — exact (md5 group-min winner), then optional MinHash+LSH
                near-dup pruning (banded, candidate-verified — never
-               all-pairs; ``--near-dup-threshold 0`` disables).
+               all-pairs; ``--near-dup-threshold 0`` disables), then
+               optional ExactSubstr span stripping (Lee et al. 2021,
+               keep-first; ``--exact-substr-len 0`` disables).
 5. doc ids   — dense deterministic ids by url order (resume-stable).
 6. index     — ``build_index`` (salted (term, block) exchange, block-max
                varbyte postings, lineage manifests; ``--resume`` skips
@@ -107,6 +109,22 @@ def run_pipeline(spark, args) -> dict:
         pages = pages.join(losers, key, "left_anti")
         stats["after_near_dup"] = pages.count()
 
+    # 4c. ExactSubstr span removal (Lee et al. 2021): strip every token
+    # span >= --exact-substr-len that occurs twice anywhere in the
+    # surviving corpus, keep docs that still have content
+    if args.exact_substr_len > 0:
+        from miru_spark.pipeline.dedup import strip_duplicate_spans
+
+        stripped = strip_duplicate_spans(
+            pages, key, "text", min_len=args.exact_substr_len, keep_first=True
+        ).withColumnRenamed("id", key)
+        pages = (
+            pages.drop("text")
+            .join(stripped.select(key, F.col("text_clean").alias("text")), key)
+            .filter(F.length("text") > 0)
+        )
+        stats["after_exact_substr"] = pages.count()
+
     # 5. doc ids: reuse an existing numeric id column; otherwise assign
     # dense deterministic ids by url order (resume-stable)
     if args.id_col in cols:
@@ -157,6 +175,9 @@ def main() -> None:
     p.add_argument("--min-quality", type=float, default=0.5)
     p.add_argument("--near-dup-threshold", type=float, default=0.0,
                    help="MinHash-verified Jaccard cutoff; 0 disables near-dup pruning")
+    p.add_argument("--exact-substr-len", type=int, default=0,
+                   help="strip token spans >= this length occurring twice corpus-wide "
+                        "(ExactSubstr, keep-first); 0 disables")
     p.add_argument("--shards", type=int, default=4)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--query", default=None)

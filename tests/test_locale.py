@@ -322,3 +322,32 @@ def test_japanese_index_end_to_end(spark, tmp_path):
     # AND of unigrams without adjacency also matches 京都...の都 order swaps
     got = {r["doc_id"] for r in search(reader, "東 AND 京", k=10).collect()}
     assert got == {0, 2}
+
+
+def test_japanese_wand_and_inline_paths_agree(spark, tmp_path):
+    """The block-max WAND scale path and the exact search path return
+    rank-identical results on a ja-locale index (same contract the en
+    entries pin), and per-query stopword stripping uses the cjk
+    analyzer's set (the StandardAnalyzer-fallback EN set)."""
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query.bm25 import search, search_wand
+
+    rows = [
+        (0, "東京タワーは東京の名所です"),
+        (1, "京都は古い都で名所が多い"),
+        (2, "タワーから東京の街を見る"),
+        (3, "大阪の名所はお城です"),
+        (4, "東京と京都を結ぶ新幹線"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "idx_ja_wand")
+    build_index(spark, docs, out, n_shards=2, block_bits=6,
+                locale="ja", overwrite=True)
+    reader = IndexReader(spark, out)
+
+    exact = [(r["doc_id"], round(r["score"], 6))
+             for r in search(reader, "東 AND 京", k=5).collect()]
+    wand = [(r["doc_id"], round(r["score"], 6))
+            for r in search_wand(reader, ["東", "京"], k=5).collect()]
+    assert exact == wand and len(exact) >= 2
