@@ -358,6 +358,21 @@ def q_bm25_phrase(spark, sf_dir):
     )
 
 
+def q_bm25_wand_phrase(spark, sf_dir):
+    """Quoted phrase on the SCALE path: ``search_wand_query`` parses the
+    query, runs block-max WAND over the constituent terms (phrase terms
+    score like ordinary terms), and adjacency-verifies the bounded
+    candidate heap with iterative deepening — rank-identical to
+    ``q_bm25_phrase`` by construction, so it shares that oracle."""
+    from miru_spark.query.bm25 import search_wand_query
+
+    out = search_wand_query(
+        _reader(spark, sf_dir), 'data AND "table hash"', k=10,
+        text_df=_read(spark, sf_dir, "documents"),
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_phrase_de(spark, sf_dir):
     """Phrase verification over a NON-en-locale index: the unicode
     analyzer has a JVM ``tokens_col`` twin (parity-tested), so quoted
@@ -1410,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_cjk": q_bm25_cjk,
         "substring_dedup": q_substring_dedup,
         "substring_strip": q_substring_strip,
+        "bm25_wand_phrase": q_bm25_wand_phrase,
         # fulltext / index
         "bm25_and": q_bm25_and,
         "bm25_or": q_bm25_or,
@@ -1688,6 +1704,7 @@ SELECT s.doc_id, round(s.score, 4) AS score FROM scored s JOIN ph USING (doc_id)
 WHERE nt = 2 ORDER BY score DESC, doc_id DESC LIMIT 10
 """,
         "bm25_phrase": _PHRASE_SQL,
+        "bm25_wand_phrase": _PHRASE_SQL,
         # CJK entry: identical VALUES corpus as the Spark side (_JA_DOCS);
         # segmentation = space out each Han/Hiragana char (UAX#29 unigram
         # rule), split on whitespace; Katakana runs survive whole. Phrase

@@ -759,3 +759,144 @@ def search_wand(
     out = local.orderBy(F.col("score").desc(), F.col("doc_id").desc()).limit(k)
     # lazy display-field gather, same as search(): joins AFTER the limit
     return _gather(reader, out, gather_fields)
+
+
+def _wand_shape(ast):
+    """Classify a parsed query for the WAND scale path.
+
+    Returns ``(mode, terms, phrases)`` when the query is a flat AND/OR
+    of unfielded, unboosted plain terms and (for AND only) quoted
+    phrases — the shapes whose top-k is exactly a WAND run plus an
+    order-preserving post-filter. Everything else returns None and the
+    caller falls back to :func:`search`:
+
+    - fielded / boosted / NOT / nested boolean / expansion leaves change
+      scoring or candidate semantics in ways a flat WAND cannot express;
+    - a phrase under OR is NOT post-filterable (a doc may qualify
+      through the other disjunct without containing the phrase).
+    """
+    def _leaves_of(node, mode):
+        terms: list[str] = []
+        phrases: list[tuple[list[str], int]] = []
+        children = node.children if isinstance(node, (qp.And, qp.Or)) else [node]
+        for c in children:
+            if getattr(c, "field", None) is not None:
+                return None
+            if float(getattr(c, "boost", 1.0)) != 1.0:
+                return None
+            if isinstance(c, qp.Term):
+                if c.term not in terms:
+                    terms.append(c.term)
+            elif isinstance(c, qp.Phrase) and mode == "and":
+                for t in c.terms:
+                    if t not in terms:
+                        terms.append(t)
+                phrases.append((list(c.terms), int(getattr(c, "slop", 0))))
+            else:
+                return None
+        return terms, phrases
+
+    if isinstance(ast, qp.Or):
+        r = _leaves_of(ast, "or")
+        return None if r is None else ("or", r[0], r[1])
+    if isinstance(ast, (qp.And, qp.Term, qp.Phrase)):
+        r = _leaves_of(ast, "and")
+        return None if r is None else ("and", r[0], r[1])
+    return None
+
+
+def search_wand_query(
+    reader: IndexReader,
+    query: str,
+    k: int = 10,
+    *,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    locale: str | None = None,
+    use_stopwords: bool | None = None,
+    text_df: DataFrame | None = None,
+    text_col: str = "text",
+    gather_fields: list[str] | None = None,
+    after: tuple[float, int] | None = None,
+    first_pool: int | None = None,
+    max_rounds: int = 8,
+    **search_kwargs,
+) -> DataFrame:
+    """One query entry point for the scale path: parse a Lucene-classic
+    query string and answer it with block-max WAND whenever its shape
+    allows, falling back to :func:`search` otherwise. Rank-identical to
+    :func:`search` on every query, by construction:
+
+    - flat AND / OR of plain terms -> :func:`search_wand` directly;
+    - AND of terms + quoted phrases (incl. ``"a b"~N`` slop) -> WAND over
+      the constituent terms (phrase terms score like ordinary terms,
+      exactly as :func:`search` — ``FullText.java:99-219`` model), then
+      adjacency-verify the bounded candidate heap against ``text_df``
+      with the same JVM expression the exact path uses. Because every
+      candidate outranks every non-candidate in the (score desc, doc_id
+      desc) total order, filtering candidates preserves global rank; if
+      fewer than k survive, the pool is deepened (x4) and re-run —
+      iterative deepening, O(log(result rank)) bounded WAND rounds, each
+      touching only block-pruned postings, never the corpus. The loop
+      also terminates the moment a WAND round returns fewer rows than it
+      asked for (the candidate set is then complete).
+    - anything else (fields, boosts, NOT, nesting, wildcards, phrase
+      under OR, or any of ``search``'s mask kwargs) -> :func:`search`.
+
+    ``first_pool`` seeds the candidate pool size (default
+    ``max(4k, 64)``); tests shrink it to force deepening rounds.
+    """
+    ast = _parse_for_index(reader, query, locale=locale, use_stopwords=use_stopwords)
+    if ast is None:
+        return reader.spark.createDataFrame([], "doc_id long, score double")
+
+    shape = None if search_kwargs else _wand_shape(ast)
+    if shape is None:
+        return search(
+            reader, ast, k, k1=k1, b=b, locale=locale,
+            use_stopwords=use_stopwords, text_df=text_df, text_col=text_col,
+            gather_fields=gather_fields, after=after, **search_kwargs,
+        )
+    mode, terms, phrases = shape
+    if not phrases:
+        return search_wand(
+            reader, terms, k, k1=k1, b=b, mode=mode, after=after,
+            gather_fields=gather_fields,
+        )
+
+    # phrase-bearing conjunction: WAND candidates + adjacency post-filter
+    if text_df is None:
+        raise SearchError(
+            "phrase query needs text_df= (doc store or source table)"
+        )
+    eff_stop = (
+        use_stopwords if use_stopwords is not None
+        else bool(reader.stats.get("use_stopwords"))
+    )
+    eff_locale = locale if locale is not None else reader.stats.get("locale")
+    text = text_df.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col(text_col)
+    )
+    hit = None
+    for p_terms, p_slop in phrases:
+        c = _phrase_hit_col(p_terms, text_col, eff_stop, slop=p_slop,
+                            locale=eff_locale)
+        hit = c if hit is None else (hit & c)
+
+    pool = int(first_pool) if first_pool else max(4 * k, 64)
+    verified = None
+    for _ in range(max_rounds):
+        cand = search_wand(
+            reader, terms, pool, k1=k1, b=b, mode="and", after=after,
+        ).localCheckpoint(eager=True)  # <= pool rows; reused twice below
+        n_cand = cand.count()
+        verified = (
+            text.join(F.broadcast(cand), "doc_id")
+            .filter(hit)
+            .select("doc_id", "score")
+        )
+        if n_cand < pool or verified.count() >= k:
+            break  # candidate set complete, or enough survivors
+        pool *= 4
+    out = verified.orderBy(F.col("score").desc(), F.col("doc_id").desc()).limit(k)
+    return _gather(reader, out, gather_fields)

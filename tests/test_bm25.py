@@ -911,3 +911,94 @@ def test_unfielded_expansion_never_matches_composites(spark, fielded_reader):
     assert bm25.search(fielded_reader, "/lang.*/ AND w00001", k=10).collect() == []
     # the fielded syntax still reaches the composites
     assert len(bm25.search(fielded_reader, "lang:en AND w00001", k=10).collect()) > 0
+
+
+# ---------------------------------------------------------------------
+# search_wand_query: the one-entry-point scale-path router
+# ---------------------------------------------------------------------
+
+def _same_ranks(df_a, df_b):
+    a = [(r["doc_id"], round(r["score"], 9)) for r in df_a.collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in df_b.collect()]
+    assert a == b and a, (a, b)
+
+
+def test_router_flat_and_matches_exact(reader):
+    q = "w00001 AND w00004"
+    _same_ranks(bm25.search_wand_query(reader, q, k=10),
+                bm25.search(reader, q, k=10))
+
+
+def test_router_flat_or_matches_exact(reader):
+    q = "w00050 OR w00003"
+    _same_ranks(bm25.search_wand_query(reader, q, k=15),
+                bm25.search(reader, q, k=15))
+
+
+def test_router_phrase_matches_exact(reader, oracle, corpus):
+    t1, t2 = _top_bigram(oracle)
+    q = f'"{t1} {t2}"'
+    _same_ranks(bm25.search_wand_query(reader, q, k=10, text_df=corpus),
+                bm25.search(reader, q, k=10, text_df=corpus))
+
+
+def test_router_phrase_plus_term_deepens(reader, oracle, corpus):
+    # a 1-candidate first pool forces multiple deepening rounds; the
+    # result must still be rank-identical to the exact path
+    t1, t2 = _top_bigram(oracle)
+    q = f'the0 AND "{t1} {t2}"'
+    _same_ranks(
+        bm25.search_wand_query(reader, q, k=5, text_df=corpus, first_pool=1),
+        bm25.search(reader, q, k=5, text_df=corpus),
+    )
+
+
+def test_router_slop_phrase_matches_exact(reader, oracle, corpus):
+    t1, t2 = _top_bigram(oracle)
+    q = f'"{t1} {t2}"~2'
+    _same_ranks(bm25.search_wand_query(reader, q, k=10, text_df=corpus),
+                bm25.search(reader, q, k=10, text_df=corpus))
+
+
+def test_router_fallback_shapes_route_to_search(reader, corpus, monkeypatch):
+    """Fielded / NOT / wildcard / nested / boosted / phrase-under-OR
+    queries (and any search-only kwarg) must fall back to search()."""
+    calls = []
+    orig = bm25.search
+
+    def spy(*a, **kw):
+        calls.append(a[1] if len(a) > 1 else kw.get("query"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(bm25, "search", spy)
+    shapes = [
+        "w00001 NOT w00000",
+        "lang:en AND w00001",
+        "w0000*",
+        '"w00000 w00001" OR w00002',
+        "(w00001 OR w00002) AND w00003",
+        "w00001^2 AND w00002",
+    ]
+    for q in shapes:
+        bm25.search_wand_query(reader, q, k=5, text_df=corpus).collect()
+    assert len(calls) == len(shapes)
+    # a WAND-able shape with a search-only mask kwarg also falls back
+    from pyspark.sql import functions as F
+    bm25.search_wand_query(
+        reader, "w00001 AND w00004", k=5, constraint=F.lit(True)
+    ).collect()
+    assert len(calls) == len(shapes) + 1
+
+
+def test_router_wandable_shapes_bypass_search(reader, corpus, monkeypatch):
+    def boom(*a, **kw):  # pragma: no cover - the assertion is "not called"
+        raise AssertionError("flat shapes must not reach search()")
+
+    monkeypatch.setattr(bm25, "search", boom)
+    assert bm25.search_wand_query(reader, "w00001 AND w00004", k=5).collect()
+    assert bm25.search_wand_query(reader, "w00050 OR w00003", k=5).collect()
+
+
+def test_router_phrase_requires_text_df(reader):
+    with pytest.raises(bm25.SearchError, match="text_df"):
+        bm25.search_wand_query(reader, '"w00000 w00001"', k=5)
