@@ -764,6 +764,37 @@ def q_temperature_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test wall (98/1/1 by md5 bucket of the
+    key): membership is a pure function of doc_id, so reprocessing runs
+    and same-keyed sibling relations (features, embeddings) stay on the
+    same side of the wall — no leakage through re-randomization. One
+    narrow projection, no shuffle; aggregated per split for a robust
+    value oracle."""
+    from miru_spark.pipeline.sampling import split_corpus
+
+    out = split_corpus(
+        _read(spark, sf_dir, "documents"), "doc_id",
+        {"train": 0.98, "val": 0.01, "test": 0.01}, seed=11)
+    return (
+        out.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("split")
+    )
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Head of the epoch-3 training order: per-epoch deterministic md5
+    shuffle key; the orderBy+limit plans as TakeOrderedAndProject (no
+    global single-partition sort), and a full-corpus writer would use
+    the same range-partitioned sort shape."""
+    from miru_spark.pipeline.sampling import epoch_shuffle
+
+    out = epoch_shuffle(_read(spark, sf_dir, "documents"), "doc_id",
+                        epoch=3, seed=5)
+    return out.select("doc_id", "shuffle_key").limit(50)
+
+
 def q_lm_score(spark, sf_dir):
     """CCNet-family LM quality filter, unigram member: per-doc
     cross-entropy under the corpus's own unigram LM (broadcast model
@@ -1426,6 +1457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "substring_strip": q_substring_strip,
         "bm25_wand_phrase": q_bm25_wand_phrase,
+        "corpus_split": q_corpus_split,
+        "epoch_shuffle": q_epoch_shuffle,
         # fulltext / index
         "bm25_and": q_bm25_and,
         "bm25_or": q_bm25_or,
@@ -2279,6 +2312,24 @@ SELECT doc_id, lang, source FROM documents
 WHERE CAST(('0x' || substring(md5(doc_id::VARCHAR || ':7'), 1, 8))::UBIGINT AS BIGINT)
       < CAST(0.25 * 4294967296 AS BIGINT)
 ORDER BY doc_id
+""",
+        # thresholds f-stringed from the SAME float accumulation the
+        # Spark side uses (int() truncation, not SQL round-on-cast)
+        "corpus_split": f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(doc_id::VARCHAR || ':11'), 1, 8))::UBIGINT AS BIGINT) AS bk
+  FROM documents)
+SELECT CASE WHEN bk < {int(0.98 * 4294967296)} THEN 'train'
+            WHEN bk < {int((0.98 + 0.01) * 4294967296)} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
+FROM b GROUP BY 1 ORDER BY split
+""",
+        "epoch_shuffle": """
+SELECT doc_id,
+       CAST(('0x' || substring(md5(doc_id::VARCHAR || ':5:3'), 1, 8))::UBIGINT AS BIGINT) AS shuffle_key
+FROM documents ORDER BY shuffle_key, doc_id LIMIT 50
 """,
         "domain_cap": """
 SELECT doc_id, source FROM (

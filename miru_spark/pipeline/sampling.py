@@ -126,3 +126,66 @@ def temperature_sample(
         .drop("__rate")
     )
     return out
+
+
+def split_corpus(
+    df: DataFrame, key_col: str, weights: dict[str, float], *, seed: int = 0
+) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment: adds a
+    ``split`` column by consecutive hash-bucket ranges in the dict's
+    insertion order. ``weights`` must sum to 1 (within 1e-9) so the
+    assignment is total — every row lands in exactly one split, the
+    same one on every run, partitioning, and cluster size, and (unlike
+    ``randomSplit``) membership is a pure function of the KEY: a doc
+    keeps its split across reprocessing runs and across relations keyed
+    the same way (features, embeddings, labels stay on the same side of
+    the wall — no train/test leakage through re-randomization).
+
+    Plan: one narrow projection, no shuffle; the bucket expression is
+    ANSI-SQL-reproducible (md5, like :func:`sample_by_hash`).
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    bucket = hash_bucket(key_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < F.lit(int(acc * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def epoch_shuffle(
+    df: DataFrame, key_col: str, *, epoch: int = 0, seed: int = 0
+) -> DataFrame:
+    """Deterministic global training order for one epoch: adds a
+    ``shuffle_key`` column (md5 bucket of ``key:seed:epoch``) and
+    returns the frame ordered by ``(shuffle_key, key)`` — a total order,
+    reproducible across runs and cluster sizes, different per epoch.
+
+    This is the corpus-shuffle step of a training-data pipeline (docs
+    must arrive in a different, but reproducible, order each epoch).
+    Spark executes the orderBy as a range-partitioned sort (sampled
+    range exchange + per-partition sort) — the scale shape; no global
+    single-partition window, no driver collect. Writers persist the
+    order with ``df.write`` after this (parquet part files preserve
+    within-partition order and the range partitioner makes part file
+    order = global order).
+    """
+    # fold the epoch into the hashed key, not into a post-hash arithmetic
+    # tweak: independent epochs need independent permutations
+    h = F.md5(F.concat(
+        F.col(key_col).cast("string"), F.lit(f":{seed}:{epoch}")))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    return (
+        df.withColumn("shuffle_key", bucket)
+        .orderBy(F.col("shuffle_key"), F.col(key_col))
+    )

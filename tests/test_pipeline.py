@@ -616,3 +616,80 @@ def test_duplicate_spans_plan_shape(spark):
 
     for m in _re.finditer(r"Window .*", plan):
         assert "id#" in m.group(0), m.group(0)
+
+
+# ---------------------------------------------------------------------
+# split_corpus / epoch_shuffle (train/val/test wall + epoch ordering)
+# ---------------------------------------------------------------------
+
+def test_split_corpus_total_disjoint_deterministic(spark):
+    from miru_spark.pipeline.sampling import split_corpus
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = split_corpus(df, "doc_id", w, seed=3)
+    rows = {r["doc_id"]: r["split"] for r in got.collect()}
+    assert len(rows) == 2000  # total: every row gets exactly one split
+    from collections import Counter
+    c = Counter(rows.values())
+    assert set(c) <= set(w)
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    assert abs(c["train"] / 2000 - 0.8) < 0.06  # md5 buckets are uniform
+    # pure function of the key: identical under any partitioning
+    rows2 = {r["doc_id"]: r["split"]
+             for r in split_corpus(df.repartition(13), "doc_id", w, seed=3).collect()}
+    assert rows == rows2
+    # a different seed re-deals
+    rows3 = {r["doc_id"]: r["split"]
+             for r in split_corpus(df, "doc_id", w, seed=4).collect()}
+    assert rows != rows3
+
+
+def test_split_corpus_validates_weights(spark):
+    from miru_spark.pipeline.sampling import split_corpus
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_corpus(df, "doc_id", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="non-negative"):
+        split_corpus(df, "doc_id", {"a": 1.5, "b": -0.5})
+
+
+def test_split_corpus_membership_is_keyed(spark):
+    """The same key lands in the same split in two differently-shaped
+    relations — the no-leakage property randomSplit cannot give."""
+    from miru_spark.pipeline.sampling import split_corpus
+
+    w = {"train": 0.7, "test": 0.3}
+    a = spark.range(500).withColumnRenamed("id", "doc_id")
+    b = a.withColumn("feature", F.col("doc_id") * 2).repartition(7)
+    sa = {r["doc_id"]: r["split"] for r in split_corpus(a, "doc_id", w).collect()}
+    sb = {r["doc_id"]: r["split"] for r in split_corpus(b, "doc_id", w).collect()}
+    assert sa == sb
+
+
+def test_epoch_shuffle_deterministic_per_epoch(spark):
+    from miru_spark.pipeline.sampling import epoch_shuffle
+
+    df = spark.range(300).withColumnRenamed("id", "doc_id")
+    e0 = [r["doc_id"] for r in epoch_shuffle(df, "doc_id", epoch=0).collect()]
+    e0b = [r["doc_id"] for r in
+           epoch_shuffle(df.repartition(11), "doc_id", epoch=0).collect()]
+    e1 = [r["doc_id"] for r in epoch_shuffle(df, "doc_id", epoch=1).collect()]
+    assert e0 == e0b                      # reproducible across partitionings
+    assert sorted(e0) == sorted(e1) == list(range(300))  # permutations
+    assert e0 != e1                       # epochs are independent draws
+    assert e0 != list(range(300))         # actually shuffled
+
+
+def test_epoch_shuffle_key_matches_md5(spark):
+    import hashlib
+
+    from miru_spark.pipeline.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(42,), (7,)], "doc_id long")
+    got = {r["doc_id"]: r["shuffle_key"]
+           for r in epoch_shuffle(df, "doc_id", epoch=3, seed=5).collect()}
+    for k in (42, 7):
+        exp = int(hashlib.md5(f"{k}:5:3".encode()).hexdigest()[:8], 16)
+        assert got[k] == exp
