@@ -614,7 +614,12 @@ def main() -> None:
     # summary. Round 2's single giant line overflowed the driver's tail
     # capture and the round recorded `parsed: null` — the headline must
     # never share a line with the diagnostics again.
-    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    # Smoke runs (non-default SF, or scaling probes disabled) must not
+    # clobber the canonical sf0.1+scaling detail the judge reads.
+    if sf == 0.1 and "scaling" in result:
+        detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    else:
+        detail_path = os.path.join(REPO, f"BENCH_DETAIL_sf{sf}.json")
     try:
         with open(detail_path, "w") as f:
             json.dump(result, f, indent=1)
