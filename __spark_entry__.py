@@ -366,11 +366,19 @@ def q_bm25_wand_phrase(spark, sf_dir):
     ``q_bm25_phrase`` by construction, so it shares that oracle."""
     from miru_spark.query.bm25 import search_wand_query
 
+    # the oracle (and q_bm25_phrase's round_to=4) breaks ties on the
+    # 4-decimal ROUNDED score; search_wand_query orders on raw scores.
+    # Overfetch 3x, then re-rank in the rounded total order, so a
+    # raw-vs-rounded tie at the rank-10 boundary picks the same docs.
     out = search_wand_query(
-        _reader(spark, sf_dir), 'data AND "table hash"', k=10,
+        _reader(spark, sf_dir), 'data AND "table hash"', k=30,
         text_df=_read(spark, sf_dir, "documents"),
     )
-    return out.select("doc_id", F.round("score", 4).alias("score"))
+    return (
+        out.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").desc())
+        .limit(10)
+    )
 
 
 def q_bm25_phrase_de(spark, sf_dir):

@@ -616,7 +616,8 @@ def main() -> None:
     # never share a line with the diagnostics again.
     # Smoke runs (non-default SF, or scaling probes disabled) must not
     # clobber the canonical sf0.1+scaling detail the judge reads.
-    if sf == 0.1 and "scaling" in result:
+    scal_ok = isinstance(result.get("scaling"), dict) and "error" not in result["scaling"]
+    if sf == 0.1 and scal_ok:
         detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
     else:
         detail_path = os.path.join(REPO, f"BENCH_DETAIL_sf{sf}.json")

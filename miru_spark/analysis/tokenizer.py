@@ -82,6 +82,18 @@ _MARK_CLASS = _mark_class()
 # exact complement of the JVM twin's (?U)[\W_]+ separator
 _UNICODE_TOKEN_RE = re.compile(rf"(?:[^\W_]|[{_MARK_CLASS}])+", re.UNICODE)
 
+# Analyzer implementation generation, persisted into every index's
+# schema.json: ANY change to the frozen token regexes, segmentation
+# rules, or stopword-application order re-tokenizes text, so an append
+# to an index built under a different generation would silently mix
+# vocabularies (query-side tokens stop matching stored terms) — the
+# schema guard rejects it like any other non-additive change.
+# History: 1 = round-2 analyzers (plain [^\W_]+ word runs);
+# 2 = mark-class union in _UNICODE_TOKEN_RE (combining marks join their
+#     base word run) + Thai stopwords filtered at word level before
+#     bigram expansion.
+ANALYZER_VERSION = 2
+
 STOPWORDS_DE = frozenset(
     """aber als am an auch auf aus bei bin bis da das dass dem den der des
     die dir du ein eine einem einen einer es für hat hatte ich ihr im in
@@ -286,14 +298,23 @@ def _segment_cjk(text: str) -> list[str]:
     return _UNICODE_TOKEN_RE.findall(spaced)
 
 
-def _segment_thai_bigram(text: str) -> list[str]:
+def _segment_thai_bigram(text: str, stopwords: frozenset = frozenset()) -> list[str]:
     """Lowercase word stream where each all-Thai token is replaced by
     its character bigrams (single char for length-1 tokens). The rule is
     whole-token, exactly like the JVM twin in :func:`tokens_col` — a
     mixed-script token keeps word semantics (it matches no claimed
-    alphabet; parity is pinned per alphabet by tests)."""
+    alphabet; parity is pinned per alphabet by tests).
+
+    Stopwords are matched against the WHOLE word-break token BEFORE
+    bigram expansion — ``STOPWORDS_TH`` entries are whole Thai words
+    (mostly > 2 chars), so a post-expansion filter could never match
+    them, while its 2-char entries would delete interior bigrams of
+    unrelated longer words. Word-level filtering (Lucene ThaiAnalyzer
+    applies StopFilter to segmented words) has neither defect."""
     out: list[str] = []
     for t in _UNICODE_TOKEN_RE.findall(text.lower()):
+        if t in stopwords:
+            continue
         if _THAI_RUN_RE.fullmatch(t):
             if len(t) == 1:
                 out.append(t)
@@ -406,7 +427,12 @@ def tokenize(
     if analyzer.mode == "cjk":
         toks = _segment_cjk(text)
     elif analyzer.mode == "thai_bigram":
-        toks = _segment_thai_bigram(text)
+        # stopword filtering happens at the word level INSIDE the
+        # segmenter (see _segment_thai_bigram) — bigrams of a stopword
+        # are not themselves stopwords, and vice versa
+        return _segment_thai_bigram(
+            text, analyzer.stopwords if use_stopwords else frozenset()
+        )
     else:
         toks = analyzer.token_re.findall(text.lower())
     if use_stopwords:
@@ -492,6 +518,13 @@ def tokens_col(col, use_stopwords: bool = False, locale: str | None = None):
         # folding may rewrite codepoints, so the order is part of parity
         lowered = F.regexp_replace(F.lower(col), r"(?U)[\W_]+", " ")
     toks = F.filter(F.split(lowered, r"\s+"), lambda x: x != "")
+    if use_stopwords and analyzer.mode == "thai_bigram":
+        # word-level stop filter BEFORE bigram expansion — the Python
+        # twin (_segment_thai_bigram) filters whole word tokens; doing
+        # it after expansion could only ever match 2-char stopwords,
+        # and those would spuriously delete mid-word bigrams
+        stop_w = F.array(*[F.lit(s) for s in sorted(analyzer.stopwords)])
+        toks = F.filter(toks, lambda x: ~F.array_contains(stop_w, x))
     if analyzer.mode == "thai_bigram":
         # per word-token: replace each Thai RUN with its char bigrams.
         # Tokens are single-script in practice after the word break; the
@@ -512,7 +545,7 @@ def tokens_col(col, use_stopwords: bool = False, locale: str | None = None):
                 lambda t: F.when(t.rlike(thai_pat), _expand(t)).otherwise(F.array(t)),
             )
         )
-    if use_stopwords:
+    if use_stopwords and analyzer.mode != "thai_bigram":
         stop = F.array(*[F.lit(s) for s in sorted(analyzer.stopwords)])
         toks = F.filter(toks, lambda x: ~F.array_contains(stop, x))
     return toks

@@ -75,7 +75,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from miru_spark.analysis.tokenizer import term_counts_udf, tokenize_udf
+from miru_spark.analysis.tokenizer import (ANALYZER_VERSION, term_counts_udf,
+                                            tokenize_udf)
 from miru_spark.index import codec
 from miru_spark.index._prof import profiled
 from miru_spark.index.manifest import ShardManifest, read_manifest, shard_is_done, write_manifest
@@ -1371,6 +1372,7 @@ def build_index(
         use_stopwords=use_stopwords, block_bits=block_bits,
         keyword_fields=dict(sorted(kw.items())),
         stored_cols=sorted(c for c in (stored_cols or []) if c != id_col),
+        analyzer_version=ANALYZER_VERSION,
     ))
     indexed_cols = [text_col, *kw.values()]
     block_size = 1 << block_bits

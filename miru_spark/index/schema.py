@@ -41,12 +41,16 @@ class IndexSchema:
     keyword_fields: dict = field(default_factory=dict)
     stored_cols: list = field(default_factory=list)
     version: int = 1
+    # tokenizer.ANALYZER_VERSION at build time; indexes persisted before
+    # the field existed read back as generation 1
+    analyzer_version: int = 1
 
     # Fields whose change rewires the TOKEN STREAM or physical layout of
     # every already-built shard — never additive (the reference's
     # "type.isAdditiveTo" has no analogue here: a different analyzer is a
     # different vocabulary, a different block size a different layout).
-    _IMMUTABLE = ("id_col", "text_col", "locale", "use_stopwords", "block_bits")
+    _IMMUTABLE = ("id_col", "text_col", "locale", "use_stopwords",
+                  "block_bits", "analyzer_version")
 
 
 def schema_path(index_dir: str) -> str:

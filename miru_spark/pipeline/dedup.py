@@ -672,15 +672,26 @@ def duplicate_spans(
     *,
     min_len: int = 20,
     keep_first: bool = False,
+    locale: str | None = None,
 ) -> DataFrame:
-    """Maximal duplicated token spans per document.
+    """Maximal runs of duplicated token grams per document.
 
     The centralized reference algorithm builds one suffix array over the
     corpus (O(corpus) construction, impossible to hold on one node at
     100 TB). The distributed equivalent used here: every ``min_len``-gram
-    is a probe — a span is duplicated iff all its grams are duplicated,
-    and maximal duplicated spans are exactly the merged runs of
-    duplicated grams. Plan shape:
+    is a probe — a >= min_len span whose token sequence occurs twice has
+    ALL its grams duplicated, so merging overlapping/adjacent duplicated
+    grams yields spans that cover exactly the duplicated-token positions.
+    NOTE the guarantee is per-token coverage, not per-span repetition:
+    every token in a returned span lies inside at least one duplicated
+    >= min_len gram (merged grams overlap or touch, so there are no
+    holes), but when two independently-duplicated runs sit within
+    ``min_len`` tokens of each other they merge into ONE span whose full
+    concatenated sequence need not occur twice anywhere. Removal
+    (:func:`strip_duplicate_spans`) is unaffected — it deletes exactly
+    the duplicated tokens either way — but consumers reading each span
+    as "a sequence that repeats verbatim" should treat it as a union of
+    such sequences. Plan shape:
 
     1. JVM-side gram hashing: ``xxhash64`` over token slices, one row
        per token position (occurrence scale — the same O(corpus) cost
@@ -712,7 +723,7 @@ def duplicate_spans(
     from miru_spark.analysis.tokenizer import tokens_col
 
     L = int(min_len)
-    toks = tokens_col(F.col(text_col))
+    toks = tokens_col(F.col(text_col), locale=locale)
     src = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
     # the gram explode multiplies rows ~doclen x: make sure it runs wide.
     # At corpus scale the parquet scan already yields >= cores splits and
@@ -777,6 +788,7 @@ def strip_duplicate_spans(
     *,
     min_len: int = 20,
     keep_first: bool = False,
+    locale: str | None = None,
 ) -> DataFrame:
     """Token-space ExactSubstr removal: drop every duplicated span's
     tokens and rejoin with single spaces (the dedup operates on the
@@ -788,7 +800,8 @@ def strip_duplicate_spans(
     from miru_spark.analysis.tokenizer import tokens_col
 
     spans = (
-        duplicate_spans(df, id_col, text_col, min_len=min_len, keep_first=keep_first)
+        duplicate_spans(df, id_col, text_col, min_len=min_len,
+                        keep_first=keep_first, locale=locale)
         .groupBy("id")
         .agg(
             F.sort_array(
@@ -798,7 +811,7 @@ def strip_duplicate_spans(
     )
     src = df.select(
         F.col(id_col).alias("id"),
-        tokens_col(F.col(text_col)).alias("toks"),
+        tokens_col(F.col(text_col), locale=locale).alias("toks"),
     )
     joined = src.join(spans, "id", "left")
     # a token survives iff no span covers its position; spans per doc are

@@ -27,9 +27,14 @@ from pyspark.sql import functions as F
 _BUCKETS = 1 << 32
 
 
-def hash_bucket(key_col, seed: int = 0):
-    """Uniform int bucket in [0, 2^32) from md5(key || ':' || seed)."""
-    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}")))
+def hash_bucket(key_col, seed: int = 0, *, salt: str = ""):
+    """Uniform int bucket in [0, 2^32) from md5(key || ':' || seed || salt).
+
+    ``salt`` appends extra derivation context (e.g. ``":{epoch}"``) so
+    every hash-keyed op in this module derives buckets through the ONE
+    expression — a change to the bucketing (hash, width) lands everywhere
+    at once instead of silently diverging between copies."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}{salt}")))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
 
@@ -180,11 +185,10 @@ def epoch_shuffle(
     within-partition order and the range partitioner makes part file
     order = global order).
     """
-    # fold the epoch into the hashed key, not into a post-hash arithmetic
-    # tweak: independent epochs need independent permutations
-    h = F.md5(F.concat(
-        F.col(key_col).cast("string"), F.lit(f":{seed}:{epoch}")))
-    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    # fold the epoch into the hashed key (via the shared hash_bucket
+    # salt), not into a post-hash arithmetic tweak: independent epochs
+    # need independent permutations
+    bucket = hash_bucket(key_col, seed, salt=f":{epoch}")
     return (
         df.withColumn("shuffle_key", bucket)
         .orderBy(F.col("shuffle_key"), F.col(key_col))

@@ -839,7 +839,10 @@ def search_wand_query(
       iterative deepening, O(log(result rank)) bounded WAND rounds, each
       touching only block-pruned postings, never the corpus. The loop
       also terminates the moment a WAND round returns fewer rows than it
-      asked for (the candidate set is then complete).
+      asked for (the candidate set is then complete). If ``max_rounds``
+      deepenings exhaust without either completeness condition, the
+      query falls back to the exact :func:`search` path rather than
+      returning a silently-partial answer.
     - anything else (fields, boosts, NOT, nesting, wildcards, phrase
       under OR, or any of ``search``'s mask kwargs) -> :func:`search`.
 
@@ -898,5 +901,16 @@ def search_wand_query(
         if n_cand < pool or verified.count() >= k:
             break  # candidate set complete, or enough survivors
         pool *= 4
+    else:
+        # max_rounds exhausted without either completeness condition:
+        # the survivor set may be missing docs the exact path would
+        # return. Never ship a silently-partial answer — fall back to
+        # the exact path (one corpus-scale scan, the price of a
+        # pathologically phrase-sparse conjunction).
+        return search(
+            reader, ast, k, k1=k1, b=b, locale=locale,
+            use_stopwords=use_stopwords, text_df=text_df,
+            text_col=text_col, gather_fields=gather_fields, after=after,
+        )
     out = verified.orderBy(F.col("score").desc(), F.col("doc_id").desc()).limit(k)
     return _gather(reader, out, gather_fields)

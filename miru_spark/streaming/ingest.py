@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from miru_spark.index.builder import BLOCK_BITS_DEFAULT, _build_wave, _finalize
 from miru_spark.index.manifest import shard_is_done
+from miru_spark.analysis.tokenizer import ANALYZER_VERSION
 from miru_spark.index.schema import IndexSchema, enforce_additive
 
 
@@ -71,6 +72,7 @@ class StreamingIndexer:
             use_stopwords=use_stopwords, block_bits=block_bits,
             keyword_fields={},
             stored_cols=sorted(c for c in self.stored_cols if c != id_col),
+            analyzer_version=ANALYZER_VERSION,
         ))
 
     # -- cursor (sip analogue) -----------------------------------------

@@ -115,12 +115,25 @@ def run_pipeline(spark, args) -> dict:
     if args.exact_substr_len > 0:
         from miru_spark.pipeline.dedup import strip_duplicate_spans
 
+        # tokenize with the INDEX analyzer (args.locale), and only
+        # rewrite docs that actually lost a span: the token-space
+        # rejoin drops case/punctuation (documented trade-off of
+        # ExactSubstr over the analyzed stream), so untouched docs —
+        # the vast majority — must keep their original text
         stripped = strip_duplicate_spans(
-            pages, key, "text", min_len=args.exact_substr_len, keep_first=True
+            pages, key, "text", min_len=args.exact_substr_len,
+            keep_first=True, locale=args.locale,
         ).withColumnRenamed("id", key)
         pages = (
-            pages.drop("text")
-            .join(stripped.select(key, F.col("text_clean").alias("text")), key)
+            pages.join(
+                stripped.select(key, "text_clean", "removed_tokens"), key
+            )
+            .withColumn(
+                "text",
+                F.when(F.col("removed_tokens") > 0, F.col("text_clean"))
+                .otherwise(F.col("text")),
+            )
+            .drop("text_clean", "removed_tokens")
             .filter(F.length("text") > 0)
         )
         stats["after_exact_substr"] = pages.count()
@@ -144,6 +157,7 @@ def run_pipeline(spark, args) -> dict:
         text_col="text",
         stored_cols=stored,
         n_shards=args.shards,
+        locale=args.locale,
         overwrite=not args.resume,
     )
     stats.update(
@@ -172,6 +186,10 @@ def main() -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--langs", default="en", help="comma list; empty = keep all")
+    p.add_argument("--locale", default=None,
+                   help="index analyzer locale (TermAnalyzers registry code, "
+                        "e.g. de/ja/th); default = frozen ASCII en. Also drives "
+                        "ExactSubstr tokenization")
     p.add_argument("--min-quality", type=float, default=0.5)
     p.add_argument("--near-dup-threshold", type=float, default=0.0,
                    help="MinHash-verified Jaccard cutoff; 0 disables near-dup pruning")

@@ -1002,3 +1002,16 @@ def test_router_wandable_shapes_bypass_search(reader, corpus, monkeypatch):
 def test_router_phrase_requires_text_df(reader):
     with pytest.raises(bm25.SearchError, match="text_df"):
         bm25.search_wand_query(reader, '"w00000 w00001"', k=5)
+
+
+def test_router_phrase_exhausted_rounds_fall_back_exact(reader, oracle, corpus):
+    """max_rounds exhaustion must never ship a silently-partial answer:
+    with a 1-doc pool and a single round the deepening cannot complete,
+    so the router falls back to the exact path — still rank-identical."""
+    t1, t2 = _top_bigram(oracle)
+    q = f'the0 AND "{t1} {t2}"'
+    _same_ranks(
+        bm25.search_wand_query(
+            reader, q, k=5, text_df=corpus, first_pool=1, max_rounds=1),
+        bm25.search(reader, q, k=5, text_df=corpus),
+    )

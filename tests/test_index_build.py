@@ -537,3 +537,29 @@ def test_schema_guard_streaming_indexer(spark, tmp_path):
         StreamingIndexer(out, block_bits=9)
     # identical config re-attaches fine (restart path)
     StreamingIndexer(out, block_bits=7)
+
+
+def test_schema_guard_rejects_analyzer_generation_change():
+    """An index persisted under an older ANALYZER_VERSION must reject
+    appends from a newer engine: the token regex/segmentation change
+    means query-side tokens would stop matching stored terms."""
+    import pytest as _pytest
+
+    from miru_spark.analysis.tokenizer import ANALYZER_VERSION
+    from miru_spark.index.schema import IndexSchema, check_additive
+
+    old = IndexSchema(id_col="doc_id", text_col="text", locale="hi",
+                      use_stopwords=False, block_bits=13,
+                      analyzer_version=1)
+    new = IndexSchema(id_col="doc_id", text_col="text", locale="hi",
+                      use_stopwords=False, block_bits=13,
+                      analyzer_version=ANALYZER_VERSION)
+    assert ANALYZER_VERSION > 1
+    problems = check_additive(old, new)
+    assert any("analyzer_version" in p for p in problems)
+    # same generation: additive
+    assert check_additive(new, new) == []
+    # a pre-guard schema.json (no analyzer_version key) reads back as
+    # generation 1 and is likewise rejected
+    assert IndexSchema(id_col="d", text_col="t", locale=None,
+                       use_stopwords=False, block_bits=13).analyzer_version == 1

@@ -351,3 +351,34 @@ def test_japanese_wand_and_inline_paths_agree(spark, tmp_path):
     wand = [(r["doc_id"], round(r["score"], 6))
             for r in search_wand(reader, ["東", "京"], k=5).collect()]
     assert exact == wand and len(exact) >= 2
+
+
+def test_thai_stopwords_filtered_at_word_level(spark):
+    """STOPWORDS_TH entries are whole Thai WORDS: they must be dropped
+    before bigram expansion (a post-expansion filter could never match
+    the >2-char majority), and a 2-char stopword must NOT delete equal
+    interior bigrams of unrelated longer words. Python and JVM twins
+    must agree under use_stopwords."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.analysis.tokenizer import STOPWORDS_TH, tokens_col
+
+    two_char = sorted(w for w in STOPWORDS_TH if len(w) == 2)
+    assert two_char, "fixture expects at least one 2-char th stopword"
+    inner = two_char[0]  # e.g. 'มา'
+    # a 4-char word containing the stopword as an INTERIOR bigram
+    word = "ส" + inner + "ส"
+    long_stop = sorted(w for w in STOPWORDS_TH if len(w) > 2)[0]
+    text = f"{long_stop} {word} {inner}"
+    got = tokenize(text, locale="th", use_stopwords=True)
+    # the whole-word stopwords vanish; the longer word keeps ALL its
+    # bigrams, including the one equal to the 2-char stopword
+    want_bigrams = [word[i:i + 2] for i in range(len(word) - 1)]
+    assert got == want_bigrams
+    assert inner in got
+    # JVM twin parity under use_stopwords
+    df = spark.createDataFrame([(0, text)], "i long, t string")
+    jvm = df.select(
+        tokens_col(F.col("t"), use_stopwords=True, locale="th").alias("toks")
+    ).collect()[0]["toks"]
+    assert jvm == got

@@ -693,3 +693,28 @@ def test_epoch_shuffle_key_matches_md5(spark):
     for k in (42, 7):
         exp = int(hashlib.md5(f"{k}:5:3".encode()).hexdigest()[:8], 16)
         assert got[k] == exp
+
+
+def test_duplicate_spans_locale_tokenization(spark):
+    """ExactSubstr over a non-ASCII corpus needs the index analyzer: the
+    frozen ASCII default tokenizes CJK to nothing (no spans, nothing
+    stripped — text preserved), while locale='ja' detects and strips the
+    duplicated run."""
+    seg = "線形 代数 の 基礎 を 学ぶ こと は 大切 です"
+    rows = [(0, f"{seg} 一"), (1, f"二 {seg}"), (2, "全然 違う 文章 です ね")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # ASCII default: zero tokens per doc -> no spans at all
+    assert dedup.duplicate_spans(df, "doc_id", "text", min_len=4).count() == 0
+    got = {
+        r["id"]: r["removed_tokens"]
+        for r in dedup.strip_duplicate_spans(
+            df, "doc_id", "text", min_len=4, locale="ja").collect()
+    }
+    assert got[0] > 0 and got[1] > 0 and got[2] == 0
+    # untouched docs keep a non-empty token stream under the locale
+    clean = {
+        r["id"]: r["text_clean"]
+        for r in dedup.strip_duplicate_spans(
+            df, "doc_id", "text", min_len=4, locale="ja").collect()
+    }
+    assert clean[2] != ""
