@@ -333,6 +333,23 @@ def q_bm25_fielded(spark, sf_dir):
     return search(_reader(spark, sf_dir), "lang:en AND spark AND query", k=10, round_to=4)
 
 
+def q_bm25_wand_fielded(spark, sf_dir):
+    """The same fielded query on the SCALE path: block-max WAND over the
+    scoring terms, then the `lang:en` composite posting list masks the
+    bounded candidate heap (non-scoring, iterative deepening) — rank-
+    identical to `bm25_fielded`, so it shares that oracle. Overfetch +
+    rounded re-rank for the oracle's tie order, as bm25_wand_phrase."""
+    from miru_spark.query.bm25 import search_wand_query
+
+    out = search_wand_query(
+        _reader(spark, sf_dir), "lang:en AND spark AND query", k=30)
+    return (
+        out.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").desc())
+        .limit(10)
+    )
+
+
 def q_bm25_gather_fields(spark, sf_dir):
     """Display-field gather AFTER top-k (the reference's lazy Promise
     gather, FullText.java:204-217): (doc_id, score, lang, source)."""
@@ -1465,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "substring_strip": q_substring_strip,
         "bm25_wand_phrase": q_bm25_wand_phrase,
+        "bm25_wand_fielded": q_bm25_wand_fielded,
         "corpus_split": q_corpus_split,
         "epoch_shuffle": q_epoch_shuffle,
         # fulltext / index
@@ -1595,6 +1613,8 @@ SELECT doc_id, round(score, 4) AS score FROM scored ORDER BY score DESC, doc_id 
         # the fielded query `lang:en AND spark AND query` is semantically
         # the constraint-mask query — same oracle
         "bm25_fielded": lang_en_sql,
+        # scale-path twin is rank-identical by construction; same oracle
+        "bm25_wand_fielded": lang_en_sql,
         "bm25_gather_fields": f"""
 WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 dl AS (SELECT doc_id, len(toks) AS doclen FROM base),

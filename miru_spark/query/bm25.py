@@ -519,8 +519,16 @@ def search_wand(
     mode: str = "and",
     after: tuple[float, int] | None = None,
     gather_fields: list[str] | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Top-k BM25 for a flat AND/OR-of-terms query with block-max pruning.
+
+    ``boosts``: optional per-term clause weights (Lucene ``term^N``).
+    BM25's per-term contribution is linear in idf, so the boost folds
+    into the per-term idf exactly as :func:`search` does — and because
+    the block-max upper bound is linear in the same idf, the folded
+    bound stays admissible (a boosted term's bound scales with its
+    boost), so pruning never skips a block that could reach the heap.
 
     Physical plan: blocks of the query terms -> groupBy(block_key); with
     ``mode="and"`` only groups containing all |terms| survive
@@ -555,7 +563,10 @@ def search_wand(
     terms = [t for t in terms if t in stats]
     if not terms:
         return reader.spark.createDataFrame([], "doc_id long, score double")
-    idf = {t: reader.idf(stats[t]["df"]) for t in terms}
+    idf = {
+        t: reader.idf(stats[t]["df"]) * (boosts.get(t, 1.0) if boosts else 1.0)
+        for t in terms
+    }
     avgdl, block_bits = reader.avgdl, reader.block_bits
     conjunctive = mode == "and"
     # continuation cursor: only items strictly below it in the
@@ -764,44 +775,71 @@ def search_wand(
 def _wand_shape(ast):
     """Classify a parsed query for the WAND scale path.
 
-    Returns ``(mode, terms, phrases)`` when the query is a flat AND/OR
-    of unfielded, unboosted plain terms and (for AND only) quoted
-    phrases — the shapes whose top-k is exactly a WAND run plus an
-    order-preserving post-filter. Everything else returns None and the
-    caller falls back to :func:`search`:
+    Returns ``(mode, terms, phrases, boosts, plain_terms, masks)`` when
+    the query is a flat AND/OR of unfielded plain terms (optionally
+    boosted, ``term^N``), quoted phrases, and (AND only) fielded
+    exact-match terms — the shapes whose top-k is exactly a WAND run
+    plus an order-preserving post-filter. ``terms`` is every scoring
+    term (plain + phrase constituents, deduped), ``boosts`` the per-term
+    max clause weight (only terms with a non-1 weight appear),
+    ``plain_terms`` the Term-leaf terms (the OR post-filter needs them:
+    a doc qualifies through a plain disjunct by CONTAINING that term,
+    through a phrase disjunct only by adjacency), ``masks`` the fielded
+    leaves' composite ``field:value`` vocabulary terms (candidate masks
+    that never score — search()'s semantics). Everything else returns
+    None and the caller falls back to :func:`search`:
 
-    - fielded / boosted / NOT / nested boolean / expansion leaves change
-      scoring or candidate semantics in ways a flat WAND cannot express;
-    - a phrase under OR is NOT post-filterable (a doc may qualify
-      through the other disjunct without containing the phrase).
+    - NOT / nested boolean / expansion leaves change scoring or
+      candidate semantics in ways a flat WAND cannot express;
+    - a fielded leaf under OR admits docs with no scoring-term ranking
+      signal of their own (the disjunct alone qualifies them), which a
+      terms-only WAND pool cannot enumerate;
+    - at least one scoring term is required (a pure-mask query takes
+      search()'s TIME-ordering path, not a WAND run).
     """
     def _leaves_of(node, mode):
         terms: list[str] = []
+        plain: list[str] = []
         phrases: list[tuple[list[str], int]] = []
+        boosts: dict[str, float] = {}
+        masks: list[str] = []
         children = node.children if isinstance(node, (qp.And, qp.Or)) else [node]
         for c in children:
             if getattr(c, "field", None) is not None:
+                # fielded exact term = non-scoring candidate mask; only
+                # conjunctive masks post-filter order-preservingly (and
+                # fielded expansion leaves need the dictionary — fallback)
+                if mode == "and" and isinstance(c, qp.Term):
+                    if c.term not in masks:
+                        masks.append(c.term)
+                    continue
                 return None
-            if float(getattr(c, "boost", 1.0)) != 1.0:
-                return None
+            wboost = float(getattr(c, "boost", 1.0))
             if isinstance(c, qp.Term):
-                if c.term not in terms:
-                    terms.append(c.term)
-            elif isinstance(c, qp.Phrase) and mode == "and":
-                for t in c.terms:
-                    if t not in terms:
-                        terms.append(t)
-                phrases.append((list(c.terms), int(getattr(c, "slop", 0))))
+                leaf_terms = [c.term]
+                if c.term not in plain:
+                    plain.append(c.term)
+            elif isinstance(c, qp.Phrase):
+                leaf_terms = list(c.terms)
+                phrases.append((leaf_terms, int(getattr(c, "slop", 0))))
             else:
                 return None
-        return terms, phrases
+            for t in leaf_terms:
+                if t not in terms:
+                    terms.append(t)
+                if wboost != 1.0:
+                    # max over leaves, exactly like search()'s tboost
+                    boosts[t] = max(boosts.get(t, 1.0), wboost)
+        if not terms:
+            return None
+        return terms, phrases, boosts, plain, masks
 
     if isinstance(ast, qp.Or):
         r = _leaves_of(ast, "or")
-        return None if r is None else ("or", r[0], r[1])
+        return None if r is None else ("or", *r)
     if isinstance(ast, (qp.And, qp.Term, qp.Phrase)):
         r = _leaves_of(ast, "and")
-        return None if r is None else ("and", r[0], r[1])
+        return None if r is None else ("and", *r)
     return None
 
 
@@ -827,24 +865,33 @@ def search_wand_query(
     allows, falling back to :func:`search` otherwise. Rank-identical to
     :func:`search` on every query, by construction:
 
-    - flat AND / OR of plain terms -> :func:`search_wand` directly;
-    - AND of terms + quoted phrases (incl. ``"a b"~N`` slop) -> WAND over
-      the constituent terms (phrase terms score like ordinary terms,
-      exactly as :func:`search` — ``FullText.java:99-219`` model), then
-      adjacency-verify the bounded candidate heap against ``text_df``
-      with the same JVM expression the exact path uses. Because every
-      candidate outranks every non-candidate in the (score desc, doc_id
-      desc) total order, filtering candidates preserves global rank; if
-      fewer than k survive, the pool is deepened (x4) and re-run —
-      iterative deepening, O(log(result rank)) bounded WAND rounds, each
-      touching only block-pruned postings, never the corpus. The loop
-      also terminates the moment a WAND round returns fewer rows than it
+    - flat AND / OR of plain terms (optionally boosted, ``term^N`` —
+      the clause weight folds into the per-term idf, keeping the
+      block-max bound admissible) -> :func:`search_wand` directly;
+    - AND / OR of terms + quoted phrases (incl. ``"a b"~N`` slop) ->
+      WAND over the constituent terms (phrase terms score like ordinary
+      terms, exactly as :func:`search` — ``FullText.java:99-219``
+      model), then leaf-match-verify the bounded candidate heap against
+      ``text_df`` with the same JVM expressions the exact path uses
+      (AND: every phrase adjacency; OR: any phrase adjacency or any
+      plain term contained). Because every candidate outranks every
+      non-candidate in the (score desc, doc_id desc) total order,
+      filtering candidates preserves global rank; if fewer than k
+      survive, the pool is deepened (x4) and re-run — iterative
+      deepening, O(log(result rank)) bounded WAND rounds, each touching
+      only block-pruned postings, never the corpus. The loop also
+      terminates the moment a WAND round returns fewer rows than it
       asked for (the candidate set is then complete). If ``max_rounds``
       deepenings exhaust without either completeness condition, the
       query falls back to the exact :func:`search` path rather than
       returning a silently-partial answer.
-    - anything else (fields, boosts, NOT, nesting, wildcards, phrase
-      under OR, or any of ``search``'s mask kwargs) -> :func:`search`.
+    - AND with fielded exact-match terms (``lang:en AND spark ...``) ->
+      WAND over the scoring terms, then each fielded leaf's composite
+      posting list masks the bounded heap (a non-scoring candidate
+      filter, exactly search()'s semantics — same deepening loop);
+    - anything else (fielded leaves under OR, fielded expansions, NOT,
+      nesting, wildcards, ranges, or any of ``search``'s mask kwargs)
+      -> :func:`search`.
 
     ``first_pool`` seeds the candidate pool size (default
     ``max(4k, 64)``); tests shrink it to force deepening rounds.
@@ -860,44 +907,75 @@ def search_wand_query(
             use_stopwords=use_stopwords, text_df=text_df, text_col=text_col,
             gather_fields=gather_fields, after=after, **search_kwargs,
         )
-    mode, terms, phrases = shape
-    if not phrases:
+    mode, terms, phrases, boosts, plain_terms, masks = shape
+    if not phrases and not masks:
         return search_wand(
             reader, terms, k, k1=k1, b=b, mode=mode, after=after,
-            gather_fields=gather_fields,
+            gather_fields=gather_fields, boosts=boosts or None,
         )
 
-    # phrase-bearing conjunction: WAND candidates + adjacency post-filter
-    if text_df is None:
-        raise SearchError(
-            "phrase query needs text_df= (doc store or source table)"
-        )
-    eff_stop = (
-        use_stopwords if use_stopwords is not None
-        else bool(reader.stats.get("use_stopwords"))
-    )
-    eff_locale = locale if locale is not None else reader.stats.get("locale")
-    text = text_df.select(
-        F.col("doc_id").cast("long").alias("doc_id"), F.col(text_col)
-    )
+    # phrase/mask-bearing boolean: WAND candidates + leaf-match
+    # post-filter. AND: every phrase must verify and every fielded mask
+    # must contain the doc (plain terms are already guaranteed by the
+    # conjunctive WAND run). OR: a doc qualifies by CONTAINING any plain
+    # disjunct's term, or by adjacency of any phrase disjunct — the same
+    # candidate union search()'s _eval_candidates takes, and scores are
+    # over all terms present either way, so filtering the
+    # (total-order-ranked) WAND pool preserves global rank.
     hit = None
-    for p_terms, p_slop in phrases:
-        c = _phrase_hit_col(p_terms, text_col, eff_stop, slop=p_slop,
-                            locale=eff_locale)
-        hit = c if hit is None else (hit & c)
+    if phrases:
+        if text_df is None:
+            raise SearchError(
+                "phrase query needs text_df= (doc store or source table)"
+            )
+        eff_stop = (
+            use_stopwords if use_stopwords is not None
+            else bool(reader.stats.get("use_stopwords"))
+        )
+        eff_locale = locale if locale is not None else reader.stats.get("locale")
+        text = text_df.select(
+            F.col("doc_id").cast("long").alias("doc_id"), F.col(text_col)
+        )
+        for p_terms, p_slop in phrases:
+            c = _phrase_hit_col(p_terms, text_col, eff_stop, slop=p_slop,
+                                locale=eff_locale)
+            if hit is None:
+                hit = c
+            else:
+                hit = (hit & c) if mode == "and" else (hit | c)
+        if mode == "or" and plain_terms:
+            from miru_spark.analysis.tokenizer import tokens_col
+
+            toks = tokens_col(F.col(text_col), use_stopwords=eff_stop,
+                              locale=eff_locale)
+            for t in plain_terms:
+                hit = hit | F.array_contains(toks, F.lit(t))
 
     pool = int(first_pool) if first_pool else max(4 * k, 64)
     verified = None
     for _ in range(max_rounds):
         cand = search_wand(
-            reader, terms, pool, k1=k1, b=b, mode="and", after=after,
+            reader, terms, pool, k1=k1, b=b, mode=mode, after=after,
+            boosts=boosts or None,
         ).localCheckpoint(eager=True)  # <= pool rows; reused twice below
         n_cand = cand.count()
-        verified = (
-            text.join(F.broadcast(cand), "doc_id")
-            .filter(hit)
-            .select("doc_id", "score")
-        )
+        verified = cand
+        for m in masks:
+            # composite-postings mask: stream the (term-pruned) postings
+            # scan against the broadcast <= pool-row heap — never the
+            # other way around; at corpus scale a keyword value's posting
+            # list is unbounded, the heap is not
+            verified = (
+                reader.postings(terms=[m]).select("doc_id")
+                .join(F.broadcast(verified), "doc_id")
+                .select("doc_id", "score")
+            )
+        if hit is not None:
+            verified = (
+                text.join(F.broadcast(verified), "doc_id")
+                .filter(hit)
+                .select("doc_id", "score")
+            )
         if n_cand < pool or verified.count() >= k:
             break  # candidate set complete, or enough survivors
         pool *= 4

@@ -973,11 +973,10 @@ def test_router_fallback_shapes_route_to_search(reader, corpus, monkeypatch):
     monkeypatch.setattr(bm25, "search", spy)
     shapes = [
         "w00001 NOT w00000",
-        "lang:en AND w00001",
+        "lang:en OR w00001",   # fielded under OR: mask-only disjunct
+        "lang:en",             # pure mask -> TIME path
         "w0000*",
-        '"w00000 w00001" OR w00002',
         "(w00001 OR w00002) AND w00003",
-        "w00001^2 AND w00002",
     ]
     for q in shapes:
         bm25.search_wand_query(reader, q, k=5, text_df=corpus).collect()
@@ -997,6 +996,11 @@ def test_router_wandable_shapes_bypass_search(reader, corpus, monkeypatch):
     monkeypatch.setattr(bm25, "search", boom)
     assert bm25.search_wand_query(reader, "w00001 AND w00004", k=5).collect()
     assert bm25.search_wand_query(reader, "w00050 OR w00003", k=5).collect()
+    # round-3 router widening: boosts, phrases under OR, fielded AND
+    # masks all stay on the WAND path now
+    assert bm25.search_wand_query(reader, "w00001^2 AND w00002", k=5).collect()
+    assert bm25.search_wand_query(
+        reader, '"w00000 w00001" OR w00002', k=5, text_df=corpus).collect()
 
 
 def test_router_phrase_requires_text_df(reader):
@@ -1014,4 +1018,82 @@ def test_router_phrase_exhausted_rounds_fall_back_exact(reader, oracle, corpus):
         bm25.search_wand_query(
             reader, q, k=5, text_df=corpus, first_pool=1, max_rounds=1),
         bm25.search(reader, q, k=5, text_df=corpus),
+    )
+
+
+def test_router_boosted_terms_stay_on_wand_path(reader):
+    """term^N folds into the WAND idf (admissible bound), so boosted
+    flat queries no longer fall back to the exact corpus path — and the
+    ranks still match it."""
+    for q in ("w00001^3 AND w00004", "w00050^2 OR w00003^0.5 OR w00002"):
+        ast = bm25._parse_for_index(reader, q)
+        assert bm25._wand_shape(ast) is not None, q
+        _same_ranks(bm25.search_wand_query(reader, q, k=10),
+                    bm25.search(reader, q, k=10))
+
+
+def test_router_phrase_under_or_matches_exact(reader, oracle, corpus):
+    """OR with a phrase disjunct: a doc qualifies by containing the
+    plain term OR by phrase adjacency; scores are over all terms present
+    (search()'s model), so the WAND pool + leaf-match filter is
+    rank-identical to the exact path."""
+    t1, t2 = _top_bigram(oracle)
+    for q in (
+        f'w00050 OR "{t1} {t2}"',
+        f'"{t1} {t2}" OR "{t2} {t1}"',
+        f'w00003^2 OR "{t1} {t2}"~1',
+    ):
+        ast = bm25._parse_for_index(reader, q)
+        assert bm25._wand_shape(ast) is not None, q
+        _same_ranks(
+            bm25.search_wand_query(reader, q, k=10, text_df=corpus),
+            bm25.search(reader, q, k=10, text_df=corpus),
+        )
+
+
+def test_router_phrase_or_deepens(reader, oracle, corpus):
+    """iterative deepening under OR: a 1-doc first pool forces rounds;
+    still rank-identical."""
+    t1, t2 = _top_bigram(oracle)
+    q = f'w00050 OR "{t1} {t2}"'
+    _same_ranks(
+        bm25.search_wand_query(reader, q, k=5, text_df=corpus, first_pool=1),
+        bm25.search(reader, q, k=5, text_df=corpus),
+    )
+
+
+def test_router_fielded_mask_and_matches_exact(fielded_reader, corpus):
+    """AND with a fielded exact-match leaf stays on the WAND path: the
+    composite posting list masks the bounded heap (non-scoring, like
+    search()'s candidate masks) — rank-identical to the exact path."""
+    doc_langs = {r["doc_id"]: r["lang"] for r in corpus.select("doc_id", "lang").collect()}
+    for q in (
+        "lang:en AND w00001 AND w00004",
+        "w00050^2 AND lang:en",
+    ):
+        ast = bm25._parse_for_index(fielded_reader, q)
+        assert bm25._wand_shape(ast) is not None, q
+        got = bm25.search_wand_query(fielded_reader, q, k=10)
+        _same_ranks(got, bm25.search(fielded_reader, q, k=10))
+        # the mask actually bites: every hit carries the keyword value
+        assert all(doc_langs[r["doc_id"]] == "en" for r in got.collect())
+    # a non-dominant mask value prunes MOST of the pool -> deepening
+    got_de = bm25.search_wand_query(fielded_reader, "lang:de AND the0",
+                                    k=5, first_pool=2)
+    _same_ranks(got_de, bm25.search(fielded_reader, "lang:de AND the0", k=5))
+    # fielded under OR / pure-mask queries stay on the exact path
+    assert bm25._wand_shape(
+        bm25._parse_for_index(fielded_reader, "lang:en OR w00001")) is None
+    assert bm25._wand_shape(
+        bm25._parse_for_index(fielded_reader, "lang:en")) is None
+
+
+def test_router_fielded_mask_with_phrase(fielded_reader, oracle, corpus):
+    t1, t2 = _top_bigram(oracle)
+    q = f'lang:en AND "{t1} {t2}"'
+    ast = bm25._parse_for_index(fielded_reader, q)
+    assert bm25._wand_shape(ast) is not None
+    _same_ranks(
+        bm25.search_wand_query(fielded_reader, q, k=10, text_df=corpus),
+        bm25.search(fielded_reader, q, k=10, text_df=corpus),
     )
