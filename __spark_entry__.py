@@ -167,10 +167,17 @@ _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS_EN)) + "]"
 def _bm25_sql(
     terms: list[str], k: int, mode: str, offset: int = 0,
     boosts: dict[str, float] | None = None,
+    exclude: list[str] | None = None,
 ) -> str:
     boosts = boosts or {}
     vals = ", ".join(f"('{t}', {float(boosts.get(t, 1.0))})" for t in terms)
     having = f"WHERE nt = {len(terms)}" if mode == "and" else ""
+    if exclude:
+        # NOT terms: docs containing any excluded term never answer
+        ex_vals = ", ".join(f"('{t}')" for t in exclude)
+        anti = (f" AND doc_id NOT IN (SELECT DISTINCT tk.doc_id FROM tk "
+                f"JOIN (VALUES {ex_vals}) ex(term) USING (term))")
+        having = (having + anti) if having else ("WHERE true" + anti)
     off = f" OFFSET {offset}" if offset else ""
     return f"""
 WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -343,6 +350,22 @@ def q_bm25_wand_fielded(spark, sf_dir):
 
     out = search_wand_query(
         _reader(spark, sf_dir), "lang:en AND spark AND query", k=30)
+    return (
+        out.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").desc())
+        .limit(10)
+    )
+
+
+def q_bm25_wand_not(spark, sf_dir):
+    """`NOT term` clauses on the SCALE path: negated postings anti-mask
+    the bounded WAND heap (non-scoring, intersect-then-anti so the
+    unbounded posting list streams against the broadcast heap) — the
+    exact path's negative anti-join semantics, block-pruned."""
+    from miru_spark.query.bm25 import search_wand_query
+
+    out = search_wand_query(
+        _reader(spark, sf_dir), "spark AND query NOT merge", k=30)
     return (
         out.select("doc_id", F.round("score", 4).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").desc())
@@ -1483,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_strip": q_substring_strip,
         "bm25_wand_phrase": q_bm25_wand_phrase,
         "bm25_wand_fielded": q_bm25_wand_fielded,
+        "bm25_wand_not": q_bm25_wand_not,
         "corpus_split": q_corpus_split,
         "epoch_shuffle": q_epoch_shuffle,
         # fulltext / index
@@ -1587,6 +1611,8 @@ ORDER BY score DESC, s.doc_id DESC LIMIT 10
         "bm25_index_wand_or": _bm25_sql(_OR_TERMS, 10, "or"),
         "bm25_page2": _bm25_sql(_BM25_TERMS, 10, "and", offset=10),
         "bm25_boost": _bm25_sql(_BM25_TERMS, 10, "and", boosts={"spark": 2.0}),
+        "bm25_wand_not": _bm25_sql(["spark", "query"], 10, "and",
+                                   exclude=["merge"]),
         "bm25_query_stopwords": _bm25_sql(["scan", "merge"], 10, "and"),
         "bm25_prefix": f"""
 WITH base AS ({toks_base}),

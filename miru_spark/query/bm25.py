@@ -786,11 +786,14 @@ def _wand_shape(ast):
     a doc qualifies through a plain disjunct by CONTAINING that term,
     through a phrase disjunct only by adjacency), ``masks`` the fielded
     leaves' composite ``field:value`` vocabulary terms (candidate masks
-    that never score — search()'s semantics). Everything else returns
-    None and the caller falls back to :func:`search`:
+    that never score — search()'s semantics), ``neg_masks`` the
+    NOT-leaves' vocabulary terms (plain or composite: anti-masks, also
+    non-scoring, AND only — Lucene rejects NOT directly under OR).
+    Everything else returns None and the caller falls back to
+    :func:`search`:
 
-    - NOT / nested boolean / expansion leaves change scoring or
-      candidate semantics in ways a flat WAND cannot express;
+    - nested boolean / expansion / negated-phrase leaves change scoring
+      or candidate semantics in ways a flat WAND cannot express;
     - a fielded leaf under OR admits docs with no scoring-term ranking
       signal of their own (the disjunct alone qualifies them), which a
       terms-only WAND pool cannot enumerate;
@@ -803,8 +806,18 @@ def _wand_shape(ast):
         phrases: list[tuple[list[str], int]] = []
         boosts: dict[str, float] = {}
         masks: list[str] = []
+        neg_masks: list[str] = []
         children = node.children if isinstance(node, (qp.And, qp.Or)) else [node]
         for c in children:
+            if isinstance(c, qp.Not):
+                # negated plain/fielded exact term = non-scoring
+                # anti-mask (search() anti-joins its postings); negated
+                # phrases/expansions need text or the dictionary — fallback
+                if mode == "and" and isinstance(c.child, qp.Term):
+                    if c.child.term not in neg_masks:
+                        neg_masks.append(c.child.term)
+                    continue
+                return None
             if getattr(c, "field", None) is not None:
                 # fielded exact term = non-scoring candidate mask; only
                 # conjunctive masks post-filter order-preservingly (and
@@ -832,7 +845,7 @@ def _wand_shape(ast):
                     boosts[t] = max(boosts.get(t, 1.0), wboost)
         if not terms:
             return None
-        return terms, phrases, boosts, plain, masks
+        return terms, phrases, boosts, plain, masks, neg_masks
 
     if isinstance(ast, qp.Or):
         r = _leaves_of(ast, "or")
@@ -889,9 +902,12 @@ def search_wand_query(
       WAND over the scoring terms, then each fielded leaf's composite
       posting list masks the bounded heap (a non-scoring candidate
       filter, exactly search()'s semantics — same deepening loop);
-    - anything else (fielded leaves under OR, fielded expansions, NOT,
-      nesting, wildcards, ranges, or any of ``search``'s mask kwargs)
-      -> :func:`search`.
+    - AND with ``NOT term`` / ``NOT field:value`` clauses -> the negated
+      postings anti-mask the bounded heap (intersect-then-anti, so the
+      unbounded posting list streams against the broadcast heap);
+    - anything else (fielded leaves under OR, fielded expansions,
+      negated phrases, nesting, wildcards, ranges, or any of
+      ``search``'s mask kwargs) -> :func:`search`.
 
     ``first_pool`` seeds the candidate pool size (default
     ``max(4k, 64)``); tests shrink it to force deepening rounds.
@@ -907,8 +923,8 @@ def search_wand_query(
             use_stopwords=use_stopwords, text_df=text_df, text_col=text_col,
             gather_fields=gather_fields, after=after, **search_kwargs,
         )
-    mode, terms, phrases, boosts, plain_terms, masks = shape
-    if not phrases and not masks:
+    mode, terms, phrases, boosts, plain_terms, masks, neg_masks = shape
+    if not phrases and not masks and not neg_masks:
         return search_wand(
             reader, terms, k, k1=k1, b=b, mode=mode, after=after,
             gather_fields=gather_fields, boosts=boosts or None,
@@ -970,6 +986,19 @@ def search_wand_query(
                 .join(F.broadcast(verified), "doc_id")
                 .select("doc_id", "score")
             )
+        if neg_masks:
+            # NOT terms anti-mask the heap, exactly search()'s negative
+            # anti-join — but keep the big side streaming: a negated
+            # term's posting list is unbounded at corpus scale, so first
+            # intersect it with the broadcast heap (one term-pruned scan
+            # for all negated terms), then anti-join the tiny hit set
+            hit_neg = (
+                reader.postings(terms=neg_masks).select("doc_id")
+                .join(F.broadcast(verified.select("doc_id")), "doc_id")
+                .distinct()
+            )
+            verified = verified.join(
+                F.broadcast(hit_neg), "doc_id", "left_anti")
         if hit is not None:
             verified = (
                 text.join(F.broadcast(verified), "doc_id")

@@ -972,7 +972,7 @@ def test_router_fallback_shapes_route_to_search(reader, corpus, monkeypatch):
 
     monkeypatch.setattr(bm25, "search", spy)
     shapes = [
-        "w00001 NOT w00000",
+        'w00001 NOT "w00000 w00002"',  # negated phrase
         "lang:en OR w00001",   # fielded under OR: mask-only disjunct
         "lang:en",             # pure mask -> TIME path
         "w0000*",
@@ -1001,6 +1001,7 @@ def test_router_wandable_shapes_bypass_search(reader, corpus, monkeypatch):
     assert bm25.search_wand_query(reader, "w00001^2 AND w00002", k=5).collect()
     assert bm25.search_wand_query(
         reader, '"w00000 w00001" OR w00002', k=5, text_df=corpus).collect()
+    assert bm25.search_wand_query(reader, "w00001 NOT w00000", k=5).collect()
 
 
 def test_router_phrase_requires_text_df(reader):
@@ -1097,3 +1098,28 @@ def test_router_fielded_mask_with_phrase(fielded_reader, oracle, corpus):
         bm25.search_wand_query(fielded_reader, q, k=10, text_df=corpus),
         bm25.search(fielded_reader, q, k=10, text_df=corpus),
     )
+
+
+def test_router_not_mask_matches_exact(reader, fielded_reader, corpus):
+    """NOT term / NOT field:value under AND stay on the WAND path: the
+    negated postings anti-mask the bounded heap (non-scoring) — rank-
+    identical to the exact path's negative anti-join."""
+    for q in ("the0 NOT w00000", "the0 AND w00003 NOT w00001 NOT w00002"):
+        ast = bm25._parse_for_index(reader, q)
+        assert bm25._wand_shape(ast) is not None, q
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in bm25.search_wand_query(reader, q, k=10).collect()]
+        want = [(r["doc_id"], round(r["score"], 9))
+                for r in bm25.search(reader, q, k=10).collect()]
+        assert got == want and got, q
+    # negated FIELDED term (composite anti-mask) + deepening pressure
+    q = "the0 NOT lang:en"
+    ast = bm25._parse_for_index(fielded_reader, q)
+    assert bm25._wand_shape(ast) is not None
+    got = [(r["doc_id"], round(r["score"], 9)) for r in
+           bm25.search_wand_query(fielded_reader, q, k=5, first_pool=2).collect()]
+    want = [(r["doc_id"], round(r["score"], 9)) for r in
+            bm25.search(fielded_reader, q, k=5).collect()]
+    assert got == want and got
+    langs = {r["doc_id"]: r["lang"] for r in corpus.select("doc_id", "lang").collect()}
+    assert all(langs[d] != "en" for d, _ in got)
