@@ -1260,6 +1260,44 @@ def q_corpus_clean(spark, sf_dir):
     )
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (pipeline/web.py::canonical_url): the corpus
+    has no url column, so a noisy URL is synthesized deterministically
+    per doc on the Spark side ONLY — upper-cased scheme/host, scheme-
+    default :443 port, trailing slash, unsorted params, utm_/gclid
+    tracking params, fragment — and the op must strip ALL of it; the
+    oracle states the clean canonical form directly from the same doc
+    fields, so any rule the op misses hash-mismatches."""
+    from miru_spark.pipeline.web import canonical_url
+
+    docs = _read(spark, sf_dir, "documents")
+    noisy = docs.select(
+        "doc_id", "lang", "source",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/p/"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=feed&b="), F.col("lang"), F.lit("&a=1"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("&gclid=x")).otherwise(F.lit("")),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    return canonical_url(noisy, "url").select("doc_id", "url_canon", "host")
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide duplicated-paragraph removal, keep-first (CCNet's
+    dedup unit; pipeline/web.py::paragraph_dedup). The synthetic corpus
+    has no newlines, so the entry splits on the corpus's most common
+    token (' the ') to induce multi-paragraph structure — the oracle
+    splits identically and replays the keep-first rule with a window."""
+    from miru_spark.pipeline.web import paragraph_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, "doc_id", "text", sep_re=" the ")
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (emails / phones / IPv4 -> typed placeholders). The
     synthetic corpus carries no natural PII, so deterministic PII derived
@@ -1501,6 +1539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catwalk_incremental": q_catwalk_incremental,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
+        "url_canonical": q_url_canonical,
+        "paragraph_dedup": q_paragraph_dedup,
         "bm25_cjk": q_bm25_cjk,
         "substring_dedup": q_substring_dedup,
         "substring_strip": q_substring_strip,
@@ -1974,6 +2014,42 @@ WITH melted AS (
 SELECT feature, val AS value, sum(pos)::BIGINT AS numerator, count(*) AS denominator,
        round(sum(pos)::DOUBLE / count(*), 6) AS weight
 FROM melted GROUP BY 1, 2 ORDER BY feature, value
+""",
+        # the op must strip every piece of injected noise; the oracle
+        # states the clean form directly (doc_id%2 trailing slash,
+        # %3 default port, %5 gclid, utm_, fragment, case all vanish;
+        # surviving params sort: 'a=1' < 'b=<lang>')
+        "url_canonical": """
+SELECT doc_id,
+       'https://www.' || source || '.example.com/p/' || doc_id
+         || '?a=1&b=' || lang AS url_canon,
+       'www.' || source || '.example.com' AS host
+FROM documents
+""",
+        "paragraph_dedup": """
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(list_transform(string_split_regex(text, ' the '),
+                                    x -> trim(x)), x -> x <> '') AS ps
+  FROM documents),
+px AS (
+  SELECT id,
+         unnest(generate_series(1, len(ps))) - 1 AS pos,
+         unnest(ps) AS para
+  FROM base),
+kept AS (
+  SELECT id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY id, pos) AS rn
+  FROM px),
+agg AS (
+  SELECT id, string_agg(para, chr(10) ORDER BY pos) AS text_clean,
+         count(*) AS n_kept
+  FROM kept WHERE rn = 1 GROUP BY id)
+SELECT b.id,
+       coalesce(a.text_clean, '') AS text_clean,
+       len(b.ps) AS n_paragraphs,
+       (len(b.ps) - coalesce(a.n_kept, 0))::BIGINT AS removed_paragraphs
+FROM base b LEFT JOIN agg a USING (id)
 """,
         "pii_scrub": """
 WITH aug AS (

@@ -718,3 +718,63 @@ def test_duplicate_spans_locale_tokenization(spark):
             df, "doc_id", "text", min_len=4, locale="ja").collect()
     }
     assert clean[2] != ""
+
+
+def test_canonical_url_rules(spark):
+    """Case, default ports, trailing slash, tracking params, param
+    order, and fragments all normalize away; non-scheme://  values pass
+    through verbatim with a NULL host; :8080 and userinfo survive."""
+    from miru_spark.pipeline.web import canonical_url
+
+    rows = [
+        (0, "HTTPS://WWW.Example.COM:443/p/1/?utm_source=x&b=2&a=1#frag"),
+        (1, "http://example.com:80"),
+        (2, "http://user@Host.com:8080/a//"),
+        (3, "not a url"),
+        (4, "https://h.co/path?gclid=1&utm_campaign=z"),
+        (5, "https://h.co/path"),
+    ]
+    got = {
+        r["id"]: (r["url_canon"], r["host"])
+        for r in canonical_url(
+            spark.createDataFrame(rows, "id long, url string"), "url"
+        ).collect()
+    }
+    assert got[0] == ("https://www.example.com/p/1?a=1&b=2", "www.example.com")
+    assert got[1] == ("http://example.com", "example.com")
+    assert got[2] == ("http://user@host.com:8080/a", "host.com")
+    assert got[3] == ("not a url", None)
+    # all-tracking query drops its '?' entirely; idempotent with [5]
+    assert got[4] == got[5] == ("https://h.co/path", "h.co")
+    # idempotence: canonicalizing the canonical form is a fixpoint
+    again = canonical_url(
+        spark.createDataFrame(
+            [(i, u) for i, (u, _) in got.items()], "id long, url string"),
+        "url",
+    )
+    assert {r["id"]: r["url_canon"] for r in again.collect()} == {
+        i: u for i, (u, _) in got.items()}
+
+
+def test_paragraph_dedup_keep_first(spark):
+    """A paragraph repeated across docs keeps only its globally-first
+    (id, pos) occurrence; per-doc order is preserved; all-duplicate and
+    empty docs return '' with correct counts."""
+    from miru_spark.pipeline.web import paragraph_dedup
+
+    rows = [
+        (0, "alpha beta\n\nshared footer\nunique one"),
+        (1, "gamma delta\nshared footer\n\nunique two"),
+        (2, "shared footer"),
+        (3, ""),
+    ]
+    got = {
+        r["id"]: (r["text_clean"], r["n_paragraphs"], r["removed_paragraphs"])
+        for r in paragraph_dedup(
+            spark.createDataFrame(rows, "id long, text string"), "id", "text"
+        ).collect()
+    }
+    assert got[0] == ("alpha beta\nshared footer\nunique one", 3, 0)
+    assert got[1] == ("gamma delta\nunique two", 3, 1)
+    assert got[2] == ("", 1, 1)
+    assert got[3] == ("", 0, 0)
