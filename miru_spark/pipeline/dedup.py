@@ -64,9 +64,13 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
-def _tokens_col(text_col: str):
-    toks = F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]+", " ")), r"\s+")
-    return F.filter(toks, lambda x: x != "")
+def _tokens_col(text_col: str, locale: str | None = None):
+    # shared analyzer registry (byte-identical to the old inline ASCII
+    # expression for locale=None); a non-ASCII corpus MUST pass the
+    # locale or every doc tokenizes to nothing and all docs collide
+    from miru_spark.analysis.tokenizer import tokens_col
+
+    return tokens_col(F.col(text_col), locale=locale)
 
 
 def _shingle_from_tokens(toks_col: str, n: int):
@@ -83,9 +87,11 @@ def _shingle_from_tokens(toks_col: str, n: int):
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+             *, locale: str | None = None) -> DataFrame:
     """Distinct (id, shingle) pairs — the shingle-set representation."""
-    toks = df.select(F.col(id_col).alias("id"), _tokens_col(text_col).alias("toks"))
+    toks = df.select(
+        F.col(id_col).alias("id"), _tokens_col(text_col, locale).alias("toks"))
     return (
         toks.select("id", F.explode(_shingle_from_tokens("toks", n)).alias("shingle"))
         .distinct()
@@ -101,6 +107,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
     prefix_filter: bool = True,
+    locale: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over n-gram shingle sets.
 
@@ -128,7 +135,7 @@ def ngram_jaccard_pairs(
     # anti-join is a cheap hash probe per consumer, and a second persist
     # of the pruned copy would double the storage footprint and the
     # first-run materialization wall for no second-run gain.
-    sh = shingles(df, id_col, text_col, n).withColumn(
+    sh = shingles(df, id_col, text_col, n, locale=locale).withColumn(
         "h", F.xxhash64("shingle")
     ).select("id", "h").persist()
     if max_shingle_df is not None:
@@ -306,7 +313,8 @@ def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, num_perm: int = 64, seed: int = 1
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, num_perm: int = 64,
+    seed: int = 1, locale: str | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature (array<long>, length num_perm).
 
@@ -331,7 +339,7 @@ def minhash_signatures(
             flat: list[str] = []
             tok_counts = np.zeros(len(ids), dtype=np.int64)
             for i, text in enumerate(pdf["text"]):
-                toks = tokenize(text)
+                toks = tokenize(text, locale=locale)
                 tok_counts[i] = len(toks)
                 flat.extend(toks)
             sigs = np.full((len(ids), num_perm), _MERSENNE, dtype=np.int64)
@@ -372,6 +380,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     seed: int = 1,
     verify_threshold: float | None = 0.5,
+    locale: str | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding, optionally verified
     by estimated Jaccard (signature agreement rate).
@@ -380,7 +389,8 @@ def minhash_lsh_pairs(
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, n=n, num_perm=num_perm, seed=seed)
+    sigs = minhash_signatures(df, id_col, text_col, n=n, num_perm=num_perm,
+                              seed=seed, locale=locale)
     sigs = sigs.persist()
     banded = sigs.select(
         "id",
@@ -426,7 +436,8 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       *, locale: str | None = None) -> DataFrame:
     """64-bit SimHash per doc (columns: id, simhash as long).
 
     Weighted bit votes over md5-hashed tokens (weight = tf)."""
@@ -445,7 +456,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             flat: list[str] = []
             counts = np.zeros(len(ids), dtype=np.int64)
             for i, text in enumerate(pdf["text"]):
-                toks = tokenize(text)
+                toks = tokenize(text, locale=locale)
                 counts[i] = len(toks)
                 flat.extend(toks)
             votes = np.zeros((len(ids), 64), dtype=np.int64)
@@ -485,14 +496,15 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3,
+    locale: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
     Candidates blocked on 4x16-bit bands (a pair within hamming<=3 must
     agree exactly on at least one band — pigeonhole), verified by
     popcount(xor). Columns: id_a, id_b, hamming."""
-    sigs = simhash_signatures(df, id_col, text_col).persist()
+    sigs = simhash_signatures(df, id_col, text_col, locale=locale).persist()
     banded = sigs.select(
         "id",
         "simhash",
@@ -619,13 +631,15 @@ def dedup_components(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int = 100,
+    locale: str | None = None,
 ) -> DataFrame:
     """Every document's near-duplicate component: exact n-gram Jaccard
     pairs (prefix-filtered AllPairs join, :func:`ngram_jaccard_pairs`)
     -> connected components; documents with no near-dup are their own
     singleton component. Returns ``(doc_id, component)``."""
     pairs = ngram_jaccard_pairs(
-        df, id_col, text_col, n=n, threshold=threshold, max_shingle_df=max_shingle_df
+        df, id_col, text_col, n=n, threshold=threshold,
+        max_shingle_df=max_shingle_df, locale=locale,
     )
     cc = connected_components(pairs)
     ids = df.select(F.col(id_col).cast("long").alias("id"))
@@ -643,13 +657,15 @@ def dedup_canonical(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int = 100,
+    locale: str | None = None,
 ) -> DataFrame:
     """Canonical-document selection per near-dup cluster (size >= 2):
     keep the smallest doc_id, count the rest — the "keep one per
     cluster" reduction a training-data pipeline applies after pair
     generation. Returns ``(component, keep_doc, n_docs)``."""
     comps = dedup_components(
-        df, id_col, text_col, n=n, threshold=threshold, max_shingle_df=max_shingle_df
+        df, id_col, text_col, n=n, threshold=threshold,
+        max_shingle_df=max_shingle_df, locale=locale,
     )
     return (
         comps.groupBy("component")

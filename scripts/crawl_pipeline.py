@@ -103,7 +103,8 @@ def run_pipeline(spark, args) -> dict:
     # drop the higher key of each surviving pair (deterministic winner)
     if args.near_dup_threshold > 0:
         pairs = minhash_lsh_pairs(
-            pages, key, "text", verify_threshold=args.near_dup_threshold
+            pages, key, "text", verify_threshold=args.near_dup_threshold,
+            locale=args.locale,
         )
         losers = pairs.select(F.col("id_b").alias(key)).distinct()
         pages = pages.join(losers, key, "left_anti")

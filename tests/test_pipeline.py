@@ -778,3 +778,37 @@ def test_paragraph_dedup_keep_first(spark):
     assert got[1] == ("gamma delta\nunique two", 3, 1)
     assert got[2] == ("", 1, 1)
     assert got[3] == ("", 0, 0)
+
+
+def test_dedup_family_locale_tokenization(spark):
+    """The whole dedup family tokenizes through the analyzer registry:
+    a CJK corpus produces NO shingle/signature structure under the
+    frozen ASCII default (every doc is token-empty, which must not make
+    them all 'similar' to each other via real content), while
+    locale='ja' finds the real near-dup pair."""
+    from miru_spark.pipeline import dedup
+
+    seg = "線形 代数 の 基礎 を 学ぶ こと は 大切 です 本当 に"
+    rows = [(0, seg), (1, seg + " 一"), (2, "全く 別 の 話題 です ね 今日 は 晴れ です よ ね")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # ja path: docs 0/1 are Jaccard-similar, doc 2 is not
+    pairs = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.5, locale="ja").collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+    comps = {
+        r["doc_id"]: r["component"]
+        for r in dedup.dedup_components(
+            df, "doc_id", "text", n=3, threshold=0.5, locale="ja").collect()
+    }
+    assert comps[0] == comps[1] != comps[2]
+    # signatures honor the locale too: ja signatures differ between the
+    # two distinct docs; ASCII-default signatures collapse (no tokens)
+    sig = {r["id"]: tuple(r["signature"]) for r in
+           dedup.minhash_signatures(df, "doc_id", "text", locale="ja").collect()}
+    assert sig[0] != sig[2]
+    sim = {r["id"]: r["simhash"] for r in
+           dedup.simhash_signatures(df, "doc_id", "text", locale="ja").collect()}
+    assert sim[0] != sim[2]
+    sim_ascii = {r["id"]: r["simhash"] for r in
+                 dedup.simhash_signatures(df, "doc_id", "text").collect()}
+    assert sim_ascii[0] == sim_ascii[2]  # token-empty docs: no signal
