@@ -43,18 +43,25 @@ def _id_type(df: DataFrame, id_col: str) -> str:
     return df.schema[id_col].dataType.simpleString()
 
 
-def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def token_stats(df: DataFrame, id_col: str, text_col: str,
+                *, locale: str | None = None) -> DataFrame:
     """Per-doc token statistics + BPE-ish subword estimate.
 
     Columns: id, n_tokens, n_chars, avg_token_len, stopword_ratio,
     bpe_tokens (Σ ceil(len(token)/4) — the ~4-chars-per-token heuristic).
+    ``locale`` picks the analyzer (tokenization AND its stopword list);
+    the default is the frozen ASCII en analyzer, byte-identical to
+    before the parameter existed.
     """
+    from miru_spark.analysis.tokenizer import find_analyzer
+
+    stop = find_analyzer(locale).stopwords if locale else STOPWORDS_EN
 
     def _stats(pdf_iter):
         for pdf in pdf_iter:
             ids, n_toks, n_chars, atl, stopr, bpe = [], [], [], [], [], []
             for i, s in zip(pdf["id"], pdf["text"]):
-                toks = tokenize(s)
+                toks = tokenize(s, locale=locale)
                 n = len(toks)
                 lens = [len(x) for x in toks]
                 ids.append(i)
@@ -62,7 +69,7 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 n_chars.append(len(s) if s is not None else 0)
                 atl.append(sum(lens) / n if n else 0.0)
                 stopr.append(
-                    sum(1 for x in toks if x in STOPWORDS_EN) / n if n else 0.0
+                    sum(1 for x in toks if x in stop) / n if n else 0.0
                 )
                 bpe.append(sum((ln + 3) // 4 for ln in lens))
             yield pd.DataFrame(
@@ -91,7 +98,8 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_score(df: DataFrame, id_col: str, text_col: str,
+                  *, locale: str | None = None) -> DataFrame:
     """Deterministic document quality score in [0,1].
 
     Components (web-text quality heuristics):
@@ -103,12 +111,16 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Columns: id, n_tokens, alpha_ratio, stopword_ratio, quality.
     """
 
+    from miru_spark.analysis.tokenizer import find_analyzer
+
+    stop = find_analyzer(locale).stopwords if locale else STOPWORDS_EN
+
     def _q(pdf_iter):
         for pdf in pdf_iter:
             ids, n_toks, alpha, stopr, atl = [], [], [], [], []
             for i, s in zip(pdf["id"], pdf["text"]):
                 s = s or ""
-                toks = tokenize(s)
+                toks = tokenize(s, locale=locale)
                 n = len(toks)
                 ids.append(i)
                 n_toks.append(n)
@@ -116,7 +128,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     len(_NON_ALPHA_RE.sub("", s)) / len(s) if len(s) else 0.0
                 )
                 stopr.append(
-                    sum(1 for x in toks if x in STOPWORDS_EN) / n if n else 0.0
+                    sum(1 for x in toks if x in stop) / n if n else 0.0
                 )
                 atl.append(sum(len(x) for x in toks) / n if n else 0.0)
             yield pd.DataFrame(
@@ -180,7 +192,8 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return _src(df, id_col, text_col).mapInPandas(_lang, schema=f"id {_id_type(df, id_col)}, lang_guess string")
 
 
-def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def fingerprint(df: DataFrame, id_col: str, text_col: str,
+                *, locale: str | None = None) -> DataFrame:
     """Document fingerprints: full-text md5 + normalized-token md5.
 
     The normalized fingerprint (md5 of space-joined lowercase tokens)
@@ -196,7 +209,9 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 ids.append(i)
                 digs.append(hashlib.md5(s.encode("utf-8")).hexdigest())
                 norms.append(
-                    hashlib.md5(" ".join(tokenize(s)).encode("utf-8")).hexdigest()
+                    hashlib.md5(
+                        " ".join(tokenize(s, locale=locale)).encode("utf-8")
+                    ).hexdigest()
                 )
             yield pd.DataFrame(
                 {"id": ids, "digest": digs, "norm_digest": norms}
@@ -208,7 +223,8 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def winnow_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, *, k: int = 5, window: int = 4
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 5, window: int = 4,
+    locale: str | None = None,
 ) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints: the minimum xxhash64 of each
     k-gram window — standard local document fingerprinting for plagiarism/
@@ -220,7 +236,7 @@ def winnow_fingerprints(
     """
     from miru_spark.analysis.tokenizer import tokens_col
 
-    toks = tokens_col(F.col(text_col))
+    toks = tokens_col(F.col(text_col), locale=locale)
     grams = F.when(
         F.size(toks) >= k,
         F.transform(
@@ -261,6 +277,7 @@ def clean_corpus(
     langs: tuple[str, ...] = ("en",),
     dedup_threshold: float = 0.8,
     max_shingle_df: int = 100,
+    locale: str | None = None,
 ) -> DataFrame:
     """End-to-end training-data prep over a raw web corpus:
 
@@ -277,7 +294,7 @@ def clean_corpus(
     """
     from miru_spark.pipeline.dedup import dedup_components
 
-    q = quality_score(df, id_col, text_col)
+    q = quality_score(df, id_col, text_col, locale=locale)
     l = lang_id(df, id_col, text_col).withColumnRenamed("lang_guess", "lang")
     kept = (
         q.filter(F.col("quality") >= min_quality)
@@ -290,6 +307,7 @@ def clean_corpus(
     comps = dedup_components(
         survivors, id_col, text_col,
         threshold=dedup_threshold, max_shingle_df=max_shingle_df,
+        locale=locale,
     )
     # component label IS the cluster's min doc id: canonical = label row
     canon = comps.filter(F.col("doc_id") == F.col("component")).select(
@@ -302,7 +320,8 @@ def clean_corpus(
     )
 
 
-def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def repetition_signals(df: DataFrame, id_col: str, text_col: str,
+                       *, locale: str | None = None) -> DataFrame:
     """Per-doc repetition signals in the Gopher-rules family (Rae et al.
     2021, "Scaling Language Models": the repetition filters drop docs
     whose content is dominated by repeated fragments — boilerplate,
@@ -333,7 +352,7 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for pdf in pdf_iter:
             ids, nt, d3, d2, t2 = [], [], [], [], []
             for i, t in zip(pdf["id"], pdf["text"]):
-                toks = tokenize(t)
+                toks = tokenize(t, locale=locale)
                 ids.append(i)
                 nt.append(len(toks))
                 for n, acc in ((3, d3), (2, d2)):
@@ -369,6 +388,7 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def boilerplate_ngrams(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 5,
     min_doc_frac: float = 0.05, limit: int | None = None,
+    locale: str | None = None,
 ) -> DataFrame:
     """Corpus-frequent n-grams — the boilerplate detector: an n-gram
     appearing in more than ``min_doc_frac`` of all docs is navigation /
@@ -382,7 +402,7 @@ def boilerplate_ngrams(
     """
     from miru_spark.analysis.tokenizer import tokens_col
 
-    toks = tokens_col(F.col("text"), use_stopwords=False)
+    toks = tokens_col(F.col("text"), use_stopwords=False, locale=locale)
     idx = F.sequence(F.lit(1), F.size(F.col("_toks")) - F.lit(n - 1))
     grams = F.when(
         F.size(F.col("_toks")) < n, F.array().cast("array<string>")
@@ -410,6 +430,7 @@ def boilerplate_ngrams(
 def lm_score(
     df: DataFrame, id_col: str, text_col: str, *,
     lm_df: DataFrame | None = None, alpha: float = 0.5,
+    locale: str | None = None,
 ) -> DataFrame:
     """Per-doc cross-entropy under a unigram language model — the
     LM-quality filter of CCNet-style pipelines (Wenzek et al. 2020
@@ -431,7 +452,7 @@ def lm_score(
     """
     from miru_spark.analysis.tokenizer import tokens_col
 
-    toks = tokens_col(F.col("text"), use_stopwords=False)
+    toks = tokens_col(F.col("text"), use_stopwords=False, locale=locale)
     src = _src(df, id_col, text_col).select("id", toks.alias("_toks"))
     if lm_df is None:
         lm_df = (

@@ -812,3 +812,27 @@ def test_dedup_family_locale_tokenization(spark):
     sim_ascii = {r["id"]: r["simhash"] for r in
                  dedup.simhash_signatures(df, "doc_id", "text").collect()}
     assert sim_ascii[0] == sim_ascii[2]  # token-empty docs: no signal
+
+
+def test_text_ops_locale_tokenization(spark):
+    """token_stats/quality/fingerprint/repetition honor locale= (the
+    analyzer registry): a CJK doc has zero tokens under the ASCII
+    default but real counts (and the locale's stopword list) under ja."""
+    from miru_spark.pipeline import text
+
+    rows = [(0, "東京タワーは東京の名所です"), (1, "plain ascii text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    default = {r["id"]: r["n_tokens"] for r in
+               text.token_stats(df, "doc_id", "text").collect()}
+    ja = {r["id"]: r["n_tokens"] for r in
+          text.token_stats(df, "doc_id", "text", locale="ja").collect()}
+    assert default[0] == 0 and ja[0] > 0
+    assert default[1] == ja[1] == 4  # ASCII text: same stream either way
+    fp_d = {r["id"]: r["norm_digest"] for r in
+            text.fingerprint(df, "doc_id", "text").collect()}
+    fp_j = {r["id"]: r["norm_digest"] for r in
+            text.fingerprint(df, "doc_id", "text", locale="ja").collect()}
+    assert fp_d[0] != fp_j[0] and fp_d[1] == fp_j[1]
+    rep = {r["id"]: r["n_tokens"] for r in
+           text.repetition_signals(df, "doc_id", "text", locale="ja").collect()}
+    assert rep[0] > 0
