@@ -527,6 +527,7 @@ def decontaminate(
     benchmark_text_col: str = "text",
     *,
     n: int = 5,
+    locale: str | None = None,
 ) -> DataFrame:
     """Drop corpus docs that share any analyzed n-gram with a benchmark
     set (train/test contamination removal, as done for published LLM
@@ -549,12 +550,12 @@ def decontaminate(
                 F.lit(0).cast("long").alias("id"),
                 F.col(benchmark_text_col).alias("text"),
             ),
-            "id", "text", n,
+            "id", "text", n, locale=locale,
         )
         .select(F.xxhash64("shingle").alias("h"))
         .distinct()
     )
-    doc_grams = shingles(df, id_col, text_col, n).select(
+    doc_grams = shingles(df, id_col, text_col, n, locale=locale).select(
         "id", F.xxhash64("shingle").alias("h")
     )
     contaminated = (
