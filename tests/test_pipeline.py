@@ -836,3 +836,35 @@ def test_text_ops_locale_tokenization(spark):
     rep = {r["id"]: r["n_tokens"] for r in
            text.repetition_signals(df, "doc_id", "text", locale="ja").collect()}
     assert rep[0] > 0
+
+
+def test_canonical_url_idempotent_grid(spark):
+    """Idempotence over a combinatorial URL grid: canonicalizing twice
+    equals canonicalizing once (every rule is a fixpoint rewrite), and
+    host extraction agrees between the two passes."""
+    import itertools
+
+    from miru_spark.pipeline.web import canonical_url
+
+    schemes = ["http", "HTTPS", "ftp"]
+    auths = ["Example.com", "a.B.co:443", "x.io:80", "u:p@Host.net:8080"]
+    paths = ["", "/", "/A/b/", "//d//"]
+    queries = ["", "?b=2&a=1", "?utm_x=1&a=%20z", "?gclid=1", "?a=1&a=0"]
+    frags = ["", "#F"]
+    rows = [
+        (i, f"{s}://{a}{p}{q}{f}")
+        for i, (s, a, p, q, f) in enumerate(
+            itertools.product(schemes, auths, paths, queries, frags))
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    once = canonical_url(df, "url").select(
+        "id", F.col("url_canon").alias("u1"), F.col("host").alias("h1"))
+    twice = canonical_url(
+        once.select("id", F.col("u1").alias("url")), "url"
+    ).select("id", F.col("url_canon").alias("u2"), F.col("host").alias("h2"))
+    bad = (
+        once.join(twice, "id")
+        .filter((F.col("u1") != F.col("u2")) | (F.col("h1") != F.col("h2")))
+        .collect()
+    )
+    assert bad == [], bad[:5]
