@@ -258,11 +258,13 @@ def q_bm25_boost(spark, sf_dir):
     """Lucene `term^N` boost: the clause weight scales the term's BM25
     contribution (reference parses queries through Lucene's classic
     QueryParser, ``LuceneBackedQueryParser.java:47-53``, whose grammar
-    carries boosts into BoostQuery clause weights)."""
+    carries boosts into BoostQuery clause weights). Includes a
+    fractional down-boost (`query^0.5`): the clause weight applies with
+    no 1.0 floor, so N < 1 genuinely down-weights the term."""
     from miru_spark.query.bm25 import search
 
     return search(
-        _reader(spark, sf_dir), "spark^2 AND query AND data", k=10, round_to=4)
+        _reader(spark, sf_dir), "spark^2 AND query^0.5 AND data", k=10, round_to=4)
 
 
 def q_bm25_page2(spark, sf_dir):
@@ -1650,7 +1652,8 @@ ORDER BY score DESC, s.doc_id DESC LIMIT 10
         "bm25_index_wand": _bm25_sql(_BM25_TERMS, 10, "and"),
         "bm25_index_wand_or": _bm25_sql(_OR_TERMS, 10, "or"),
         "bm25_page2": _bm25_sql(_BM25_TERMS, 10, "and", offset=10),
-        "bm25_boost": _bm25_sql(_BM25_TERMS, 10, "and", boosts={"spark": 2.0}),
+        "bm25_boost": _bm25_sql(
+            _BM25_TERMS, 10, "and", boosts={"spark": 2.0, "query": 0.5}),
         "bm25_wand_not": _bm25_sql(["spark", "query"], 10, "and",
                                    exclude=["merge"]),
         "bm25_query_stopwords": _bm25_sql(["scan", "merge"], 10, "and"),

@@ -114,19 +114,36 @@ def paragraph_dedup(
     hash key (co-partitioned, AQE handles the boilerplate-hash skew);
     one groupBy(id) reassembles docs. groupBy-min + join, not a window
     over the hash partition — the hottest boilerplate paragraph may
-    repeat 10^9 times and a window would sort that group.
+    repeat 10^9 times and a window would sort that group. The exploded
+    relation is persisted (it feeds the first-occurrence agg, the
+    candidate join, and the per-doc counts): the source table is
+    scanned and regex-split exactly once, not once per consumer — at
+    scale a checkpoint table does the same job.
     """
-    src = df.select(
-        F.col(id_col).alias("id"),
-        F.filter(
-            F.transform(F.split(F.col(text_col), sep_re), lambda x: F.trim(x)),
-            lambda x: x != "",
-        ).alias("ps"),
+    # posexplode_outer + carried n_paragraphs: empty/null docs keep one
+    # (pos=null, para=null) row so they survive to the output with
+    # text_clean="" — and no second pass over the source for counts
+    px = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.filter(
+                F.transform(F.split(F.col(text_col), sep_re), lambda x: F.trim(x)),
+                lambda x: x != "",
+            ).alias("ps"),
+        )
+        .select(
+            "id",
+            F.size("ps").alias("n_paragraphs"),
+            F.posexplode_outer("ps").alias("pos", "para"),
+        )
+        .withColumn("h", F.md5(F.col("para")))
+        .persist()
     )
-    px = src.select("id", F.posexplode("ps").alias("pos", "para")).withColumn(
-        "h", F.md5(F.col("para"))
+    firsts = (
+        px.filter(F.col("para").isNotNull())
+        .groupBy("h")
+        .agg(F.min(F.struct("id", "pos")).alias("first_occ"))
     )
-    firsts = px.groupBy("h").agg(F.min(F.struct("id", "pos")).alias("first_occ"))
     kept = (
         px.join(firsts, "h")
         .filter(
@@ -145,8 +162,10 @@ def paragraph_dedup(
             F.count(F.lit(1)).alias("n_kept"),
         )
     )
+    # all-duplicate docs drop out of `kept` entirely — the per-doc count
+    # side (one agg over the SAME cached relation) restores them
     return (
-        src.select("id", F.size("ps").alias("n_paragraphs"))
+        px.groupBy("id").agg(F.first("n_paragraphs").alias("n_paragraphs"))
         .join(kept, "id", "left")
         .select(
             "id",

@@ -347,7 +347,9 @@ def search(
     # contribution is linear in idf, so the boost folds into the
     # broadcast idf relation; a term reached through several leaves
     # (e.g. `spark^2 OR spark`) scores once with the max boost, matching
-    # this engine's dedup-terms-then-sum scoring model.
+    # this engine's dedup-terms-then-sum scoring model. The max ranges
+    # over the leaves that CONTAIN the term only — no implicit 1.0 floor,
+    # so a down-boost (`noise^0.1`, N < 1) genuinely down-weights.
     # NB: the weight variable must NOT be named `b` — that is the BM25
     # length-normalization parameter in this scope.
     tboost: dict[str, float] = {}
@@ -356,7 +358,7 @@ def search(
             continue
         wboost = float(getattr(leaf, "boost", 1.0))
         for t in _leaf_terms(leaf, expansions):
-            tboost[t] = max(tboost.get(t, 1.0), wboost)
+            tboost[t] = max(tboost[t], wboost) if t in tboost else wboost
     idf_rows = [
         (t, reader.idf(stats[t]["df"]) * tboost.get(t, 1.0))
         for t in pos_terms if t in stats
@@ -840,11 +842,13 @@ def _wand_shape(ast):
             for t in leaf_terms:
                 if t not in terms:
                     terms.append(t)
-                if wboost != 1.0:
-                    # max over leaves, exactly like search()'s tboost
-                    boosts[t] = max(boosts.get(t, 1.0), wboost)
+                # max over the leaves containing t, exactly like search()'s
+                # tboost — no 1.0 floor, so down-boosts (N < 1) apply; an
+                # unboosted sibling leaf still lifts the max back to 1.0
+                boosts[t] = max(boosts[t], wboost) if t in boosts else wboost
         if not terms:
             return None
+        boosts = {t: w for t, w in boosts.items() if w != 1.0}
         return terms, phrases, boosts, plain, masks, neg_masks
 
     if isinstance(ast, qp.Or):

@@ -670,6 +670,27 @@ def test_boost_on_duplicate_leaf_takes_max(reader, oracle):
     _assert_rank_identical(got, expected)
 
 
+def test_fractional_down_boost_applies(reader, oracle):
+    # `term^N` with N < 1 down-weights — no implicit 1.0 floor (the old
+    # max(1.0, w) fold silently no-op'd every down-boost); an unboosted
+    # duplicate leaf still lifts the max back to 1.0
+    terms = ["w00003", "w00050"]
+    expected = oracle.topk(
+        oracle.candidates_or(terms), terms, 15, boosts={"w00050": 0.1})
+    got = bm25.search(reader, "w00003 OR w00050^0.1", k=15).collect()
+    _assert_rank_identical(got, expected)
+    base = bm25.search(reader, "w00003 OR w00050", k=15).collect()
+    assert [r["doc_id"] for r in base] != [r["doc_id"] for r in got]
+    # WAND router parity on the same down-boosted query
+    _assert_rank_identical(
+        bm25.search_wand_query(reader, "w00003 OR w00050^0.1", k=15).collect(),
+        expected)
+    # unboosted sibling leaf wins the max: ^0.5 OR plain == plain
+    dup = bm25.search(reader, "w00050^0.5 OR w00050", k=10).collect()
+    _assert_rank_identical(
+        dup, oracle.topk(oracle.candidates_or(["w00050"]), ["w00050"], 10))
+
+
 def test_boosted_prefix_applies_to_expansions(reader, oracle):
     exp_terms = oracle.expand_prefix("w0000")
     boosts = {t: 2.0 for t in exp_terms}
