@@ -246,6 +246,68 @@ def _eval_candidates(reader: IndexReader, node, expansions, phrase_ctx=None) -> 
     raise SearchError(f"cannot evaluate node {node!r}")
 
 
+def _has_scoring_leaf(node) -> bool:
+    """True when the subtree contains at least one positive unfielded
+    leaf — the only leaves that contribute BM25 weight (fielded terms
+    and ``*:*`` are non-scoring masks; negations never score)."""
+    if isinstance(node, (qp.And, qp.Or)):
+        return any(_has_scoring_leaf(c) for c in node.children)
+    if isinstance(node, qp.Not):
+        return False
+    if isinstance(node, qp.MatchAll):
+        return False
+    return getattr(node, "field", None) is None
+
+
+def _or_admits_nonscoring(node) -> bool:
+    """True when some OR branch can admit a candidate through a subtree
+    with no scoring leaf (``spark OR lang:en``): such docs match the
+    boolean query but have no posting row under any scoring term, so
+    the scoring aggregation alone would silently drop them — the caller
+    must complete them with score 0. Conservative: an enclosing AND may
+    still guarantee a scoring term for every candidate, in which case
+    the completion join is redundant but harmless."""
+    if isinstance(node, qp.Or):
+        if any(not _has_scoring_leaf(c) for c in node.children):
+            return True
+        return any(_or_admits_nonscoring(c) for c in node.children)
+    if isinstance(node, qp.And):
+        return any(_or_admits_nonscoring(c) for c in node.children)
+    if isinstance(node, qp.Not):
+        return _or_admits_nonscoring(node.child)
+    return False
+
+
+def _zero_score_topk(
+    reader: IndexReader, cands: DataFrame, k: int, *,
+    constraint=None, authz=None, authz_field="authz",
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """Shared tail of every zero-score (TIME-ordering) answer: the
+    constraint / authz / removal masks, the keyset cursor, and the
+    newest-first top-k. Every row scores 0, so ``after=(s, d)`` reduces
+    to: all rows qualify when s > 0, rows with doc_id < d when s == 0,
+    none when s < 0 (the cursor outranks every zero-score row)."""
+    if constraint is not None:
+        mask = reader.doc_store().filter(constraint).select("doc_id")
+        cands = cands.join(mask, "doc_id", "left_semi")
+    if authz is not None:
+        cands = cands.join(
+            composite_authz(reader, authz, authz_field), "doc_id", "left_semi")
+    cands = cands.join(reader.removed_docs(), "doc_id", "left_anti")
+    if after is not None:
+        a_score, a_doc = float(after[0]), int(after[1])
+        if a_score == 0.0:
+            cands = cands.filter(F.col("doc_id") < a_doc)
+        elif a_score < 0.0:
+            cands = cands.filter(F.lit(False))
+    return (
+        cands.withColumn("score", F.lit(0.0))
+        .orderBy(F.col("doc_id").desc())
+        .limit(k)
+    )
+
+
 def search(
     reader: IndexReader,
     query: str,
@@ -314,6 +376,10 @@ def search(
     # fielded leaves (``lang:en``) are exact-match candidate MASKS — they
     # intersect the answer like the reference's constraints/authz filters
     # but contribute no BM25 weight; only default-field text terms score.
+    # Under OR a mask disjunct ADMITS docs instead of filtering them:
+    # those docs carry no scoring signal and return with score 0 (below
+    # every scored hit; doc_id-desc among themselves) — consistent with
+    # the pure-mask TIME path and with facet_counts, which counts them.
     pos_terms: list[str] = []
     for leaf in qp.positive_leaves(ast):
         if leaf.field is not None:
@@ -325,20 +391,12 @@ def search(
         # pure-mask query (every positive leaf is fielded): no scoring
         # terms, so fall back to the TIME ordering — newest-first with
         # score 0 (the reference's prime ordering / TIME strategy,
-        # ``FullText.java:222-251``).
+        # ``FullText.java:222-251``). The keyset cursor applies here
+        # too — zero scores make it a pure doc_id cut.
         cands = _eval_candidates(reader, ast, expansions, phrase_ctx)
-        if constraint is not None:
-            mask = reader.doc_store().filter(constraint).select("doc_id")
-            cands = cands.join(mask, "doc_id", "left_semi")
-        if authz is not None:
-            cands = cands.join(
-                composite_authz(reader, authz, authz_field), "doc_id", "left_semi")
-        cands = cands.join(reader.removed_docs(), "doc_id", "left_anti")
-        out = (
-            cands.withColumn("score", F.lit(0.0))
-            .orderBy(F.col("doc_id").desc())
-            .limit(k)
-        )
+        out = _zero_score_topk(
+            reader, cands, k, constraint=constraint, authz=authz,
+            authz_field=authz_field, after=after)
         return _gather(reader, out, gather_fields, time_order=True)
 
     stats = reader.term_stats(pos_terms)
@@ -376,17 +434,38 @@ def search(
     # reference ANDs ¬removal into every answer, FullTextCustomQuestion.java:89)
     candidates = candidates.join(reader.removed_docs(), "doc_id", "left_anti")
 
-    scored = (
-        reader.postings(
-            terms=[t for t, _ in idf_rows],
-            df_bound=sum(stats[t]["df"] for t, _ in idf_rows),
+    if not idf_rows:
+        # no query term exists in the dictionary: skip the scoring scan
+        # entirely — postings(terms=[]) would otherwise read the WHOLE
+        # postings relation (an empty isin is no filter), a corpus scan
+        # per typo'd query at 10^12 docs. Whatever candidates survive
+        # (mask-admitted disjuncts) rank as score 0.
+        scored = candidates.withColumn("score", F.lit(0.0))
+    else:
+        scored = (
+            reader.postings(
+                terms=[t for t, _ in idf_rows],
+                df_bound=sum(stats[t]["df"] for t, _ in idf_rows),
+            )
+            .join(F.broadcast(idf_df), "term")
+            .withColumn("contrib", _bm25_score_col(F.col("idf"), k1, b, reader.avgdl))
+            .join(candidates, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
         )
-        .join(F.broadcast(idf_df), "term")
-        .withColumn("contrib", _bm25_score_col(F.col("idf"), k1, b, reader.avgdl))
-        .join(candidates, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"))
-    )
+        if _or_admits_nonscoring(ast):
+            # `spark OR lang:en`: a doc admitted only through the fielded
+            # disjunct has no scoring-term posting row — complete it with
+            # score 0 (matching the pure-mask path and facet_counts,
+            # which both count such docs). Left join from the already-
+            # masked candidate set; scored docs keep their BM25 sum.
+            scored = (
+                candidates.join(scored, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("score", F.lit(0.0)).alias("score"),
+                )
+            )
     if round_to is not None:
         scored = scored.withColumn("score", F.round("score", round_to))
     if after is not None:
@@ -485,26 +564,20 @@ def search_time_newest(
     reader: IndexReader, query: str, k: int = 10, *, max_expansion: int = 100,
     constraint=None, locale: str | None = None, use_stopwords: bool | None = None,
     authz: list[str] | None = None, authz_field: str = "authz",
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """TIME strategy: newest-k matching docs, score = 0 (reference:
-    ``FullText.java:222-251`` — descending docId, zero scores)."""
+    ``FullText.java:222-251`` — descending docId, zero scores).
+    ``after``: the same keyset cursor as :func:`search` (zero scores
+    make it a pure doc_id cut)."""
     ast = _parse_for_index(reader, query, locale=locale, use_stopwords=use_stopwords)
     if ast is None:
         return reader.spark.createDataFrame([], "doc_id long, score double")
     expansions = _expand(reader, ast, max_expansion)
     cands = _eval_candidates(reader, ast, expansions)
-    if constraint is not None:
-        mask = reader.doc_store().filter(constraint).select("doc_id")
-        cands = cands.join(mask, "doc_id", "left_semi")
-    if authz is not None:
-        cands = cands.join(
-            composite_authz(reader, authz, authz_field), "doc_id", "left_semi")
-    cands = cands.join(reader.removed_docs(), "doc_id", "left_anti")
-    return (
-        cands.withColumn("score", F.lit(0.0))
-        .orderBy(F.col("doc_id").desc())
-        .limit(k)
-    )
+    return _zero_score_topk(
+        reader, cands, k, constraint=constraint, authz=authz,
+        authz_field=authz_field, after=after)
 
 
 # ----------------------------------------------------------------------
@@ -522,8 +595,15 @@ def search_wand(
     after: tuple[float, int] | None = None,
     gather_fields: list[str] | None = None,
     boosts: dict[str, float] | None = None,
+    locale: str | None = None,
+    use_stopwords: bool | None = None,
 ) -> DataFrame:
     """Top-k BM25 for a flat AND/OR-of-terms query with block-max pruning.
+
+    ``locale`` / ``use_stopwords``: per-query analyzer overrides, same
+    contract as :func:`search` — they default to the INDEX's stored
+    settings, and the stopword strip below must honor the override or
+    the two entry points diverge on stopword-bearing AND queries.
 
     ``boosts``: optional per-term clause weights (Lucene ``term^N``).
     BM25's per-term contribution is linear in idf, so the boost folds
@@ -547,13 +627,18 @@ def search_wand(
         raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
     if k <= 0:
         return reader.spark.createDataFrame([], "doc_id long, score double")
-    if reader.stats.get("use_stopwords"):
+    eff_stop = (
+        use_stopwords if use_stopwords is not None
+        else bool(reader.stats.get("use_stopwords"))
+    )
+    if eff_stop:
         # a stopword-analyzed index never indexed these terms; the
         # reference's analyzer strips them from the query too — without
         # this an AND would go empty on a term the index dropped by design
         from miru_spark.analysis.tokenizer import find_analyzer
 
-        stop = find_analyzer(reader.stats.get("locale")).stopwords
+        eff_locale = locale if locale is not None else reader.stats.get("locale")
+        stop = find_analyzer(eff_locale).stopwords
         terms = [t for t in terms if t not in stop]
     terms = list(dict.fromkeys(terms))
     n_terms = len(terms)
@@ -678,7 +763,13 @@ def search_wand(
                     t = blk["term"]
                     per_term_ub[t] = max(per_term_ub.get(t, 0.0), u)
                 ub = sum(per_term_ub.values())
-                if ub <= theta():
+                # STRICT compare: the heap's total order is (score,
+                # doc_id) — a block whose bound exactly ties theta can
+                # still hold a doc scoring theta with a higher doc_id,
+                # which outranks heap[0] on the tie-break. `<=` would
+                # prune it and break rank-identity with search() on
+                # uniform-score corpora.
+                if ub < theta():
                     continue  # block-max skip: cannot beat current top-k
                 base = int(block_key) << block_bits
                 # sidecar doclens decode only AFTER the block survives
@@ -932,6 +1023,7 @@ def search_wand_query(
         return search_wand(
             reader, terms, k, k1=k1, b=b, mode=mode, after=after,
             gather_fields=gather_fields, boosts=boosts or None,
+            locale=locale, use_stopwords=use_stopwords,
         )
 
     # phrase/mask-bearing boolean: WAND candidates + leaf-match
@@ -944,17 +1036,14 @@ def search_wand_query(
     # (total-order-ranked) WAND pool preserves global rank.
     hit = None
     if phrases:
-        if text_df is None:
-            raise SearchError(
-                "phrase query needs text_df= (doc store or source table)"
-            )
-        eff_stop = (
-            use_stopwords if use_stopwords is not None
-            else bool(reader.stats.get("use_stopwords"))
-        )
-        eff_locale = locale if locale is not None else reader.stats.get("locale")
-        text = text_df.select(
-            F.col("doc_id").cast("long").alias("doc_id"), F.col(text_col)
+        # same resolution (and the same loud missing-text error) as every
+        # other entry point — _phrase_ctx_for is never None here because
+        # the shape carries phrases
+        tdf, tcol, eff_stop, eff_locale = _phrase_ctx_for(
+            reader, ast, locale=locale, use_stopwords=use_stopwords,
+            text_df=text_df, text_col=text_col)
+        text = tdf.select(
+            F.col("doc_id").cast("long").alias("doc_id"), F.col(tcol)
         )
         for p_terms, p_slop in phrases:
             c = _phrase_hit_col(p_terms, text_col, eff_stop, slop=p_slop,
@@ -976,7 +1065,7 @@ def search_wand_query(
     for _ in range(max_rounds):
         cand = search_wand(
             reader, terms, pool, k1=k1, b=b, mode=mode, after=after,
-            boosts=boosts or None,
+            boosts=boosts or None, locale=locale, use_stopwords=use_stopwords,
         ).localCheckpoint(eager=True)  # <= pool rows; reused twice below
         n_cand = cand.count()
         verified = cand

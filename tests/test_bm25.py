@@ -1144,3 +1144,113 @@ def test_router_not_mask_matches_exact(reader, fielded_reader, corpus):
     assert got == want and got
     langs = {r["doc_id"]: r["lang"] for r in corpus.select("doc_id", "lang").collect()}
     assert all(langs[d] != "en" for d, _ in got)
+
+
+# ---------------------------------------------------------------------
+# Round-3 review regressions: tie-break pruning, pure-mask paging,
+# OR-mask score-0 admission, unknown-term scan guard, stopword override
+# ---------------------------------------------------------------------
+
+
+def test_wand_tie_break_prune_rank_identity(spark, tmp_path):
+    """Uniform corpus (every doc scores exactly the same): block bounds
+    tie the heap threshold on every block after the first, and a `<=`
+    prune would freeze the heap on the LOWEST doc_ids — the total order
+    tie-breaks on doc_id desc, so the top-k must be the HIGHEST ids."""
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+
+    docs = spark.createDataFrame(
+        [(i, "same text tokens here") for i in range(64)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "uniform_idx")
+    build_index(spark, docs, idx, n_shards=1, block_bits=3, overwrite=True)
+    r = IndexReader(spark, idx)
+    want = [(x["doc_id"], round(x["score"], 9))
+            for x in bm25.search(r, "same AND tokens", k=5).collect()]
+    got = [(x["doc_id"], round(x["score"], 9))
+           for x in bm25.search_wand(r, ["same", "tokens"], k=5).collect()]
+    assert [d for d, _ in want] == [63, 62, 61, 60, 59]
+    assert got == want
+    # OR mode hits the same prune
+    got_or = [(x["doc_id"], round(x["score"], 9))
+              for x in bm25.search_wand(r, ["same", "tokens"], k=5, mode="or").collect()]
+    assert got_or == want
+
+
+def test_pure_mask_keyset_paging(fielded_reader):
+    """The TIME-ordering (pure-mask) path honors the same `after`
+    keyset cursor as the scoring path: zero scores make it a doc_id cut."""
+    full = bm25.search(fielded_reader, "lang:en", k=1000).collect()
+    assert len(full) > 20
+    page1 = bm25.search(fielded_reader, "lang:en", k=10).collect()
+    cur = (page1[-1]["score"], page1[-1]["doc_id"])
+    page2 = bm25.search(fielded_reader, "lang:en", k=10, after=cur).collect()
+    ids = [r["doc_id"] for r in page1 + page2]
+    assert ids == [r["doc_id"] for r in full[:20]]
+    assert all(r["score"] == 0.0 for r in page2)
+    # same contract on search_time_newest
+    p2b = bm25.search_time_newest(fielded_reader, "lang:en", k=10, after=cur).collect()
+    assert [r["doc_id"] for r in p2b] == [r["doc_id"] for r in page2]
+
+
+def test_or_fielded_mask_admits_score_zero(fielded_reader, corpus):
+    """`w00001 OR lang:de`: docs admitted only through the fielded
+    disjunct return with score 0 — after every scored hit, doc_id desc
+    among themselves — consistent with the pure-mask path and
+    facet_counts (which both include them)."""
+    langs = {r["doc_id"]: r["lang"] for r in corpus.select("doc_id", "lang").collect()}
+    texts = {r["doc_id"]: set(r["text"].split()) for r in corpus.select("doc_id", "text").collect()}
+    rows = bm25.search(fielded_reader, "w00001 OR lang:de", k=1000).collect()
+    got_ids = [r["doc_id"] for r in rows]
+    want_ids = {d for d in texts if "w00001" in texts[d] or langs[d] == "de"}
+    assert set(got_ids) == want_ids
+    # scored docs first (desc), then the zero-score mask-only tail
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    zero_tail = [r["doc_id"] for r in rows if r["score"] == 0.0]
+    assert zero_tail == sorted(zero_tail, reverse=True)
+    assert all(langs[d] == "de" and "w00001" not in texts[d] for d in zero_tail)
+    assert zero_tail  # the corpus really has mask-only matches
+
+
+def test_unknown_term_is_empty_not_a_corpus_scan(fielded_reader, corpus):
+    """A query term absent from the dictionary must short-circuit: no
+    postings relation is read at all (postings(terms=[]) would be an
+    UNFILTERED corpus scan), and an OR with a mask disjunct still
+    returns the mask-admitted docs at score 0."""
+    assert bm25.search(fielded_reader, "zzqqxxnotaterm", k=5).collect() == []
+    rows = bm25.search(fielded_reader, "zzqqxxnotaterm OR lang:de", k=1000).collect()
+    langs = {r["doc_id"]: r["lang"] for r in corpus.select("doc_id", "lang").collect()}
+    assert rows and all(r["score"] == 0.0 for r in rows)
+    assert {r["doc_id"] for r in rows} == {d for d, l in langs.items() if l == "de"}
+
+
+def test_wand_stopword_override_parity(spark, tmp_path):
+    """Per-query use_stopwords override reaches search_wand: on a
+    stopword-analyzed index, use_stopwords=False must NOT re-strip the
+    stopword index-side (rank parity with search(), which goes empty on
+    the never-indexed term)."""
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick w{i % 4:05d} fox") for i in range(32)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "stop_idx")
+    build_index(spark, docs, idx, n_shards=1, block_bits=4,
+                use_stopwords=True, overwrite=True)
+    r = IndexReader(spark, idx)
+    q = "the AND w00001"
+    # default: both paths strip 'the' per the index analyzer — non-empty, equal
+    want_def = [(x["doc_id"], round(x["score"], 9))
+                for x in bm25.search(r, q, k=10).collect()]
+    got_def = [(x["doc_id"], round(x["score"], 9))
+               for x in bm25.search_wand_query(r, q, k=10).collect()]
+    assert got_def == want_def and got_def
+    # override: 'the' stays in the query; the index never wrote it, so
+    # the AND is empty on BOTH paths (pre-fix, search_wand re-stripped
+    # it with the index settings and returned w00001 docs)
+    assert bm25.search(r, q, k=10, use_stopwords=False).collect() == []
+    assert bm25.search_wand_query(r, q, k=10, use_stopwords=False).collect() == []
