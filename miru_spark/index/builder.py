@@ -79,7 +79,9 @@ from miru_spark.analysis.tokenizer import (ANALYZER_VERSION, term_counts_udf,
                                             tokenize_udf)
 from miru_spark.index import codec
 from miru_spark.index._prof import profiled
-from miru_spark.index.manifest import ShardManifest, read_manifest, shard_is_done, write_manifest
+from miru_spark.index.manifest import (
+    ShardManifest, manifest_path, read_manifest, shard_is_done, write_manifest,
+)
 from miru_spark.index.schema import IndexSchema, enforce_additive, write_schema
 
 BLOCK_BITS_DEFAULT = 13  # 8192-doc ranges per block (Roaring container analogue)
@@ -178,7 +180,9 @@ def _compress_groups(pdf: pd.DataFrame, block_bits: int) -> pd.DataFrame:
     n_rows = len(rt)
     run = np.empty(n_rows, dtype=bool)
     run[0] = True
-    run[1:] = (rids[1:] != rids[:-1]) | (rt[1:] != rt[:-1]) | (rbk[1:] != rbk[:-1])
+    # (no block-key clause: rbk = rids >> block_bits, so a block change
+    # implies an id change)
+    run[1:] = (rids[1:] != rids[:-1]) | (rt[1:] != rt[:-1])
     run_starts = np.nonzero(run)[0]
     tfs_all = np.add.reduceat(rtfs, run_starts)
     t = rt[run_starts]
@@ -973,9 +977,9 @@ def _stitch_arrow_body(tbl, block_bits: int, dbg_dir: str | None = None):
     # consecutive-id runs merge across a partial boundary iff the next
     # partial starts exactly one past the previous max
     joins = (nonfirst & (mind == prev_maxd + 1)).astype(np.int64)
-    n_runs_g = np.add.reduceat(nruns, gstarts) - (
-        np.add.reduceat(joins, gstarts) - joins[gstarts]
-    )
+    # (joins is masked by nonfirst, so it is 0 at every group start — no
+    # group-boundary correction needed)
+    n_runs_g = np.add.reduceat(nruns, gstarts) - np.add.reduceat(joins, gstarts)
     codec_col = (2 * n_runs_g < n_g).astype(np.int8)
 
     doc_g_sizes = np.add.reduceat(out_sizes, gstarts)
@@ -1242,6 +1246,16 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url", partitions: int = 64) 
 
     Scalable two-phase zipWithIndex: range-partition on the key, count per
     partition, broadcast cumulative offsets, then local rank + offset.
+
+    The sorted relation is CACHED — correctness, not convenience: the
+    counts job and the id-assign job must see the identical partition
+    contents, and a non-unique ``order_col`` makes re-executed sort tie
+    order unstable. The cache pins the input in executor storage for the
+    session's lifetime, so a long-lived caller should release it once
+    the id-assigned output is durably materialized (e.g. after
+    build_index returns): the returned DataFrame carries the cached
+    relation as ``._miru_cached_input`` for exactly that —
+    ``out._miru_cached_input.unpersist()``.
     """
     from pyspark import TaskContext
 
@@ -1265,7 +1279,9 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url", partitions: int = 64) 
             seen += len(pdf)
             yield pdf
 
-    return parted.mapInPandas(_assign, schema=out_schema)
+    out = parted.mapInPandas(_assign, schema=out_schema)
+    out._miru_cached_input = parted  # release hook (see docstring)
+    return out
 
 
 def _input_fingerprint(docs: DataFrame, id_col: str, text_col: str) -> str:
@@ -1431,13 +1447,9 @@ def build_index(
             n_shards=0, block_bits=block_bits, use_stopwords=use_stopwords,
             input_fingerprint=_EMPTY_FP, locale=locale,
         )
-        with open(meta.stats_path, "w") as f:
-            json.dump(
-                {k: getattr(meta, k) for k in (
-                    "n_docs", "total_tokens", "avgdl", "n_terms", "n_shards",
-                    "block_bits", "use_stopwords", "input_fingerprint", "locale")},
-                f, indent=1, sort_keys=True,
-            )
+        _write_stats_json(meta, (
+            "n_docs", "total_tokens", "avgdl", "n_terms", "n_shards",
+            "block_bits", "use_stopwords", "input_fingerprint", "locale"))
         return meta
     # align shard boundaries to block boundaries so no block straddles shards
     if shard_span_blocks is None:
@@ -1457,7 +1469,12 @@ def build_index(
             docs, id_col, indexed_cols, _shard_expr(id_col, all_ranges)
         )
     fps = _stats_to_fps(stat_rows, all_ranges)
-    fingerprint = "|".join(f"{s}:{fps[s]}" for s in sorted(fps))
+    # empty shards are EXCLUDED from the index-level fingerprint (absent
+    # = empty): a sparse id space (ids clustered near 10^12) makes most
+    # of the fixed layout's shard slots empty, and a per-empty-slot
+    # entry would grow stats.json by megabytes of "S:EMPTY|"
+    fingerprint = "|".join(
+        f"{s}:{fps[s]}" for s in sorted(fps) if fps[s] != _EMPTY_FP)
 
     # A shrunken doc-id range can orphan whole high shards outside the new
     # layout: clear their data partitions AND manifests, or root reads keep
@@ -1485,14 +1502,18 @@ def build_index(
             # exist — the wave's dynamic overwrite never touches a shard
             # it writes no rows for, so clear them explicitly or queries
             # keep returning the vanished docs and df/avgdl stay wrong.
+            # The canonical empty state is NO data dirs and NO manifest
+            # (remove a stale one rather than writing an empty marker):
+            # a sparse id space makes most fixed-layout slots empty, and
+            # one manifest file per empty slot would mean ~10^5 serial
+            # driver writes per build for an index with one real shard.
             for sub in ("postings", "docs", "doclens", "shard_stats"):
                 leaf = os.path.join(index_dir, sub, f"shard={shard}")
                 if os.path.exists(leaf):
                     shutil.rmtree(leaf)
-            write_manifest(
-                index_dir,
-                ShardManifest(shard, lo, hi, status="done", input_fingerprint=fps[shard]),
-            )
+            mpath = manifest_path(index_dir, shard)
+            if os.path.exists(mpath):
+                os.remove(mpath)
             continue
         pending[shard] = (lo, hi)
 
@@ -1660,6 +1681,8 @@ def _build_wave(
 
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    doc_thread = None
+    tails: list = []
     try:
         # doc store: a second Arrow-UDF tokenize COUNT pass. Measured on
         # this corpus shape: the Arrow tokenizer counts ~20M tokens/s/32
@@ -1825,11 +1848,32 @@ def _build_wave(
                 n_parts=n_parts, block_ranges=block_ranges,
             )
         post_root = os.path.join(index_dir, "postings")
+        if not map_pack:
+            # dynamic overwrite only replaces partitions that RECEIVE
+            # rows: a wave shard whose docs all tokenize to nothing would
+            # silently keep the previous build's postings under a fresh
+            # 'done' manifest. The pack path is immune (DOCLEN markers
+            # write a row per doc); the row path pre-clears instead —
+            # crash-safe, because the wave's manifests are only written
+            # after success and a changed fingerprint re-runs the wave.
+            for s in wave_shards_list:
+                leaf = os.path.join(post_root, f"shard={s}")
+                if os.path.isdir(leaf):
+                    shutil.rmtree(leaf)
         # files stay sorted by term -> parquet row-group min/max stats
         # prune term lookups
         blocks.write.mode("overwrite").option("compression", "zstd") \
             .partitionBy("shard").parquet(post_root)
         phases["postings_write"] = round(time.monotonic() - wall_start, 2)
+        # shard_stats is DERIVED data (rebuilt from postings every wave):
+        # pre-clear the wave shards' partitions so a zero-term shard
+        # cannot inherit a previous build's stats — _stats_tail's
+        # read-back below would otherwise adopt the stale rows as this
+        # wave's aggregate (and the dictionary with them)
+        for s in wave_shards_list:
+            leaf = os.path.join(index_dir, "shard_stats", f"shard={s}")
+            if os.path.isdir(leaf):
+                shutil.rmtree(leaf)
 
         # Post-write tail, PARALLEL: the doclens-marker transform, the
         # shard_stats relation (+ its manifest aggregate), and the
@@ -1958,6 +2002,15 @@ def _build_wave(
         if tail_errs:
             raise tail_errs[0]
     finally:
+        # Join every writer thread BEFORE restoring the overwrite mode:
+        # on a postings-write failure the doc-store thread may still be
+        # planning its own mode("overwrite") write, and resolving it
+        # under restored STATIC overwrite would truncate the whole
+        # docs/ (or doclens/) root — every previously built shard.
+        if doc_thread is not None:
+            doc_thread.join()
+        for t in tails:
+            t.join()
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     agg_rows = agg_out.get("agg", {})
@@ -1994,14 +2047,35 @@ def apply_removals(spark: SparkSession, index_dir: str, ops: DataFrame) -> None:
     wins at read time. Append-only: no index rewrite, readers fold the
     log (the LSM-delta discipline of the reference's removal bitmap).
     """
+    # the op domain is closed: anything else would silently read as a
+    # repair everywhere downstream (reader winner-rule, compaction fold),
+    # i.e. deletions that never happen — fail at append time instead.
+    # Case-normalized; raise_error validates lazily inside the write job,
+    # costing no extra action.
+    op_c = F.lower(F.col("op").cast("string"))
     out = (
         ops.select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            F.col("op").cast("string").alias("op"),
+            F.when(op_c.isin("remove", "repair"), op_c)
+            .otherwise(F.raise_error(F.concat(
+                F.lit("apply_removals: op must be remove|repair, got "),
+                F.col("op").cast("string"))))
+            .alias("op"),
             F.col("version").cast("long").alias("version"),
         )
     )
     out.write.mode("append").parquet(os.path.join(index_dir, "removals"))
+
+
+def _write_stats_json(meta: "IndexMeta", keys) -> None:
+    """stats.json with the same tmp + os.replace discipline as manifests
+    / schema.json / the compaction marker: a crash mid-dump must never
+    leave a torn stats.json (it would make the whole index unreadable
+    while every data relation is intact)."""
+    tmp = meta.stats_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({k: getattr(meta, k) for k in keys}, f, indent=1, sort_keys=True)
+    os.replace(tmp, meta.stats_path)
 
 
 def _finalize(spark, index_dir, n_shards, block_bits, use_stopwords, fingerprint,
@@ -2021,7 +2095,19 @@ def _finalize(spark, index_dir, n_shards, block_bits, use_stopwords, fingerprint
     total_tokens = 0
     for shard in range(n_shards):
         m = read_manifest(index_dir, shard)
-        if m is None or m.status != "done":
+        if m is None:
+            # the canonical EMPTY-shard state is no manifest and no data
+            # (sparse fixed layouts hold mostly empty slots — see the
+            # empty-shard branch of build_index); verify the hole is
+            # really a hole before treating it as zero docs
+            if any(
+                os.path.exists(os.path.join(index_dir, sub, f"shard={shard}"))
+                for sub in ("postings", "docs")
+            ):
+                raise RuntimeError(
+                    f"finalize: shard {shard} has data but no manifest")
+            continue
+        if m.status != "done":
             raise RuntimeError(f"finalize with incomplete shard {shard}")
         n_docs += m.n_docs
         total_tokens += m.sum_doclen
@@ -2033,18 +2119,10 @@ def _finalize(spark, index_dir, n_shards, block_bits, use_stopwords, fingerprint
         use_stopwords=use_stopwords, input_fingerprint=fingerprint, locale=locale,
         keyword_fields=list(keyword_fields or []),
     )
-    with open(meta.stats_path, "w") as f:
-        json.dump(
-            {
-                k: getattr(meta, k)
-                for k in (
-                    "n_docs", "total_tokens", "avgdl", "n_terms", "n_shards",
-                    "block_bits", "use_stopwords", "input_fingerprint", "locale",
-                    "keyword_fields",
-                )
-            },
-            f, indent=1, sort_keys=True,
-        )
+    _write_stats_json(meta, (
+        "n_docs", "total_tokens", "avgdl", "n_terms", "n_shards",
+        "block_bits", "use_stopwords", "input_fingerprint", "locale",
+        "keyword_fields"))
     return meta
 
 
@@ -2425,10 +2503,22 @@ def compact_shards(
     mans = []
     for s in range(n_shards):
         m = read_manifest(index_dir, s)
-        if m is None or m.status != "done":
+        if m is None:
+            # missing manifest + no data = a legitimately empty shard
+            # slot (sparse fixed layouts; see build_index's empty-shard
+            # branch) — nothing to merge, skip it
+            if any(
+                os.path.exists(os.path.join(index_dir, sub, f"shard={s}"))
+                for sub in ("postings", "docs")
+            ):
+                raise RuntimeError(
+                    f"compact_shards: shard {s} has data but no manifest")
+            continue
+        if m.status != "done":
             raise RuntimeError(f"compact_shards with incomplete shard {s}")
         mans.append(m)
 
+    by_id = {m.shard: m for m in mans}
     groups: list[list[int]] = []
     cur: list[int] = []
     cur_docs = 0
@@ -2440,7 +2530,10 @@ def compact_shards(
         cur_docs += m.n_docs
     if cur:
         groups.append(cur)
-    if all(len(g) == 1 for g in groups):
+    # no-op only when the mapping is the identity: every group is a
+    # single shard AND there are no empty holes to squeeze out (holes
+    # renumber even singleton groups)
+    if len(mans) == n_shards and all(len(g) == 1 for g in groups):
         return {"groups": groups, "n_shards": n_shards}
 
     rels = ("postings", "doclens", "docs", "shard_stats")
@@ -2470,7 +2563,7 @@ def compact_shards(
 
     new_manifests = []
     for new_id, group in enumerate(groups):
-        children = [mans[c] for c in group]
+        children = [by_id[c] for c in group]
         fps = [c.input_fingerprint for c in children]
         for c in children:
             fps.extend(c.extra.get("merged_fingerprints", []))

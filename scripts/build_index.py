@@ -91,6 +91,10 @@ def main() -> None:
         max_wave_shards=args.max_wave_shards,
     )
     dt = time.monotonic() - t0
+    # release assign_doc_ids' correctness cache now the index is durable
+    cached = getattr(docs, "_miru_cached_input", None)
+    if cached is not None:
+        cached.unpersist()
     print(
         json.dumps(
             {

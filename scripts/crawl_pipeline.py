@@ -167,6 +167,11 @@ def run_pipeline(spark, args) -> dict:
         index_sec=round(time.monotonic() - t0, 2),
     )
     pages.unpersist()
+    # assign_doc_ids pins its sorted input in cache (correctness of the
+    # two-phase id assignment); the index is durable now — release it
+    cached = getattr(docs, "_miru_cached_input", None)
+    if cached is not None:
+        cached.unpersist()
 
     # 7. smoke query through the block-max WAND path
     if args.query:
