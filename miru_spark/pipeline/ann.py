@@ -61,12 +61,17 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
+    # norms are projected ONCE PER ROW before the join — inside the
+    # post-join projection each O(dim) norm aggregate would re-evaluate
+    # per (vector, query) pair, tripling the dominant kernel cost
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        _norm_col(vec_col).alias("q_norm"),
     )
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v_vec"),
+        _norm_col(vec_col).alias("v_norm"),
     )
     joined = v.crossJoin(F.broadcast(q))
     if exclude_self:
@@ -76,7 +81,7 @@ def cosine_topk(
         "vec_id",
         (
             _dot(F.col("q_vec"), F.col("v_vec"))
-            / (_norm_col("q_vec") * _norm_col("v_vec"))
+            / (F.col("q_norm") * F.col("v_norm"))
         ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
@@ -154,8 +159,6 @@ def lsh_topk(
     Recall < 1 by design; verified in tests against ``cosine_topk``.
     Columns: query_id, vec_id, cos, rank.
     """
-    from pyspark.sql import Window
-
     vs = srp_signatures(vectors, id_col=id_col, vec_col=vec_col, dim=dim,
                         n_bits=n_bits, seed=seed, n_tables=n_tables
                         ).withColumnRenamed("id", "vec_id")
@@ -169,28 +172,9 @@ def lsh_topk(
     )
     if exclude_self:
         cands = cands.filter(F.col("vec_id") != F.col("query_id"))
-
-    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"))
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    scored = (
-        cands.join(v, "vec_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            (
-                _dot(F.col("q_vec"), F.col("v_vec"))
-                / (_norm_col("q_vec") * _norm_col("v_vec"))
-            ).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
-        .orderBy("query_id", "rank")
-    )
+    # same exact re-rank as the IVF probe path — one implementation
+    return _exact_rerank(cands, vectors, queries, k, id_col=id_col,
+                         vec_col=vec_col, query_id_col=query_id_col)
 
 
 def cosine_pairs_exact(
@@ -357,14 +341,16 @@ def cosine_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    v_a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    v_b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    v_a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+                         _norm_col(vec_col).alias("norm_a"))
+    v_b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+                         _norm_col(vec_col).alias("norm_b"))
     return (
         cands.join(v_a, "id_a")
         .join(v_b, "id_b")
         .withColumn(
             "cos",
-            _dot(F.col("vec_a"), F.col("vec_b")) / (_norm_col("vec_a") * _norm_col("vec_b")),
+            _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
@@ -374,11 +360,15 @@ def cosine_pairs(
 
 def _exact_rerank(cands, vectors, queries, k, *, id_col, vec_col, query_id_col):
     """Exact cosine re-rank of (query_id, vec_id) candidates; shared by
-    the LSH and IVF probe paths."""
+    the LSH and IVF probe paths. Norms are projected once per row before
+    the join (per-pair re-evaluation would triple the kernel cost)."""
     from pyspark.sql import Window
 
-    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"))
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"),
+                       _norm_col(vec_col).alias("v_norm"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"),
+                       _norm_col(vec_col).alias("q_norm"))
     scored = (
         cands.join(v, "vec_id")
         .join(F.broadcast(q), "query_id")
@@ -387,7 +377,7 @@ def _exact_rerank(cands, vectors, queries, k, *, id_col, vec_col, query_id_col):
             "vec_id",
             (
                 _dot(F.col("q_vec"), F.col("v_vec"))
-                / (_norm_col("q_vec") * _norm_col("v_vec"))
+                / (F.col("q_norm") * F.col("v_norm"))
             ).alias("cos"),
         )
     )

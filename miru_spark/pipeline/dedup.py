@@ -367,7 +367,10 @@ def minhash_signatures(
             yield pd.DataFrame({"id": ids, "signature": list(sigs)})
 
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    return src.mapInPandas(_sig, schema="id long, signature array<long>")
+    # ids pass through with their NATIVE type (url-keyed corpora are a
+    # first-class id shape across this module)
+    id_t = dict(src.dtypes)["id"]
+    return src.mapInPandas(_sig, schema=f"id {id_t}, signature array<long>")
 
 
 def minhash_lsh_pairs(
@@ -492,7 +495,8 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
             yield pd.DataFrame({"id": ids, "simhash": packed.view(np.int64)})
 
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    return src.mapInPandas(_sim, schema="id long, simhash long")
+    id_t = dict(src.dtypes)["id"]  # native id type, like minhash_signatures
+    return src.mapInPandas(_sim, schema=f"id {id_t}, simhash long")
 
 
 def simhash_pairs(
@@ -501,18 +505,30 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Candidates blocked on 4x16-bit bands (a pair within hamming<=3 must
-    agree exactly on at least one band — pigeonhole), verified by
-    popcount(xor). Columns: id_a, id_b, hamming."""
+    Candidates blocked on ``max_hamming + 1`` disjoint bit bands of the
+    64-bit signature (pigeonhole: a pair within hamming <= h differs in
+    at most h bands, so it agrees EXACTLY on at least one of h+1 —
+    recall-complete for the requested radius, where a fixed 4-band split
+    silently missed pairs past hamming 3), verified by popcount(xor).
+    Larger radii mean narrower bands and coarser buckets — the candidate
+    count grows accordingly, which is inherent to banding. Columns:
+    id_a, id_b, hamming."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63] for 64-bit banding")
+    n_bands = max_hamming + 1
+    bounds = [i * 64 // n_bands for i in range(n_bands + 1)]
+
+    def _band(i: int):
+        lo, width = bounds[i], bounds[i + 1] - bounds[i]
+        c = F.shiftrightunsigned("simhash", lo)
+        return c if width == 64 else c.bitwiseAND(F.lit((1 << width) - 1))
+
     sigs = simhash_signatures(df, id_col, text_col, locale=locale).persist()
     banded = sigs.select(
         "id",
         "simhash",
         F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
-                for i in range(4)
-            ])
+            F.array(*[_band(i) for i in range(n_bands)])
         ).alias("band", "band_val"),
     )
     a = banded.alias("a")
@@ -561,8 +577,12 @@ def connected_components(
     text). Lineage is cut per round (localCheckpoint) so the plan does
     not deepen with iterations.
     """
+    # ids keep their NATIVE type: every operation below (least/greatest/
+    # min/ordering) is total on strings too, and a cast("long") would
+    # turn url-keyed ids into nulls that the filter silently discards —
+    # an empty component set reported as success
     e = pairs.select(
-        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).where(F.col("u") != F.col("v"))
 
     def canon(es: DataFrame) -> DataFrame:
@@ -642,7 +662,7 @@ def dedup_components(
         max_shingle_df=max_shingle_df, locale=locale,
     )
     cc = connected_components(pairs)
-    ids = df.select(F.col(id_col).cast("long").alias("id"))
+    ids = df.select(F.col(id_col).alias("id"))
     return ids.join(cc, "id", "left").select(
         F.col("id").alias("doc_id"),
         F.coalesce("component", "id").alias("component"),
@@ -749,6 +769,11 @@ def duplicate_spans(
     cores = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(cores // 2, 1):
         src = src.repartition(cores)
+    # materialize each gram STRING once (struct of pos + gram), hash it
+    # twice in the following select — hashing inside the transform lambda
+    # would rebuild the L-token concat per hash call, doubling the
+    # string-construction cost of the dominant occurrence-scale stage
+    # (same re-evaluation lesson as _shingle_from_tokens)
     grams = (
         src.filter(F.size("toks") >= L)
         .select(
@@ -758,15 +783,17 @@ def duplicate_spans(
                     F.sequence(F.lit(0), F.size("toks") - L),
                     lambda i: F.struct(
                         i.alias("pos"),
-                        F.xxhash64(F.concat_ws(" ", F.slice("toks", i + 1, L))).alias("h1"),
-                        F.xxhash64(
-                            F.lit("s2"), F.concat_ws(" ", F.slice("toks", i + 1, L))
-                        ).alias("h2"),
+                        F.concat_ws(" ", F.slice("toks", i + 1, L)).alias("gram"),
                     ),
                 )
             ).alias("g"),
         )
-        .select("id", "g.pos", "g.h1", "g.h2")
+        .select(
+            "id",
+            F.col("g.pos").alias("pos"),
+            F.xxhash64(F.col("g.gram")).alias("h1"),
+            F.xxhash64(F.lit("s2"), F.col("g.gram")).alias("h2"),
+        )
     )
     agg = [F.count(F.lit(1)).alias("cnt")]
     if keep_first:

@@ -868,3 +868,51 @@ def test_canonical_url_idempotent_grid(spark):
         .collect()
     )
     assert bad == [], bad[:5]
+
+
+def test_dedup_family_string_ids(spark):
+    """url-keyed corpora are a first-class id shape (the crawl pipeline
+    falls back to key='url' when no numeric id exists): signatures,
+    banding, and connected components must carry string ids through
+    instead of null-casting them (review r3)."""
+    rows = [
+        ("https://a.example/1", "the quick brown fox jumps over the lazy dog"),
+        ("https://a.example/2", "the quick brown fox jumps over the lazy dog"),
+        ("https://b.example/1", "completely different text about spark shuffles here"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    sigs = {r["id"]: r["signature"]
+            for r in dedup.minhash_signatures(df, "url", "text").collect()}
+    assert set(sigs) == {u for u, _ in rows}
+    assert sigs["https://a.example/1"] == sigs["https://a.example/2"]
+    pairs = dedup.minhash_lsh_pairs(df, "url", "text", verify_threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("https://a.example/1", "https://a.example/2") in got
+    sh = {r["id"]: r["simhash"]
+          for r in dedup.simhash_signatures(df, "url", "text").collect()}
+    assert sh["https://a.example/1"] == sh["https://a.example/2"]
+    comps = {r["doc_id"]: r["component"]
+             for r in dedup.dedup_components(df, "url", "text", threshold=0.8,
+                                             max_shingle_df=None).collect()}
+    assert None not in comps and None not in comps.values()
+    assert comps["https://a.example/1"] == comps["https://a.example/2"]
+    assert comps["https://b.example/1"] != comps["https://a.example/1"]
+
+
+def test_simhash_pairs_recall_complete_for_radius(docs_with_dups):
+    """Banding must be recall-complete for the REQUESTED radius: every
+    pair with hamming <= max_hamming appears (pigeonhole over
+    max_hamming+1 bands — the old fixed 4-band split silently dropped
+    qualifying pairs past hamming 3)."""
+    sigs = {r["id"]: r["simhash"]
+            for r in dedup.simhash_signatures(docs_with_dups, "id", "text").collect()}
+    for h in (3, 6, 10):
+        want = {
+            (a, b): bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            for a in sigs for b in sigs if a < b
+        }
+        want = {p: d for p, d in want.items() if d <= h}
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in dedup.simhash_pairs(
+                   docs_with_dups, "id", "text", max_hamming=h).collect()}
+        assert got == want, (h, got, want)
