@@ -423,6 +423,70 @@ def q_bm25_wand_phrase(spark, sf_dir):
     )
 
 
+_POSITIONS_BUILT: set[str] = set()
+
+
+def _reader_with_positions(spark, sf_dir, locale=None):
+    """Like :func:`_reader`, plus the positional-postings sidecar — built
+    lazily, once per cached index (only the positional entries pay for
+    it; the core index entries keep their plans untouched)."""
+    from miru_spark.index.positions import build_positions
+
+    r = _reader(spark, sf_dir, locale=locale)
+    with _INDEX_LOCK:
+        if r.index_dir not in _POSITIONS_BUILT:
+            build_positions(spark, _read(spark, sf_dir, "documents"), r.index_dir)
+            _POSITIONS_BUILT.add(r.index_dir)
+    return r
+
+
+def q_bm25_phrase_positional(spark, sf_dir):
+    """Quoted phrase answered from the POSITIONAL sidecar: adjacency is
+    decided index-side by the greedy-chain kernel over per-term position
+    blocks (miru_spark/index/positions.py) — no doc-text relation in the
+    verify plan at all (the Lucene positional plan; the reference itself
+    re-parses text, LuceneBackedQueryParser.java:56-74). Rank-identical
+    to ``q_bm25_phrase`` by construction, so it shares that oracle."""
+    from miru_spark.query.bm25 import search
+
+    return search(
+        _reader_with_positions(spark, sf_dir), 'data AND "table hash"',
+        k=10, round_to=4, phrase_via="positions",
+    )
+
+
+def q_bm25_slop_positional(spark, sf_dir):
+    """Ordered sloppy phrase `"table hash"~2` via the positional sidecar:
+    the greedy chain admits any in-order occurrence spanning <= n+slop
+    tokens — exactly the text automaton's window rule. Shares
+    ``bm25_slop``'s oracle."""
+    from miru_spark.query.bm25 import search
+
+    return search(
+        _reader_with_positions(spark, sf_dir), '"table hash"~2',
+        k=10, round_to=4, phrase_via="positions",
+    )
+
+
+def q_bm25_wand_phrase_positional(spark, sf_dir):
+    """Phrase on the SCALE path with positional verification: block-max
+    WAND ranks the constituent terms, then the bounded heap is filtered
+    by a semi-join against the positional phrase-match relation — the
+    whole phrase plan is index-only (no text scan even for verify).
+    Rank-identical to ``q_bm25_phrase``, so it shares that oracle."""
+    from miru_spark.query.bm25 import search_wand_query
+
+    out = search_wand_query(
+        _reader_with_positions(spark, sf_dir), 'data AND "table hash"',
+        k=30, phrase_via="positions",
+    )
+    return (
+        out.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").desc())
+        .limit(10)
+    )
+
+
 def q_bm25_phrase_de(spark, sf_dir):
     """Phrase verification over a NON-en-locale index: the unicode
     analyzer has a JVM ``tokens_col`` twin (parity-tested), so quoted
@@ -1551,6 +1615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_not": q_bm25_wand_not,
         "corpus_split": q_corpus_split,
         "epoch_shuffle": q_epoch_shuffle,
+        "bm25_phrase_positional": q_bm25_phrase_positional,
+        "bm25_slop_positional": q_bm25_slop_positional,
+        "bm25_wand_phrase_positional": q_bm25_wand_phrase_positional,
         # fulltext / index
         "bm25_and": q_bm25_and,
         "bm25_or": q_bm25_or,
@@ -1624,6 +1691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # built as a literal then aliased: the positional sloppy-phrase entry
+    # is rank-identical to bm25_slop by construction and shares its SQL
     toks_base = f"SELECT doc_id, {_TOKS} AS toks FROM documents"
     lang_en_sql = f"""
 WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -1645,7 +1714,7 @@ FROM scored s JOIN documents d ON s.doc_id = d.doc_id
 WHERE s.nt = 2 AND d.lang = 'en'
 ORDER BY score DESC, s.doc_id DESC LIMIT 10
 """
-    return {
+    out = {
         "bm25_and": _bm25_sql(_BM25_TERMS, 10, "and"),
         "bm25_or": _bm25_sql(_OR_TERMS, 10, "or"),
         "bm25_index_search": _bm25_sql(_BM25_TERMS, 10, "and"),
@@ -1835,6 +1904,8 @@ WHERE nt = 2 ORDER BY score DESC, doc_id DESC LIMIT 10
 """,
         "bm25_phrase": _PHRASE_SQL,
         "bm25_wand_phrase": _PHRASE_SQL,
+        "bm25_phrase_positional": _PHRASE_SQL,
+        "bm25_wand_phrase_positional": _PHRASE_SQL,
         # CJK entry: identical VALUES corpus as the Spark side (_JA_DOCS);
         # segmentation = space out each Han/Hiragana char (UAX#29 unigram
         # rule), split on whitespace; Katakana runs survive whole. Phrase
@@ -2647,3 +2718,5 @@ LEFT JOIN tot t ON t.doc_id = d.doc_id
 LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.feature_no = b.feature_no
 """,
     }
+    out["bm25_slop_positional"] = out["bm25_slop"]
+    return out

@@ -196,7 +196,17 @@ def _eval_candidates(reader: IndexReader, node, expansions, phrase_ctx=None) -> 
                 "phrase query needs text_df= (a (doc_id, text) relation — "
                 "the doc store or source table) for adjacency verification"
             )
-        text_df, text_col, use_stop, loc = phrase_ctx
+        text_df, text_col, use_stop, loc, use_pos = phrase_ctx
+        if use_pos:
+            # positional sidecar: the phrase is answered from the index
+            # alone — term filter pushed to the positions scan, adjacency
+            # decided by the vectorized greedy-chain kernel per block. No
+            # doc-text relation in the plan at all.
+            from miru_spark.index.positions import phrase_match_ids
+
+            return phrase_match_ids(
+                reader, list(node.terms), getattr(node, "slop", 0)
+            ).select("doc_id")
         acc = None
         for t in dict.fromkeys(node.terms):
             df = reader.postings(terms=[t]).select("doc_id")
@@ -326,6 +336,7 @@ def search(
     authz_field: str = "authz",
     text_df: DataFrame | None = None,
     text_col: str = "text",
+    phrase_via: str = "auto",
 ) -> DataFrame:
     """Top-k BM25: returns DataFrame(doc_id long, score double), ordered
     (score desc, doc_id desc), limited to k.
@@ -371,7 +382,7 @@ def search(
 
     phrase_ctx = _phrase_ctx_for(
         reader, ast, locale=locale, use_stopwords=use_stopwords,
-        text_df=text_df, text_col=text_col)
+        text_df=text_df, text_col=text_col, phrase_via=phrase_via)
 
     # fielded leaves (``lang:en``) are exact-match candidate MASKS — they
     # intersect the answer like the reference's constraints/authz filters
@@ -493,25 +504,55 @@ def _gather(reader: IndexReader, topk: DataFrame, gather_fields, *, time_order=F
     return out.orderBy(*order)
 
 
-def _phrase_ctx_for(reader, ast, *, locale, use_stopwords, text_df, text_col):
+def _phrase_ctx_for(reader, ast, *, locale, use_stopwords, text_df, text_col,
+                    phrase_via: str = "auto"):
     """Shared phrase-verification context for every query entry point
-    (search / facet_counts): a missing text relation fails loudly, not
-    silently, and the index's analyzer locale rides along so the JVM
-    verify expression tokenizes the text exactly as the index did
-    (``tokens_col`` has a parity-tested twin per analyzer — non-en
-    locales verify phrases too)."""
+    (search / facet_counts / search_wand_query): a missing text relation
+    fails loudly, not silently, and the index's analyzer locale rides
+    along so the JVM verify expression tokenizes the text exactly as the
+    index did (``tokens_col`` has a parity-tested twin per analyzer —
+    non-en locales verify phrases too).
+
+    ``phrase_via`` picks the adjacency-verification plan:
+      - ``"text"``       — re-analyze candidate docs' text (requires
+                           ``text_df``; the positional-index-free plan)
+      - ``"positions"``  — the positional sidecar (index-native; fails
+                           loudly if absent or built under a different
+                           analyzer than this query's effective one)
+      - ``"auto"``       — positions when usable, else text
+    Both plans compute the same match set (pytest-pinned parity), so the
+    switch never changes results — only which relation the verify touches.
+    """
     if not any(isinstance(l, qp.Phrase) for l in qp._all_leaves(ast)):
         return None
+    from miru_spark.index.positions import positions_usable
+
     eff_locale = locale if locale is not None else reader.stats.get("locale")
-    if text_df is None:
-        raise SearchError(
-            "phrase query needs text_df= (doc store or source table)"
-        )
     eff_stop = (
         use_stopwords if use_stopwords is not None
         else bool(reader.stats.get("use_stopwords"))
     )
-    return (text_df, text_col, eff_stop, eff_locale)
+    if phrase_via == "text":
+        use_pos = False
+    elif phrase_via == "positions":
+        if not positions_usable(reader.index_dir, eff_locale, eff_stop):
+            raise SearchError(
+                "phrase_via='positions' but the index has no positional "
+                "sidecar usable under this query's analyzer (locale="
+                f"{eff_locale!r}, use_stopwords={eff_stop}) — run "
+                "build_positions, or drop the per-query analyzer override"
+            )
+        use_pos = True
+    elif phrase_via == "auto":
+        use_pos = positions_usable(reader.index_dir, eff_locale, eff_stop)
+    else:
+        raise SearchError(
+            f"phrase_via must be 'auto', 'text' or 'positions', got {phrase_via!r}")
+    if not use_pos and text_df is None:
+        raise SearchError(
+            "phrase query needs text_df= (doc store or source table)"
+        )
+    return (text_df, text_col, eff_stop, eff_locale, use_pos)
 
 
 def facet_counts(
@@ -525,6 +566,7 @@ def facet_counts(
     use_stopwords: bool | None = None,
     text_df: DataFrame | None = None,
     text_col: str = "text",
+    phrase_via: str = "auto",
 ) -> DataFrame:
     """Top-k values of a stored field over the query's matching docs —
     faceting, the reference's ``AggregateCounts``/``Distincts`` answer
@@ -543,7 +585,7 @@ def facet_counts(
     expansions = _expand(reader, ast, max_expansion)
     phrase_ctx = _phrase_ctx_for(
         reader, ast, locale=locale, use_stopwords=use_stopwords,
-        text_df=text_df, text_col=text_col)
+        text_df=text_df, text_col=text_col, phrase_via=phrase_via)
     cands = _eval_candidates(reader, ast, expansions, phrase_ctx)
     cands = cands.join(reader.removed_docs(), "doc_id", "left_anti")
     # docs missing the facet field are SKIPPED, as Lucene/miru faceting
@@ -962,6 +1004,7 @@ def search_wand_query(
     use_stopwords: bool | None = None,
     text_df: DataFrame | None = None,
     text_col: str = "text",
+    phrase_via: str = "auto",
     gather_fields: list[str] | None = None,
     after: tuple[float, int] | None = None,
     first_pool: int | None = None,
@@ -1035,30 +1078,53 @@ def search_wand_query(
     # over all terms present either way, so filtering the
     # (total-order-ranked) WAND pool preserves global rank.
     hit = None
+    pos_semi: list[DataFrame] = []  # AND mode: one semi-filter per phrase
+    pos_union: DataFrame | None = None  # OR mode: any-qualifier doc set
     if phrases:
         # same resolution (and the same loud missing-text error) as every
         # other entry point — _phrase_ctx_for is never None here because
         # the shape carries phrases
-        tdf, tcol, eff_stop, eff_locale = _phrase_ctx_for(
+        tdf, tcol, eff_stop, eff_locale, use_pos = _phrase_ctx_for(
             reader, ast, locale=locale, use_stopwords=use_stopwords,
-            text_df=text_df, text_col=text_col)
-        text = tdf.select(
-            F.col("doc_id").cast("long").alias("doc_id"), F.col(tcol)
-        )
-        for p_terms, p_slop in phrases:
-            c = _phrase_hit_col(p_terms, text_col, eff_stop, slop=p_slop,
-                                locale=eff_locale)
-            if hit is None:
-                hit = c
-            else:
-                hit = (hit & c) if mode == "and" else (hit | c)
-        if mode == "or" and plain_terms:
-            from miru_spark.analysis.tokenizer import tokens_col
+            text_df=text_df, text_col=text_col, phrase_via=phrase_via)
+        if use_pos:
+            # positional sidecar: adjacency decided index-side, so the
+            # verify step becomes posting-relation joins against the
+            # broadcast heap — no doc-text scan on the WAND path either
+            from miru_spark.index.positions import phrase_match_ids
 
-            toks = tokens_col(F.col(text_col), use_stopwords=eff_stop,
-                              locale=eff_locale)
-            for t in plain_terms:
-                hit = hit | F.array_contains(toks, F.lit(t))
+            if mode == "and":
+                pos_semi = [
+                    phrase_match_ids(reader, list(p_terms), p_slop)
+                    for p_terms, p_slop in phrases
+                ]
+            else:
+                pos_union = phrase_match_ids(
+                    reader, list(phrases[0][0]), phrases[0][1])
+                for p_terms, p_slop in phrases[1:]:
+                    pos_union = pos_union.union(
+                        phrase_match_ids(reader, list(p_terms), p_slop))
+                if plain_terms:
+                    pos_union = pos_union.union(
+                        reader.postings(terms=plain_terms).select("doc_id"))
+        else:
+            text = tdf.select(
+                F.col("doc_id").cast("long").alias("doc_id"), F.col(tcol)
+            )
+            for p_terms, p_slop in phrases:
+                c = _phrase_hit_col(p_terms, text_col, eff_stop, slop=p_slop,
+                                    locale=eff_locale)
+                if hit is None:
+                    hit = c
+                else:
+                    hit = (hit & c) if mode == "and" else (hit | c)
+            if mode == "or" and plain_terms:
+                from miru_spark.analysis.tokenizer import tokens_col
+
+                toks = tokens_col(F.col(text_col), use_stopwords=eff_stop,
+                                  locale=eff_locale)
+                for t in plain_terms:
+                    hit = hit | F.array_contains(toks, F.lit(t))
 
     pool = int(first_pool) if first_pool else max(4 * k, 64)
     verified = None
@@ -1098,6 +1164,20 @@ def search_wand_query(
                 .filter(hit)
                 .select("doc_id", "score")
             )
+        for m_df in pos_semi:
+            # stream the (term-pruned) phrase-match relation against the
+            # broadcast <= pool-row heap — same shape as the mask joins
+            verified = (
+                m_df.join(F.broadcast(verified), "doc_id")
+                .select("doc_id", "score")
+            )
+        if pos_union is not None:
+            verified = (
+                pos_union.join(F.broadcast(verified), "doc_id")
+                .select("doc_id", "score")
+                .dropDuplicates(["doc_id"])  # a doc may qualify via
+                # several disjuncts; scores are per-doc so any row wins
+            )
         if n_cand < pool or verified.count() >= k:
             break  # candidate set complete, or enough survivors
         pool *= 4
@@ -1110,7 +1190,8 @@ def search_wand_query(
         return search(
             reader, ast, k, k1=k1, b=b, locale=locale,
             use_stopwords=use_stopwords, text_df=text_df,
-            text_col=text_col, gather_fields=gather_fields, after=after,
+            text_col=text_col, phrase_via=phrase_via,
+            gather_fields=gather_fields, after=after,
         )
     out = verified.orderBy(F.col("score").desc(), F.col("doc_id").desc()).limit(k)
     return _gather(reader, out, gather_fields)

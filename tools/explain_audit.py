@@ -65,6 +65,15 @@ def main() -> int:
         must_not=["CartesianProduct"],
     )
 
+    # positional phrase: term filter must reach the positions parquet
+    # scan, and the whole plan stays index-side (no text relation)
+    check(
+        "bm25_phrase_positional",
+        E.q_bm25_phrase_positional(spark, sf_dir),
+        must=["PushedFilters", "TakeOrderedAndProject"],
+        must_not=["CartesianProduct"],
+    )
+
     check(
         "q1_pricing",
         E.q_q1_pricing(spark, sf_dir),
