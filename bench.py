@@ -551,10 +551,21 @@ def main() -> None:
     all_runs["index_build"] = [round(t, 3) for t in build_times]
     E._INDEX_CACHE[SF_DIR] = idx_dir  # reuse for the index-backed queries
 
+    # positional sidecar: built once here (timed separately) so the
+    # positional phrase queries below measure QUERY latency, not the
+    # one-time build; the entry's lazy builder then sees it present
+    from miru_spark.index.positions import build_positions
+
+    t0 = time.monotonic()
+    build_positions(spark, docs, idx_dir)
+    t_positions = time.monotonic() - t0
+    E._POSITIONS_BUILT.add(idx_dir)
+
     # 2. headline queries (each forced with a collect)
     bench_queries = [
         "bm25_and", "bm25_index_search", "bm25_index_wand", "bm25_index_wand_or",
         "bm25_prefix",
+        "bm25_phrase", "bm25_phrase_positional",
         "bm25_lang_constraint", "fulltext_highlight",
         "q1_pricing", "filter_tree", "aggregate_counts", "latest_by_user",
         "waveform", "metrics_daily", "trending", "reco_cf",
@@ -595,6 +606,8 @@ def main() -> None:
         ("and", [collected["bm25_and"], collected["bm25_index_search"],
                  collected["bm25_index_wand"]]),
         ("or", [or_rows, collected["bm25_index_wand_or"]]),
+        # phrase: text-verify plan vs positional-sidecar plan must agree
+        ("phrase", [collected["bm25_phrase"], collected["bm25_phrase_positional"]]),
     ]
     rank_ok = sum(
         1 for _, plans in plan_sets
@@ -613,6 +626,7 @@ def main() -> None:
             "n_terms": meta.n_terms,
             "build_sec": round(t_build, 3),
             "docs_per_sec": round(meta.n_docs / t_build, 1),
+            "positions_build_sec": round(t_positions, 3),
         },
         "bm25_rank_match_rate": bm25_rank_match_rate,
         "queries_all_runs": all_runs,
