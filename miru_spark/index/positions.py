@@ -132,6 +132,26 @@ def _compress_positions_factory(block_bits: int):
     return _compress
 
 
+def index_state_fingerprint(index_dir: str) -> str:
+    """Cheap driver-side fingerprint of the index's CURRENT postings
+    state: the sorted per-shard (shard, checksum, n_docs) triples from the
+    lineage manifests. Every mutation path rewrites its shards' manifests
+    with a recomputed checksum — removal-fold compaction, segment-merge
+    compaction, bulk/streaming appends — so a positions sidecar stamped
+    with this fingerprint self-invalidates the moment the postings it
+    mirrors change (a stale sidecar could otherwise resurrect
+    compacted-away docs, which no downstream anti-join would hide)."""
+    import glob as _glob
+    import hashlib
+
+    parts = []
+    for p in sorted(_glob.glob(os.path.join(index_dir, "manifests", "*.json"))):
+        with open(p) as f:
+            m = json.load(f)
+        parts.append(f"{m.get('shard')}:{m.get('checksum')}:{m.get('n_docs')}")
+    return hashlib.md5(";".join(parts).encode()).hexdigest()
+
+
 def positions_path(index_dir: str) -> str:
     return os.path.join(index_dir, POSITIONS_DIR)
 
@@ -206,6 +226,7 @@ def build_positions(
         "use_stopwords": bool(sch.use_stopwords),
         "block_bits": block_bits,
         "analyzer_version": ANALYZER_VERSION,
+        "index_state": index_state_fingerprint(index_dir),
     }
     with open(os.path.join(index_dir, POSITIONS_META), "w") as f:
         json.dump(meta, f)
@@ -217,7 +238,12 @@ def positions_usable(index_dir: str, locale: str | None, use_stopwords: bool) ->
     analyzer the query is about to verify with — a per-query locale or
     stopword override that changes the token stream disqualifies the
     sidecar (positions index a specific stream), and the caller falls
-    back to text verification."""
+    back to text verification. Likewise an index whose postings have
+    MUTATED since the sidecar was built (compaction folding tombstones,
+    a bulk or streaming append, a segment merge) disqualifies it: the
+    manifests' state fingerprint no longer matches, so ``auto`` falls
+    back to text and ``positions`` fails loudly — never a silently
+    resurrected or missing doc."""
     from miru_spark.analysis.tokenizer import ANALYZER_VERSION
 
     m = positions_meta(index_dir)
@@ -226,6 +252,7 @@ def positions_usable(index_dir: str, locale: str | None, use_stopwords: bool) ->
         and m.get("locale") == locale
         and bool(m.get("use_stopwords")) == bool(use_stopwords)
         and m.get("analyzer_version") == ANALYZER_VERSION
+        and m.get("index_state") == index_state_fingerprint(index_dir)
     )
 
 

@@ -538,9 +538,11 @@ def _phrase_ctx_for(reader, ast, *, locale, use_stopwords, text_df, text_col,
         if not positions_usable(reader.index_dir, eff_locale, eff_stop):
             raise SearchError(
                 "phrase_via='positions' but the index has no positional "
-                "sidecar usable under this query's analyzer (locale="
-                f"{eff_locale!r}, use_stopwords={eff_stop}) — run "
-                "build_positions, or drop the per-query analyzer override"
+                "sidecar usable for this query: missing, built under a "
+                f"different analyzer (locale={eff_locale!r}, "
+                f"use_stopwords={eff_stop}), or stale after an index "
+                "mutation (append/compaction) — re-run build_positions, "
+                "or drop the per-query analyzer override"
             )
         use_pos = True
     elif phrase_via == "auto":

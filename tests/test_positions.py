@@ -289,3 +289,43 @@ def test_parity_on_stopword_locale_index(spark, corpus, tmp_path):
         r, q, k=10, phrase_via="positions").collect()}
     assert a == b
     assert 0 in b and 1 in b  # both collapse to hund-katze adjacency
+
+
+def test_stale_sidecar_disqualified_by_index_mutation(spark, corpus, oracle, tmp_path_factory):
+    """A postings mutation after build_positions (here: removal-fold
+    compaction, which clears the tombstone log) must disqualify the
+    sidecar via the manifest-state fingerprint: ``positions_usable`` goes
+    False, ``phrase_via='auto'`` falls back to text verification (the
+    compacted-away doc is NOT resurrected), ``phrase_via='positions'``
+    fails loudly, and re-running build_positions re-qualifies it."""
+    from miru_spark.index.builder import apply_removals, build_index, compact_removals
+
+    (t1, t2), _ = _bigrams(oracle).most_common(1)[0]
+    q = f'"{t1} {t2}"'
+    d = str(tmp_path_factory.mktemp("staleidx") / "idx")
+    build_index(spark, corpus, d, n_shards=2, block_bits=7, overwrite=True)
+    pos.build_positions(spark, corpus, d)
+    assert pos.positions_usable(d, None, False)
+    r = IndexReader(spark, d)
+    hits = {x["doc_id"] for x in bm25.search(
+        r, q, k=1000, phrase_via="positions").collect()}
+    assert hits
+    victim = max(hits)
+
+    apply_removals(spark, d, spark.createDataFrame(
+        [(victim, "remove", 1)], "doc_id long, op string, version long"))
+    compact_removals(spark, d)
+
+    assert not pos.positions_usable(d, None, False)
+    r2 = IndexReader(spark, d)
+    auto = {x["doc_id"] for x in bm25.search(
+        r2, q, k=1000, text_df=corpus, phrase_via="auto").collect()}
+    assert auto == hits - {victim}
+    with pytest.raises(bm25.SearchError, match="stale|sidecar"):
+        bm25.search(r2, q, k=10, phrase_via="positions")
+
+    pos.build_positions(spark, corpus.filter(F.col("doc_id") != victim), d)
+    assert pos.positions_usable(d, None, False)
+    rebuilt = {x["doc_id"] for x in bm25.search(
+        IndexReader(spark, d), q, k=1000, phrase_via="positions").collect()}
+    assert rebuilt == auto
