@@ -51,6 +51,9 @@ def _reader(spark: SparkSession, sf_dir: str, locale: str | None = None):
         return _reader_locked(spark, sf_dir, build_index, IndexReader, locale)
 
 
+_READER_CACHE: dict[str, object] = {}
+
+
 def _reader_locked(spark, sf_dir, build_index, IndexReader, locale=None):
     key = sf_dir if locale is None else f"{sf_dir}\x00{locale}"
     if key not in _INDEX_CACHE:
@@ -68,7 +71,17 @@ def _reader_locked(spark, sf_dir, build_index, IndexReader, locale=None):
             overwrite=True,
         )
         _INDEX_CACHE[key] = d
-    return IndexReader(spark, _INDEX_CACHE[key])
+    # reuse the reader INSTANCE: its memoized base relations save the
+    # per-query spark.read.parquet driver round-trips (IndexReader is a
+    # read-only snapshot handle; the entry context never mutates a built
+    # index). Invalidated when the index dir changes (e.g. bench injects
+    # its own freshly built index into _INDEX_CACHE) or the SparkSession
+    # differs (a stale session's plans are unusable).
+    r = _READER_CACHE.get(key)
+    if r is None or r.index_dir != _INDEX_CACHE[key] or r.spark is not spark:
+        r = IndexReader(spark, _INDEX_CACHE[key])
+        _READER_CACHE[key] = r
+    return r
 
 
 _TOKS_CACHE: dict[str, DataFrame] = {}

@@ -350,9 +350,8 @@ def phrase_match_ids(
     Removal-log semantics match the text path: like ``reader.postings``,
     hidden docs may appear here and are anti-joined downstream by every
     query entry point."""
-    df = (
-        reader.spark.read.parquet(positions_path(reader.index_dir))
-        .filter(F.col("term").isin(list(dict.fromkeys(terms))))
+    df = reader._rel(POSITIONS_DIR).filter(
+        F.col("term").isin(list(dict.fromkeys(terms)))
     )
     return df.groupBy("block_key").applyInPandas(
         _verifier_factory(list(terms), slop, reader.block_bits),

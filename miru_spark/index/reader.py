@@ -69,6 +69,20 @@ def _regexp_required_prefix(pattern: str) -> str:
 
 
 class IndexReader:
+    """Point-in-time read handle over an index directory.
+
+    SNAPSHOT SEMANTICS: global stats load at construction, and the base
+    parquet relations (postings / doclens / dictionary / docs) are
+    memoized on first use — re-planning `spark.read.parquet` per query
+    cost ~0.5s of driver round-trips (schema + file-listing reads) on
+    EVERY index-backed query, pure scheduler latency at any corpus size.
+    After a mutation that rewrites index files (compaction, append,
+    segment merge) open a NEW reader, exactly as the fresher stats.json
+    already required. The REMOVAL log is deliberately NOT memoized:
+    tombstone appends don't rewrite index files, and queries through an
+    existing reader must see them immediately (delta-read semantics,
+    like the reference's in-memory removal bitmap)."""
+
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
@@ -77,13 +91,21 @@ class IndexReader:
         self.n_docs: int = self.stats["n_docs"]
         self.avgdl: float = self.stats["avgdl"]
         self.block_bits: int = self.stats["block_bits"]
+        self._rel_cache: dict[str, DataFrame] = {}
+
+    def _rel(self, name: str) -> DataFrame:
+        """Memoized base relation (see snapshot semantics above)."""
+        if name not in self._rel_cache:
+            self._rel_cache[name] = self.spark.read.parquet(
+                os.path.join(self.index_dir, name))
+        return self._rel_cache[name]
 
     # ---- raw tables -------------------------------------------------
     def dictionary(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "dictionary"))
+        return self._rel("dictionary")
 
     def doc_store(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        return self._rel("docs")
 
     def doclens_blocks(self) -> DataFrame:
         """Per-block doclens sidecar: (shard, block_key, n, min_doclen,
@@ -91,7 +113,7 @@ class IndexReader:
         per posting — readers equi-join it per block (doclen depends only
         on the doc, so a per-posting copy would be df-times redundant in
         storage and shuffle)."""
-        return self.spark.read.parquet(os.path.join(self.index_dir, "doclens"))
+        return self._rel("doclens")
 
     # broadcast the touched-block header relation only when it is provably
     # bounded: 2^20 (shard, block_key) rows ~ tens of MB serialized
@@ -171,7 +193,7 @@ class IndexReader:
         costs anything on full scans."""
         from miru_spark.index.builder import DOCLEN_TERM
 
-        df = self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        df = self._rel("postings")
         conds = []
         if terms:
             conds.append(F.col("term").isin(list(terms)))
