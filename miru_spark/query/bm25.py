@@ -288,6 +288,80 @@ def _or_admits_nonscoring(node) -> bool:
     return False
 
 
+def _fusible(node, under_not: bool = False) -> bool:
+    """True when the whole tree is answerable by the SINGLE-PASS coverage
+    plan in :func:`search` (one postings decode + one groupBy instead of
+    a per-leaf candidate join plus a second scoring decode): every leaf
+    is an unfielded term-bearing leaf (no phrase / MatchAll / fielded
+    mask), every And outside a NOT keeps a positive child, and no Not
+    sits directly under an Or outside a NOT (the last two mirror
+    _eval_candidates' loud rejections, which the general path still
+    owns). Under these rules every doc satisfying the tree matches at
+    least one positive leaf's term — root leaf: itself; grounded And: its
+    positive child, recursively; Not-free Or: some child, recursively —
+    so the posting rows of the query's own terms are a COMPLETE candidate
+    source and no separate candidate evaluation is needed. Anything goes
+    inside a Not: no rows are ever needed from a negated subtree."""
+    if isinstance(node, qp.And):
+        if not under_not and all(isinstance(c, qp.Not) for c in node.children):
+            return False
+        return all(_fusible(c, under_not) for c in node.children)
+    if isinstance(node, qp.Or):
+        if not under_not and any(isinstance(c, qp.Not) for c in node.children):
+            return False
+        return all(_fusible(c, under_not) for c in node.children)
+    if isinstance(node, qp.Not):
+        return _fusible(node.child, True)
+    if isinstance(node, (qp.Phrase, qp.MatchAll)):
+        return False
+    return getattr(node, "field", None) is None
+
+
+def _coverage_plan(ast, expansions):
+    """(leaf -> coverage-bit index, term -> sorted bit list) for the
+    fused plan. Leaves are frozen dataclasses, so equal leaves in
+    different tree positions share a bit (same term set, same truth
+    value). A leaf whose expansion is empty gets a bit no term carries —
+    its array_contains is constantly false, exactly the general path's
+    empty candidate set for an unmatched prefix/fuzzy/range."""
+    leaf_ix: dict = {}
+    term_leaves: dict[str, set[int]] = {}
+
+    def walk(n):
+        if isinstance(n, (qp.And, qp.Or)):
+            for c in n.children:
+                walk(c)
+        elif isinstance(n, qp.Not):
+            walk(n.child)
+        else:
+            ix = leaf_ix.setdefault(n, len(leaf_ix))
+            for t in _leaf_terms(n, expansions):
+                term_leaves.setdefault(t, set()).add(ix)
+
+    walk(ast)
+    return leaf_ix, term_leaves
+
+
+def _coverage_expr(node, leaf_ix, covered):
+    """The boolean tree re-expressed over the per-doc covered-bit array:
+    leaf -> array_contains(covered, bit), And/Or/Not -> & | ~."""
+    if isinstance(node, qp.And):
+        cols = [_coverage_expr(c, leaf_ix, covered) for c in node.children]
+        out = cols[0]
+        for c in cols[1:]:
+            out = out & c
+        return out
+    if isinstance(node, qp.Or):
+        cols = [_coverage_expr(c, leaf_ix, covered) for c in node.children]
+        out = cols[0]
+        for c in cols[1:]:
+            out = out | c
+        return out
+    if isinstance(node, qp.Not):
+        return ~_coverage_expr(node.child, leaf_ix, covered)
+    return F.array_contains(covered, leaf_ix[node])
+
+
 def _zero_score_topk(
     reader: IndexReader, cands: DataFrame, k: int, *,
     constraint=None, authz=None, authz_field="authz",
@@ -410,7 +484,20 @@ def search(
             authz_field=authz_field, after=after)
         return _gather(reader, out, gather_fields, time_order=True)
 
-    stats = reader.term_stats(pos_terms)
+    # single-pass eligibility: when the whole tree is unfielded
+    # non-phrase leaves under grounded and/or/not, candidates and scores
+    # come from ONE postings decode + ONE groupBy (coverage aggregation)
+    # instead of a per-leaf candidate join plus a second scoring decode.
+    # a bare root-level Not is a pure-negation query — the general path
+    # rejects it loudly (SearchError, like Lucene); never fuse it into a
+    # silently-empty answer.
+    fused = _fusible(ast) and not isinstance(ast, qp.Not)
+    if fused:
+        leaf_ix, term_leaves = _coverage_plan(ast, expansions)
+        all_terms = list(term_leaves)  # includes negated leaves' terms
+        stats = reader.term_stats(all_terms)
+    else:
+        stats = reader.term_stats(pos_terms)
     # Lucene-classic `term^N` boost: the clause weight multiplies the
     # term's score contribution (BoostQuery semantics). BM25's per-term
     # contribution is linear in idf, so the boost folds into the
@@ -434,18 +521,60 @@ def search(
     ]
     idf_df = reader.spark.createDataFrame(idf_rows, "term string, idf double")
 
-    candidates = _eval_candidates(reader, ast, expansions, phrase_ctx)
-    if constraint is not None:
-        mask = reader.doc_store().filter(constraint).select("doc_id")
-        candidates = candidates.join(mask, "doc_id", "left_semi")
-    if authz is not None:
-        candidates = candidates.join(
-            composite_authz(reader, authz, authz_field), "doc_id", "left_semi")
-    # removal mask: tombstoned docs never reach the scorer (the
-    # reference ANDs ¬removal into every answer, FullTextCustomQuestion.java:89)
-    candidates = candidates.join(reader.removed_docs(), "doc_id", "left_anti")
+    if fused and idf_rows:
+        # fused plan: decode the query terms' postings ONCE; each row
+        # joins the broadcast (term, idf, leaf-bits) map (negated-leaf-
+        # only terms carry idf 0 — present for coverage, scoreless);
+        # one groupBy sums BM25 and folds the covered-bit set; the
+        # boolean tree evaluates over the bits. Identical result set and
+        # scores to the general path (dedup-terms-then-sum model), one
+        # decode and one exchange instead of three decodes and two.
+        idf_by_term = dict(idf_rows)
+        map_rows = [
+            (t, float(idf_by_term.get(t, 0.0)), sorted(term_leaves[t]))
+            for t in all_terms if t in stats
+        ]
+        map_df = reader.spark.createDataFrame(
+            map_rows, "term string, idf double, leaf_ids array<int>")
+        scored = (
+            reader.postings(
+                terms=[t for t, _, _ in map_rows],
+                df_bound=sum(stats[t]["df"] for t, _, _ in map_rows),
+            )
+            .join(F.broadcast(map_df), "term")
+            .withColumn("contrib", _bm25_score_col(F.col("idf"), k1, b, reader.avgdl))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("contrib").alias("score"),
+                F.array_distinct(F.flatten(F.collect_list("leaf_ids"))).alias("covered"),
+            )
+            .filter(_coverage_expr(ast, leaf_ix, F.col("covered")))
+            .select("doc_id", "score")
+        )
+        if constraint is not None:
+            scored = scored.join(
+                reader.doc_store().filter(constraint).select("doc_id"),
+                "doc_id", "left_semi")
+        if authz is not None:
+            scored = scored.join(
+                composite_authz(reader, authz, authz_field), "doc_id", "left_semi")
+        scored = scored.join(reader.removed_docs(), "doc_id", "left_anti")
+        candidates = None
+    else:
+        candidates = _eval_candidates(reader, ast, expansions, phrase_ctx)
+        if constraint is not None:
+            mask = reader.doc_store().filter(constraint).select("doc_id")
+            candidates = candidates.join(mask, "doc_id", "left_semi")
+        if authz is not None:
+            candidates = candidates.join(
+                composite_authz(reader, authz, authz_field), "doc_id", "left_semi")
+        # removal mask: tombstoned docs never reach the scorer (the
+        # reference ANDs ¬removal into every answer, FullTextCustomQuestion.java:89)
+        candidates = candidates.join(reader.removed_docs(), "doc_id", "left_anti")
 
-    if not idf_rows:
+    if candidates is None:
+        pass  # fused: scored is complete
+    elif not idf_rows:
         # no query term exists in the dictionary: skip the scoring scan
         # entirely — postings(terms=[]) would otherwise read the WHOLE
         # postings relation (an empty isin is no filter), a corpus scan

@@ -1254,3 +1254,48 @@ def test_wand_stopword_override_parity(spark, tmp_path):
     # it with the index settings and returned w00001 docs)
     assert bm25.search(r, q, k=10, use_stopwords=False).collect() == []
     assert bm25.search_wand_query(r, q, k=10, use_stopwords=False).collect() == []
+
+
+def test_fused_plan_matches_general_path(reader, oracle, monkeypatch):
+    """The single-pass coverage plan (one postings decode + one groupBy)
+    must return the exact rows/scores of the general candidate-join plan
+    on every fused-eligible query shape: AND, OR, nested, NOT under AND,
+    prefix expansion, boost, and a dictionary-miss term."""
+    queries = [
+        "w00000",
+        "w00001 AND w00004",
+        "w00050 OR w00003",
+        "(w00001 OR w00002) AND w00004",
+        "w00001 NOT w00000",
+        "w0000* OR w00050",
+        "w00003^2 OR w00003",
+        "w00001 AND zzznotaterm",
+        "w00001 OR zzznotaterm",
+        "w00001 OR (NOT w00002 w00003)",
+    ]
+    for q in queries:
+        assert bm25._fusible(bm25.qp.parse_query(q)), q
+        fused = [(r["doc_id"], round(r["score"], 9))
+                 for r in bm25.search(reader, q, k=25, max_expansion=1000).collect()]
+        monkeypatch.setattr(bm25, "_fusible", lambda *a, **k: False)
+        general = [(r["doc_id"], round(r["score"], 9))
+                   for r in bm25.search(reader, q, k=25, max_expansion=1000).collect()]
+        monkeypatch.undo()
+        assert fused == general, q
+
+
+def test_fused_never_claims_unfusible_shapes():
+    """Phrases, fielded masks, *:*, all-negated ANDs, NOT-under-OR, and
+    bare root negation all stay on the general path."""
+    pq = bm25.qp.parse_query
+    for q in ['"w00001 w00002"', "lang:en AND w00001", "*:*",
+              "NOT w00001 NOT w00002", "w00001 OR NOT w00002"]:
+        ast = pq(q)
+        assert not (bm25._fusible(ast) and not isinstance(ast, bm25.qp.Not)), q
+    # root Not: _fusible may accept the subtree, but search() must not fuse
+    assert isinstance(pq("NOT w00001"), bm25.qp.Not)
+
+
+def test_pure_negation_raises_on_both_paths(reader):
+    with pytest.raises(bm25.SearchError):
+        bm25.search(reader, "NOT w00001", k=10).collect()
