@@ -362,6 +362,37 @@ def _coverage_expr(node, leaf_ix, covered):
     return F.array_contains(covered, leaf_ix[node])
 
 
+def _fused_candidate_set(reader: IndexReader, ast, expansions) -> DataFrame | None:
+    """Score-free twin of :func:`search`'s fused plan: the distinct
+    candidate doc_ids of a fused-eligible boolean tree from ONE postings
+    decode + ONE groupBy, for callers that need candidates without BM25
+    weights (facet_counts, the TIME strategy). None when the tree isn't
+    fused-eligible — callers fall back to :func:`_eval_candidates`,
+    which keeps the loud rejections (pure negation, NOT under OR)."""
+    if not _fusible(ast) or isinstance(ast, qp.Not):
+        return None
+    leaf_ix, term_leaves = _coverage_plan(ast, expansions)
+    stats = reader.term_stats(list(term_leaves))
+    map_rows = [(t, sorted(term_leaves[t])) for t in term_leaves if t in stats]
+    if not map_rows:
+        # no query term exists in the dictionary -> empty candidate set;
+        # returning it directly avoids postings(terms=[]), which would
+        # scan the whole postings relation (empty isin filters nothing)
+        return reader.spark.range(0).select(F.col("id").alias("doc_id"))
+    map_df = reader.spark.createDataFrame(map_rows, "term string, leaf_ids array<int>")
+    return (
+        reader.postings(
+            terms=[t for t, _ in map_rows],
+            df_bound=sum(stats[t]["df"] for t, _ in map_rows),
+        )
+        .join(F.broadcast(map_df), "term")
+        .groupBy("doc_id")
+        .agg(F.array_distinct(F.flatten(F.collect_list("leaf_ids"))).alias("covered"))
+        .filter(_coverage_expr(ast, leaf_ix, F.col("covered")))
+        .select("doc_id")
+    )
+
+
 def _zero_score_topk(
     reader: IndexReader, cands: DataFrame, k: int, *,
     constraint=None, authz=None, authz_field="authz",
@@ -717,7 +748,9 @@ def facet_counts(
     phrase_ctx = _phrase_ctx_for(
         reader, ast, locale=locale, use_stopwords=use_stopwords,
         text_df=text_df, text_col=text_col, phrase_via=phrase_via)
-    cands = _eval_candidates(reader, ast, expansions, phrase_ctx)
+    cands = _fused_candidate_set(reader, ast, expansions)
+    if cands is None:
+        cands = _eval_candidates(reader, ast, expansions, phrase_ctx)
     cands = cands.join(reader.removed_docs(), "doc_id", "left_anti")
     # docs missing the facet field are SKIPPED, as Lucene/miru faceting
     # does — without this a corpus-scale null bucket can occupy the top-k
@@ -747,7 +780,9 @@ def search_time_newest(
     if ast is None:
         return reader.spark.createDataFrame([], "doc_id long, score double")
     expansions = _expand(reader, ast, max_expansion)
-    cands = _eval_candidates(reader, ast, expansions)
+    cands = _fused_candidate_set(reader, ast, expansions)
+    if cands is None:
+        cands = _eval_candidates(reader, ast, expansions)
     return _zero_score_topk(
         reader, cands, k, constraint=constraint, authz=authz,
         authz_field=authz_field, after=after)

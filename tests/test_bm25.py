@@ -1299,3 +1299,24 @@ def test_fused_never_claims_unfusible_shapes():
 def test_pure_negation_raises_on_both_paths(reader):
     with pytest.raises(bm25.SearchError):
         bm25.search(reader, "NOT w00001", k=10).collect()
+
+
+def test_fused_candidates_match_general_in_facets_and_time(reader, oracle, corpus, monkeypatch):
+    """facet_counts and search_time_newest answer fused-eligible queries
+    through the single-pass candidate plan; both must equal the general
+    _eval_candidates plan row-for-row."""
+    from miru_spark.query.bm25 import facet_counts
+
+    for q in ["w00001 AND w00004", "(w00003 OR w00050) -w00001", "w0000*"]:
+        fused_f = [(r["value"], r["n"]) for r in
+                   facet_counts(reader, q, "lang", k=10, max_expansion=1000).collect()]
+        fused_t = [(r["doc_id"], r["score"]) for r in
+                   bm25.search_time_newest(reader, q, k=30, max_expansion=1000).collect()]
+        monkeypatch.setattr(bm25, "_fused_candidate_set", lambda *a, **k: None)
+        gen_f = [(r["value"], r["n"]) for r in
+                 facet_counts(reader, q, "lang", k=10, max_expansion=1000).collect()]
+        gen_t = [(r["doc_id"], r["score"]) for r in
+                 bm25.search_time_newest(reader, q, k=30, max_expansion=1000).collect()]
+        monkeypatch.undo()
+        assert fused_f == gen_f, q
+        assert fused_t == gen_t, q
