@@ -58,10 +58,14 @@ def main() -> int:
 
     from miru_spark.query.bm25 import search
 
+    # all-text-term boolean queries must take the FUSED single-pass plan:
+    # the coverage filter (array_contains over leaf bits) is its marker,
+    # and the per-leaf candidate SortMergeJoins of the general plan are gone
     check(
         "bm25_index_search",
         search(r, "spark AND query", k=10),
-        must=["BroadcastHashJoin", "PushedFilters", "TakeOrderedAndProject"],
+        must=["BroadcastHashJoin", "PushedFilters", "TakeOrderedAndProject",
+              "array_contains"],
         must_not=["CartesianProduct"],
     )
 
