@@ -1073,7 +1073,7 @@ def search_wand(
     return _gather(reader, out, gather_fields)
 
 
-def _wand_shape(ast):
+def _wand_shape(ast, expander=None):
     """Classify a parsed query for the WAND scale path.
 
     Returns ``(mode, terms, phrases, boosts, plain_terms, masks)`` when
@@ -1136,6 +1136,25 @@ def _wand_shape(ast):
             elif isinstance(c, qp.Phrase):
                 leaf_terms = list(c.terms)
                 phrases.append((leaf_terms, int(getattr(c, "slop", 0))))
+            elif expander is not None and isinstance(
+                c, (qp.Prefix, qp.Wildcard, qp.Regexp, qp.Fuzzy, qp.TermRange)
+            ):
+                # an expansion leaf is a disjunction of its dictionary
+                # terms: under OR (or alone at the root) it flattens into
+                # the WAND term pool, each expanded term scoring with the
+                # leaf's boost — exactly search()'s model. Inside an AND
+                # it is a disjunction-within-conjunction, which a flat
+                # WAND cannot express — fallback.
+                if mode != "or":
+                    return None
+                leaf_terms = expander(c)
+                for t in leaf_terms:
+                    if t not in plain:
+                        plain.append(t)
+                if not leaf_terms:
+                    # unmatched expansion: contributes no candidates and
+                    # no terms under OR (the exact path's empty set)
+                    continue
             else:
                 return None
             for t in leaf_terms:
@@ -1151,6 +1170,10 @@ def _wand_shape(ast):
         return terms, phrases, boosts, plain, masks, neg_masks
 
     if isinstance(ast, qp.Or):
+        r = _leaves_of(ast, "or")
+        return None if r is None else ("or", *r)
+    if isinstance(ast, (qp.Prefix, qp.Wildcard, qp.Regexp, qp.Fuzzy, qp.TermRange)):
+        # a bare expansion leaf is an OR of its expanded terms
         r = _leaves_of(ast, "or")
         return None if r is None else ("or", *r)
     if isinstance(ast, (qp.And, qp.Term, qp.Phrase)):
@@ -1209,8 +1232,13 @@ def search_wand_query(
     - AND with ``NOT term`` / ``NOT field:value`` clauses -> the negated
       postings anti-mask the bounded heap (intersect-then-anti, so the
       unbounded posting list streams against the broadcast heap);
+    - OR of (or a bare) unfielded expansion leaf (prefix / wildcard /
+      ``/regexp/`` / fuzzy / range) -> the leaf flattens into the WAND
+      pool as an OR of its dictionary expansions, each expanded term
+      scoring with the leaf's boost (search()'s exact model, same
+      default expansion cap);
     - anything else (fielded leaves under OR, fielded expansions,
-      negated phrases, nesting, wildcards, ranges, or any of
+      expansions inside an AND, negated phrases, nesting, or any of
       ``search``'s mask kwargs) -> :func:`search`.
 
     ``first_pool`` seeds the candidate pool size (default
@@ -1220,7 +1248,20 @@ def search_wand_query(
     if ast is None:
         return reader.spark.createDataFrame([], "doc_id long, score double")
 
-    shape = None if search_kwargs else _wand_shape(ast)
+    # lazy leaf expander: the dictionary is scanned only for expansion
+    # leaves _wand_shape actually reaches in an eligible position, at
+    # the same cap as search()'s default (shapes that fall back re-use
+    # search()'s own expansion; explicit max_expansion lands in
+    # search_kwargs and forces the fallback anyway)
+    _exp_cache: dict = {}
+
+    def _expander(leaf):
+        key = leaf.prefix if isinstance(leaf, qp.Prefix) else leaf
+        if key not in _exp_cache:
+            _exp_cache.update(_expand(reader, leaf, 100))
+        return _exp_cache.get(key, [])
+
+    shape = None if search_kwargs else _wand_shape(ast, _expander)
     if shape is None:
         return search(
             reader, ast, k, k1=k1, b=b, locale=locale,

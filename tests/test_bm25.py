@@ -996,7 +996,7 @@ def test_router_fallback_shapes_route_to_search(reader, corpus, monkeypatch):
         'w00001 NOT "w00000 w00002"',  # negated phrase
         "lang:en OR w00001",   # fielded under OR: mask-only disjunct
         "lang:en",             # pure mask -> TIME path
-        "w0000*",
+        "w0000* AND w00001",   # expansion inside an AND: disjunction-in-conjunction
         "(w00001 OR w00002) AND w00003",
     ]
     for q in shapes:
@@ -1023,6 +1023,30 @@ def test_router_wandable_shapes_bypass_search(reader, corpus, monkeypatch):
     assert bm25.search_wand_query(
         reader, '"w00000 w00001" OR w00002', k=5, text_df=corpus).collect()
     assert bm25.search_wand_query(reader, "w00001 NOT w00000", k=5).collect()
+    # round-3 widening #2: unfielded expansions under OR (or bare) flatten
+    # into the WAND pool as OR-of-expansions
+    assert bm25.search_wand_query(reader, "w0000*", k=5).collect()
+    assert bm25.search_wand_query(reader, "w0000* OR w00050", k=5).collect()
+
+
+def test_router_expansion_or_matches_exact(reader):
+    """Expansion leaves on the WAND path must stay rank-identical to the
+    exact path: bare prefix, prefix OR term, boosted prefix, fuzzy OR,
+    wildcard OR, and an all-miss expansion under OR."""
+    for q in [
+        "w0000*",
+        "w0000* OR w00050",
+        "w0000*^2 OR w00050",
+        "w00001~1 OR w00050",
+        "w0000?1 OR w00050",
+        "zzznope* OR w00050",
+    ]:
+        _same_ranks(bm25.search_wand_query(reader, q, k=12),
+                    bm25.search(reader, q, k=12))
+
+
+def test_router_bare_expansion_no_match_is_empty(reader):
+    assert bm25.search_wand_query(reader, "zzznope*", k=5).collect() == []
 
 
 def test_router_phrase_requires_text_df(reader):
