@@ -1108,6 +1108,7 @@ def _wand_shape(ast, expander=None):
         boosts: dict[str, float] = {}
         masks: list[str] = []
         neg_masks: list[str] = []
+        req_groups: list[list[str]] = []  # AND mode: any-of-expansion groups
         children = node.children if isinstance(node, (qp.And, qp.Or)) else [node]
         for c in children:
             if isinstance(c, qp.Not):
@@ -1143,17 +1144,21 @@ def _wand_shape(ast, expander=None):
                 # terms: under OR (or alone at the root) it flattens into
                 # the WAND term pool, each expanded term scoring with the
                 # leaf's boost — exactly search()'s model. Inside an AND
-                # it is a disjunction-within-conjunction, which a flat
-                # WAND cannot express — fallback.
-                if mode != "or":
-                    return None
+                # it becomes a REQUIRED any-of group: the run downgrades
+                # to disjunctive WAND (full-score order, so filtering
+                # stays rank-preserving) and the group post-filters the
+                # bounded heap like a mask.
                 leaf_terms = expander(c)
-                for t in leaf_terms:
-                    if t not in plain:
-                        plain.append(t)
+                if mode == "and":
+                    req_groups.append(list(leaf_terms))
+                else:
+                    for t in leaf_terms:
+                        if t not in plain:
+                            plain.append(t)
                 if not leaf_terms:
-                    # unmatched expansion: contributes no candidates and
-                    # no terms under OR (the exact path's empty set)
+                    # unmatched expansion: under OR it contributes no
+                    # candidates and no terms (the exact path's empty
+                    # set); under AND its empty req group voids the query
                     continue
             else:
                 return None
@@ -1164,10 +1169,10 @@ def _wand_shape(ast, expander=None):
                 # tboost — no 1.0 floor, so down-boosts (N < 1) apply; an
                 # unboosted sibling leaf still lifts the max back to 1.0
                 boosts[t] = max(boosts[t], wboost) if t in boosts else wboost
-        if not terms:
+        if not terms and not req_groups:
             return None
         boosts = {t: w for t, w in boosts.items() if w != 1.0}
-        return terms, phrases, boosts, plain, masks, neg_masks
+        return terms, phrases, boosts, plain, masks, neg_masks, req_groups
 
     if isinstance(ast, qp.Or):
         r = _leaves_of(ast, "or")
@@ -1232,14 +1237,19 @@ def search_wand_query(
     - AND with ``NOT term`` / ``NOT field:value`` clauses -> the negated
       postings anti-mask the bounded heap (intersect-then-anti, so the
       unbounded posting list streams against the broadcast heap);
-    - OR of (or a bare) unfielded expansion leaf (prefix / wildcard /
-      ``/regexp/`` / fuzzy / range) -> the leaf flattens into the WAND
-      pool as an OR of its dictionary expansions, each expanded term
-      scoring with the leaf's boost (search()'s exact model, same
-      default expansion cap);
+    - unfielded expansion leaves (prefix / wildcard / ``/regexp/`` /
+      fuzzy / range): under OR (or bare at the root) the leaf flattens
+      into the WAND pool as an OR of its dictionary expansions, each
+      expanded term scoring with the leaf's boost (search()'s exact
+      model, same default expansion cap); under AND the leaf becomes a
+      REQUIRED any-of group — the run downgrades to disjunctive WAND
+      (the pool is then ordered by the full BM25 score, so filtering
+      preserves rank) and one term-pruned postings scan against the
+      broadcast heap checks that every plain term and >=1 term of each
+      group is present, with the same deepening loop on shortfall;
     - anything else (fielded leaves under OR, fielded expansions,
-      expansions inside an AND, negated phrases, nesting, or any of
-      ``search``'s mask kwargs) -> :func:`search`.
+      negated phrases, nesting, or any of ``search``'s mask kwargs)
+      -> :func:`search`.
 
     ``first_pool`` seeds the candidate pool size (default
     ``max(4k, 64)``); tests shrink it to force deepening rounds.
@@ -1268,8 +1278,13 @@ def search_wand_query(
             use_stopwords=use_stopwords, text_df=text_df, text_col=text_col,
             gather_fields=gather_fields, after=after, **search_kwargs,
         )
-    mode, terms, phrases, boosts, plain_terms, masks, neg_masks = shape
-    if not phrases and not masks and not neg_masks:
+    mode, terms, phrases, boosts, plain_terms, masks, neg_masks, req_groups = shape
+    if any(not g for g in req_groups):
+        # an AND-required expansion matched nothing in the dictionary:
+        # the conjunction is unsatisfiable (exact path: empty candidate
+        # intersection) — answer without touching postings
+        return reader.spark.createDataFrame([], "doc_id long, score double")
+    if not phrases and not masks and not neg_masks and not req_groups:
         return search_wand(
             reader, terms, k, k1=k1, b=b, mode=mode, after=after,
             gather_fields=gather_fields, boosts=boosts or None,
@@ -1333,15 +1348,46 @@ def search_wand_query(
                 for t in plain_terms:
                     hit = hit | F.array_contains(toks, F.lit(t))
 
+    # AND with required any-of-expansion groups: conjunctive WAND cannot
+    # require "one of these terms", so the RUN downgrades to disjunctive
+    # WAND over all scoring terms — the pool is then ordered by the FULL
+    # BM25 score (identical to the exact path's), so post-filtering it
+    # by the requirements preserves global rank. The requirements — every
+    # plain term present, plus >=1 term of each expansion group — apply
+    # below as ONE term-pruned postings scan against the broadcast heap.
+    run_mode = "or" if req_groups else mode
+    req_all: list[list[str]] = (
+        [[t] for t in plain_terms] + req_groups if req_groups else []
+    )
+
     pool = int(first_pool) if first_pool else max(4 * k, 64)
     verified = None
     for _ in range(max_rounds):
         cand = search_wand(
-            reader, terms, pool, k1=k1, b=b, mode=mode, after=after,
+            reader, terms, pool, k1=k1, b=b, mode=run_mode, after=after,
             boosts=boosts or None, locale=locale, use_stopwords=use_stopwords,
         ).localCheckpoint(eager=True)  # <= pool rows; reused twice below
         n_cand = cand.count()
         verified = cand
+        if req_all:
+            # one scan, pruned to the union of required terms, streamed
+            # against the broadcast heap; a doc survives when it covers
+            # ALL groups (plain terms are singleton groups)
+            gmap = reader.spark.createDataFrame(
+                [(t, gi) for gi, g in enumerate(req_all) for t in g],
+                "term string, gid int",
+            )
+            covered = (
+                reader.postings(terms=sorted({t for g in req_all for t in g}))
+                .select("doc_id", "term")
+                .join(F.broadcast(verified.select("doc_id")), "doc_id")
+                .join(F.broadcast(gmap), "term")
+                .groupBy("doc_id")
+                .agg(F.countDistinct("gid").alias("ng"))
+                .filter(F.col("ng") == len(req_all))
+                .select("doc_id")
+            )
+            verified = verified.join(F.broadcast(covered), "doc_id")
         for m in masks:
             # composite-postings mask: stream the (term-pruned) postings
             # scan against the broadcast <= pool-row heap — never the

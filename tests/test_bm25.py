@@ -996,7 +996,6 @@ def test_router_fallback_shapes_route_to_search(reader, corpus, monkeypatch):
         'w00001 NOT "w00000 w00002"',  # negated phrase
         "lang:en OR w00001",   # fielded under OR: mask-only disjunct
         "lang:en",             # pure mask -> TIME path
-        "w0000* AND w00001",   # expansion inside an AND: disjunction-in-conjunction
         "(w00001 OR w00002) AND w00003",
     ]
     for q in shapes:
@@ -1045,8 +1044,29 @@ def test_router_expansion_or_matches_exact(reader):
                     bm25.search(reader, q, k=12))
 
 
+def test_router_expansion_and_matches_exact(reader):
+    """Expansion leaves inside an AND: the run downgrades to disjunctive
+    WAND + required any-of groups — still rank-identical to the exact
+    path, including boosted and multi-group conjunctions and a tiny
+    first pool that forces deepening rounds."""
+    for q in [
+        "w0000* AND w00001",
+        "w0000* AND w00001 AND w00004",
+        "w0000*^2 AND w00050",
+        "w0000* AND w0005*",
+        "w00001~1 AND w00004",
+    ]:
+        _same_ranks(bm25.search_wand_query(reader, q, k=12),
+                    bm25.search(reader, q, k=12))
+    # deepening: a 1-candidate first pool must still converge
+    _same_ranks(bm25.search_wand_query(reader, "w0000* AND w00001", k=5, first_pool=1),
+                bm25.search(reader, "w0000* AND w00001", k=5))
+
+
 def test_router_bare_expansion_no_match_is_empty(reader):
     assert bm25.search_wand_query(reader, "zzznope*", k=5).collect() == []
+    # an AND-required expansion with no dictionary match voids the query
+    assert bm25.search_wand_query(reader, "zzznope* AND w00001", k=5).collect() == []
 
 
 def test_router_phrase_requires_text_df(reader):
