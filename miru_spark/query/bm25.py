@@ -1108,7 +1108,32 @@ def _wand_shape(ast, expander=None):
         boosts: dict[str, float] = {}
         masks: list[str] = []
         neg_masks: list[str] = []
-        req_groups: list[list[str]] = []  # AND mode: any-of-expansion groups
+        req_groups: list[list[str]] = []  # AND mode: required any-of groups
+        all_groups: list[list[str]] = []  # OR mode: qualifying all-of groups
+
+        def _group_terms(child):
+            """Flatten a one-level nested group's member leaf into its
+            term list with boosts, or None when the member shape (Not /
+            fielded / phrase / deeper nesting / MatchAll) can't ride the
+            WAND path."""
+            if isinstance(child, qp.Not) or isinstance(
+                child, (qp.Phrase, qp.MatchAll, qp.And, qp.Or)
+            ):
+                return None
+            if getattr(child, "field", None) is not None:
+                return None
+            wb = float(getattr(child, "boost", 1.0))
+            if isinstance(child, qp.Term):
+                ts = [child.term]
+            elif expander is not None:
+                ts = expander(child)
+            else:
+                return None
+            for t in ts:
+                if t not in terms:
+                    terms.append(t)
+                boosts[t] = max(boosts[t], wb) if t in boosts else wb
+            return ts
         children = node.children if isinstance(node, (qp.And, qp.Or)) else [node]
         for c in children:
             if isinstance(c, qp.Not):
@@ -1129,6 +1154,43 @@ def _wand_shape(ast, expander=None):
                         masks.append(c.term)
                     continue
                 return None
+            if isinstance(c, qp.Or):
+                # one-level (a OR b) inside an AND = a required any-of
+                # group — the same shape as an expansion leaf's group;
+                # members may themselves be terms or expansions (any-of
+                # of any-ofs flattens). Deeper nesting falls back.
+                if mode != "and":
+                    return None
+                group: list[str] = []
+                for cc in c.children:
+                    ts = _group_terms(cc)
+                    if ts is None:
+                        return None
+                    for t in ts:
+                        if t not in group:
+                            group.append(t)
+                req_groups.append(group)
+                continue
+            if isinstance(c, qp.And):
+                # one-level (a AND b) inside an OR = a qualifying all-of
+                # group: a pool doc qualifies through this disjunct only
+                # by containing EVERY member term, so members must be
+                # plain terms (an expansion member would nest any-of
+                # inside all-of — fallback).
+                if mode != "or":
+                    return None
+                group = []
+                for cc in c.children:
+                    if not isinstance(cc, qp.Term) or cc.field is not None:
+                        return None
+                    ts = _group_terms(cc)
+                    if ts is None:
+                        return None
+                    for t in ts:
+                        if t not in group:
+                            group.append(t)
+                all_groups.append(group)
+                continue
             wboost = float(getattr(c, "boost", 1.0))
             if isinstance(c, qp.Term):
                 leaf_terms = [c.term]
@@ -1171,8 +1233,13 @@ def _wand_shape(ast, expander=None):
                 boosts[t] = max(boosts[t], wboost) if t in boosts else wboost
         if not terms and not req_groups:
             return None
+        if phrases and all_groups:
+            # phrase qualification (text/positions) and all-of group
+            # qualification (postings coverage) under one OR would need
+            # a union of two verify machineries — rare shape, fallback
+            return None
         boosts = {t: w for t, w in boosts.items() if w != 1.0}
-        return terms, phrases, boosts, plain, masks, neg_masks, req_groups
+        return terms, phrases, boosts, plain, masks, neg_masks, req_groups, all_groups
 
     if isinstance(ast, qp.Or):
         r = _leaves_of(ast, "or")
@@ -1247,9 +1314,16 @@ def search_wand_query(
       preserves rank) and one term-pruned postings scan against the
       broadcast heap checks that every plain term and >=1 term of each
       group is present, with the same deepening loop on shortfall;
+    - one-level nested boolean over unfielded terms: ``(a OR b) AND c``
+      -> the OR group rides the same required any-of machinery as an
+      expansion leaf (members may be terms or expansions);
+      ``(a AND b) OR c`` -> the AND group is a qualifying all-of
+      disjunct — the pool post-filters on per-(doc, group) coverage
+      from one term-pruned postings scan (plain disjuncts are
+      singleton groups);
     - anything else (fielded leaves under OR, fielded expansions,
-      negated phrases, nesting, or any of ``search``'s mask kwargs)
-      -> :func:`search`.
+      negated phrases, deeper nesting, phrase + all-of-group mixes
+      under OR, or any of ``search``'s mask kwargs) -> :func:`search`.
 
     ``first_pool`` seeds the candidate pool size (default
     ``max(4k, 64)``); tests shrink it to force deepening rounds.
@@ -1278,13 +1352,15 @@ def search_wand_query(
             use_stopwords=use_stopwords, text_df=text_df, text_col=text_col,
             gather_fields=gather_fields, after=after, **search_kwargs,
         )
-    mode, terms, phrases, boosts, plain_terms, masks, neg_masks, req_groups = shape
+    (mode, terms, phrases, boosts, plain_terms, masks, neg_masks,
+     req_groups, all_groups) = shape
     if any(not g for g in req_groups):
         # an AND-required expansion matched nothing in the dictionary:
         # the conjunction is unsatisfiable (exact path: empty candidate
         # intersection) — answer without touching postings
         return reader.spark.createDataFrame([], "doc_id long, score double")
-    if not phrases and not masks and not neg_masks and not req_groups:
+    if (not phrases and not masks and not neg_masks and not req_groups
+            and not all_groups):
         return search_wand(
             reader, terms, k, k1=k1, b=b, mode=mode, after=after,
             gather_fields=gather_fields, boosts=boosts or None,
@@ -1369,6 +1445,34 @@ def search_wand_query(
         ).localCheckpoint(eager=True)  # <= pool rows; reused twice below
         n_cand = cand.count()
         verified = cand
+        if all_groups:
+            # OR mode with all-of disjunct groups: a pool doc qualifies
+            # by containing any plain disjunct's term OR every member of
+            # some (a AND b) disjunct — one term-pruned scan against the
+            # broadcast heap, counting per-(doc, group) coverage (plain
+            # terms are singleton groups)
+            q_groups = [[t] for t in plain_terms] + all_groups
+            q_map = reader.spark.createDataFrame(
+                [(t, gi) for gi, g in enumerate(q_groups) for t in g],
+                "term string, gid int",
+            )
+            q_size = reader.spark.createDataFrame(
+                [(gi, len(g)) for gi, g in enumerate(q_groups)],
+                "gid int, sz int",
+            )
+            qual = (
+                reader.postings(terms=sorted({t for g in q_groups for t in g}))
+                .select("doc_id", "term")
+                .join(F.broadcast(verified.select("doc_id")), "doc_id")
+                .join(F.broadcast(q_map), "term")
+                .groupBy("doc_id", "gid")
+                .agg(F.countDistinct("term").alias("nt"))
+                .join(F.broadcast(q_size), "gid")
+                .filter(F.col("nt") == F.col("sz"))
+                .select("doc_id")
+                .distinct()
+            )
+            verified = verified.join(F.broadcast(qual), "doc_id")
         if req_all:
             # one scan, pruned to the union of required terms, streamed
             # against the broadcast heap; a doc survives when it covers

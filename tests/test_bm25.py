@@ -996,7 +996,8 @@ def test_router_fallback_shapes_route_to_search(reader, corpus, monkeypatch):
         'w00001 NOT "w00000 w00002"',  # negated phrase
         "lang:en OR w00001",   # fielded under OR: mask-only disjunct
         "lang:en",             # pure mask -> TIME path
-        "(w00001 OR w00002) AND w00003",
+        "((w00001 AND w00002) OR w00003) AND w00004",  # two-level nesting
+        "(w0000* AND w00001) OR w00002",  # expansion inside an all-of group
     ]
     for q in shapes:
         bm25.search_wand_query(reader, q, k=5, text_df=corpus).collect()
@@ -1067,6 +1068,25 @@ def test_router_bare_expansion_no_match_is_empty(reader):
     assert bm25.search_wand_query(reader, "zzznope*", k=5).collect() == []
     # an AND-required expansion with no dictionary match voids the query
     assert bm25.search_wand_query(reader, "zzznope* AND w00001", k=5).collect() == []
+
+
+def test_router_nested_groups_match_exact(reader):
+    """One-level nested boolean on the WAND path: (a OR b) AND c via the
+    required any-of group, (a AND b) OR c via the qualifying all-of
+    group — rank-identical to the exact path, incl. tiny-pool deepening."""
+    for q in [
+        "(w00001 OR w00002) AND w00004",
+        "(w00001 OR w0000*) AND w00004",
+        "(w00001 AND w00004) OR w00050",
+        "(w00001 AND w00004) OR (w00002 AND w00003)",
+        "(the0 OR w00002) AND w00001 AND (w00003 OR w00005)",
+    ]:
+        _same_ranks(bm25.search_wand_query(reader, q, k=12),
+                    bm25.search(reader, q, k=12))
+    _same_ranks(
+        bm25.search_wand_query(reader, "(w00001 AND w00004) OR w00050",
+                               k=5, first_pool=1),
+        bm25.search(reader, "(w00001 AND w00004) OR w00050", k=5))
 
 
 def test_router_phrase_requires_text_df(reader):
