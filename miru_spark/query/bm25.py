@@ -1254,6 +1254,90 @@ def _wand_shape(ast, expander=None):
     return None
 
 
+def _search_wand_coverage(
+    reader: IndexReader, ast, k: int, *, k1: float, b: float,
+    locale: str | None, use_stopwords: bool | None,
+    gather_fields: list[str] | None, after: tuple[float, int] | None,
+    first_pool: int | None, max_rounds: int,
+    text_df: DataFrame | None = None, text_col: str = "text",
+    phrase_via: str = "auto", max_expansion: int = 100,
+) -> DataFrame:
+    """Scale path for ANY fused-eligible boolean tree (see
+    :func:`_fusible`) that isn't one of the flat WAND shapes: arbitrary
+    nesting, NOT anywhere a grounded And allows. Enumeration and rank
+    come from disjunctive block-max WAND over the POSITIVE leaf terms —
+    every satisfying doc contains at least one (the _fusible invariant)
+    and negated terms never score, so the pool is ordered by the exact
+    path's full BM25 score. Candidacy is decided by the same coverage
+    machinery as :func:`search`'s fused plan, restricted to the bounded
+    heap: one term-pruned postings scan (positive AND negated terms)
+    streamed against the broadcast pool folds per-doc leaf-coverage
+    bits, and the boolean tree evaluates over them. Filtering a
+    full-score-ordered pool preserves global rank; shortfall deepens
+    the pool x4 (same loop as the phrase/mask router), and exhaustion
+    falls back to the exact path — never a silently-partial answer."""
+    expansions = _expand(reader, ast, max_expansion)
+    leaf_ix, term_leaves = _coverage_plan(ast, expansions)
+    all_terms = list(term_leaves)
+
+    pos_terms: list[str] = []
+    tboost: dict[str, float] = {}
+    for leaf in qp.positive_leaves(ast):
+        if leaf.field is not None:  # pragma: no cover - excluded by _fusible
+            continue
+        wb = float(getattr(leaf, "boost", 1.0))
+        for t in _leaf_terms(leaf, expansions):
+            if t not in pos_terms:
+                pos_terms.append(t)
+            tboost[t] = max(tboost[t], wb) if t in tboost else wb
+    if not pos_terms:
+        return reader.spark.createDataFrame([], "doc_id long, score double")
+    boosts = {t: w for t, w in tboost.items() if w != 1.0}
+
+    stats = reader.term_stats(all_terms)
+    cov_terms = [t for t in all_terms if t in stats]
+    gmap = reader.spark.createDataFrame(
+        [(t, sorted(term_leaves[t])) for t in cov_terms],
+        "term string, leaf_ids array<int>",
+    )
+
+    pool = int(first_pool) if first_pool else max(4 * k, 64)
+    for _ in range(max_rounds):
+        cand = search_wand(
+            reader, pos_terms, pool, k1=k1, b=b, mode="or", after=after,
+            boosts=boosts or None, locale=locale, use_stopwords=use_stopwords,
+        ).localCheckpoint(eager=True)
+        n_cand = cand.count()
+        if not cov_terms:
+            verified = cand  # no query term indexed: cand is empty anyway
+        else:
+            covered = (
+                reader.postings(
+                    terms=cov_terms,
+                    df_bound=sum(stats[t]["df"] for t in cov_terms),
+                )
+                .select("doc_id", "term")
+                .join(F.broadcast(cand.select("doc_id")), "doc_id")
+                .join(F.broadcast(gmap), "term")
+                .groupBy("doc_id")
+                .agg(F.array_distinct(
+                    F.flatten(F.collect_list("leaf_ids"))).alias("covered"))
+                .filter(_coverage_expr(ast, leaf_ix, F.col("covered")))
+                .select("doc_id")
+            )
+            verified = cand.join(F.broadcast(covered), "doc_id")
+        if n_cand < pool or verified.count() >= k:
+            out = verified.orderBy(
+                F.col("score").desc(), F.col("doc_id").desc()).limit(k)
+            return _gather(reader, out, gather_fields)
+        pool *= 4
+    return search(
+        reader, ast, k, k1=k1, b=b, locale=locale,
+        use_stopwords=use_stopwords, text_df=text_df, text_col=text_col,
+        phrase_via=phrase_via, gather_fields=gather_fields, after=after,
+    )
+
+
 def search_wand_query(
     reader: IndexReader,
     query: str,
@@ -1347,6 +1431,17 @@ def search_wand_query(
 
     shape = None if search_kwargs else _wand_shape(ast, _expander)
     if shape is None:
+        if (not search_kwargs and _fusible(ast)
+                and not isinstance(ast, qp.Not)):
+            # not a flat shape, but still a pure boolean over unfielded
+            # text terms (arbitrary nesting, NOT inside): the fused
+            # coverage verifier answers it on the WAND scale path
+            return _search_wand_coverage(
+                reader, ast, k, k1=k1, b=b, locale=locale,
+                use_stopwords=use_stopwords, gather_fields=gather_fields,
+                after=after, first_pool=first_pool, max_rounds=max_rounds,
+                text_df=text_df, text_col=text_col, phrase_via=phrase_via,
+            )
         return search(
             reader, ast, k, k1=k1, b=b, locale=locale,
             use_stopwords=use_stopwords, text_df=text_df, text_col=text_col,

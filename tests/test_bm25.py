@@ -996,8 +996,7 @@ def test_router_fallback_shapes_route_to_search(reader, corpus, monkeypatch):
         'w00001 NOT "w00000 w00002"',  # negated phrase
         "lang:en OR w00001",   # fielded under OR: mask-only disjunct
         "lang:en",             # pure mask -> TIME path
-        "((w00001 AND w00002) OR w00003) AND w00004",  # two-level nesting
-        "(w0000* AND w00001) OR w00002",  # expansion inside an all-of group
+        '(w00001 AND w00004) OR "w00000 w00002"',  # phrase + all-of mix under OR
     ]
     for q in shapes:
         bm25.search_wand_query(reader, q, k=5, text_df=corpus).collect()
@@ -1087,6 +1086,31 @@ def test_router_nested_groups_match_exact(reader):
         bm25.search_wand_query(reader, "(w00001 AND w00004) OR w00050",
                                k=5, first_pool=1),
         bm25.search(reader, "(w00001 AND w00004) OR w00050", k=5))
+
+
+def test_router_deep_trees_via_coverage_wand(reader, monkeypatch):
+    """Arbitrarily nested fusible trees stay on the scale path through
+    the coverage verifier — rank-identical to the exact path and never
+    reaching search() (except the documented exhaustion fallback)."""
+    deep = [
+        "((w00001 AND w00002) OR w00003) AND w00004",
+        "(w0000* AND w00001) OR w00002",
+        "((w00001 OR w00002) AND NOT w00003) OR w00050",
+        "((w00001 OR w00002) AND (w00003 OR w00004)) NOT w00000",
+    ]
+    for q in deep:
+        _same_ranks(bm25.search_wand_query(reader, q, k=12),
+                    bm25.search(reader, q, k=12))
+    # tiny-pool deepening converges without the exact path
+    def boom(*a, **kw):  # pragma: no cover
+        raise AssertionError("coverage path must not reach search()")
+    monkeypatch.setattr(bm25, "search", boom)
+    assert bm25.search_wand_query(reader, deep[0], k=5, first_pool=1).collect()
+    monkeypatch.undo()
+    # exhaustion (1 round, 1-doc pool) falls back to exact — identical
+    _same_ranks(
+        bm25.search_wand_query(reader, deep[0], k=5, first_pool=1, max_rounds=1),
+        bm25.search(reader, deep[0], k=5))
 
 
 def test_router_phrase_requires_text_df(reader):
