@@ -388,6 +388,24 @@ def q_bm25_wand_not(spark, sf_dir):
     )
 
 
+def q_bm25_wand_nested(spark, sf_dir):
+    """Nested boolean on the SCALE path: ((spark AND query) OR scan)
+    NOT merge is not a flat WAND shape, so the router answers it through
+    the coverage verifier — disjunctive block-max WAND over the positive
+    terms + the fused plan's leaf-coverage bits evaluated over the
+    broadcast heap (query/bm25.py::_search_wand_coverage). Rank-identical
+    to the exact path by construction."""
+    from miru_spark.query.bm25 import search_wand_query
+
+    out = search_wand_query(
+        _reader(spark, sf_dir), "((spark AND query) OR scan) NOT merge", k=30)
+    return (
+        out.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").desc())
+        .limit(10)
+    )
+
+
 def q_bm25_gather_fields(spark, sf_dir):
     """Display-field gather AFTER top-k (the reference's lazy Promise
     gather, FullText.java:204-217): (doc_id, score, lang, source)."""
@@ -1601,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked through r2 (+ reco_cf, whose r1 fail was
         # fixed but never driver-re-verified) ---
+        "bm25_wand_nested": q_bm25_wand_nested,
         "reco_cf": q_reco_cf,
         "sample_hash": q_sample_hash,
         "pack_sequences": q_pack_sequences,
@@ -1738,6 +1757,32 @@ ORDER BY score DESC, s.doc_id DESC LIMIT 10
             _BM25_TERMS, 10, "and", boosts={"spark": 2.0, "query": 0.5}),
         "bm25_wand_not": _bm25_sql(["spark", "query"], 10, "and",
                                    exclude=["merge"]),
+        "bm25_wand_nested": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
+st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
+hits AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS h_spark,
+         max(CASE WHEN term = 'query' THEN 1 ELSE 0 END) AS h_query,
+         max(CASE WHEN term = 'scan'  THEN 1 ELSE 0 END) AS h_scan,
+         max(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS h_merge
+  FROM tk WHERE term IN ('spark', 'query', 'scan', 'merge') GROUP BY doc_id),
+cand AS (SELECT doc_id FROM hits
+         WHERE ((h_spark = 1 AND h_query = 1) OR h_scan = 1) AND h_merge = 0),
+q(term) AS (VALUES ('spark'), ('query'), ('scan')),
+tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * {K1 + 1.0}
+              / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / st.avgdl)) ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT s.doc_id, round(s.score, 4) AS score FROM scored s JOIN cand USING (doc_id)
+ORDER BY score DESC, doc_id DESC LIMIT 10
+""",
         "bm25_query_stopwords": _bm25_sql(["scan", "merge"], 10, "and"),
         "bm25_prefix": f"""
 WITH base AS ({toks_base}),
