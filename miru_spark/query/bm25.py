@@ -1254,6 +1254,50 @@ def _wand_shape(ast, expander=None):
     return None
 
 
+def _heap_group_filter(
+    reader: IndexReader, heap: DataFrame, groups: list[list[str]],
+    *, require_all_groups: bool,
+) -> DataFrame:
+    """Filter a bounded (doc_id, score) heap by term-group coverage from
+    ONE term-pruned postings scan streamed against the broadcast heap
+    (the unbounded side never broadcasts).
+
+    ``require_all_groups=True`` — conjunctive: a doc survives when EVERY
+    group has >=1 member present (any-of groups under an AND; plain
+    required terms are singleton groups). ``False`` — disjunctive: a doc
+    survives when SOME group has ALL members present (all-of qualifier
+    groups under an OR; plain disjuncts are singleton groups)."""
+    gmap = reader.spark.createDataFrame(
+        [(t, gi) for gi, g in enumerate(groups) for t in g],
+        "term string, gid int",
+    )
+    hits = (
+        reader.postings(terms=sorted({t for g in groups for t in g}))
+        .select("doc_id", "term")
+        .join(F.broadcast(heap.select("doc_id")), "doc_id")
+        .join(F.broadcast(gmap), "term")
+    )
+    if require_all_groups:
+        passing = (
+            hits.groupBy("doc_id")
+            .agg(F.countDistinct("gid").alias("ng"))
+            .filter(F.col("ng") == len(groups))
+            .select("doc_id")
+        )
+    else:
+        sizes = reader.spark.createDataFrame(
+            [(gi, len(g)) for gi, g in enumerate(groups)], "gid int, sz int")
+        passing = (
+            hits.groupBy("doc_id", "gid")
+            .agg(F.countDistinct("term").alias("nt"))
+            .join(F.broadcast(sizes), "gid")
+            .filter(F.col("nt") == F.col("sz"))
+            .select("doc_id")
+            .distinct()
+        )
+    return heap.join(F.broadcast(passing), "doc_id")
+
+
 def _search_wand_coverage(
     reader: IndexReader, ast, k: int, *, k1: float, b: float,
     locale: str | None, use_stopwords: bool | None,
@@ -1543,50 +1587,15 @@ def search_wand_query(
         if all_groups:
             # OR mode with all-of disjunct groups: a pool doc qualifies
             # by containing any plain disjunct's term OR every member of
-            # some (a AND b) disjunct — one term-pruned scan against the
-            # broadcast heap, counting per-(doc, group) coverage (plain
-            # terms are singleton groups)
-            q_groups = [[t] for t in plain_terms] + all_groups
-            q_map = reader.spark.createDataFrame(
-                [(t, gi) for gi, g in enumerate(q_groups) for t in g],
-                "term string, gid int",
-            )
-            q_size = reader.spark.createDataFrame(
-                [(gi, len(g)) for gi, g in enumerate(q_groups)],
-                "gid int, sz int",
-            )
-            qual = (
-                reader.postings(terms=sorted({t for g in q_groups for t in g}))
-                .select("doc_id", "term")
-                .join(F.broadcast(verified.select("doc_id")), "doc_id")
-                .join(F.broadcast(q_map), "term")
-                .groupBy("doc_id", "gid")
-                .agg(F.countDistinct("term").alias("nt"))
-                .join(F.broadcast(q_size), "gid")
-                .filter(F.col("nt") == F.col("sz"))
-                .select("doc_id")
-                .distinct()
-            )
-            verified = verified.join(F.broadcast(qual), "doc_id")
+            # some (a AND b) disjunct (plain terms are singleton groups)
+            verified = _heap_group_filter(
+                reader, verified, [[t] for t in plain_terms] + all_groups,
+                require_all_groups=False)
         if req_all:
-            # one scan, pruned to the union of required terms, streamed
-            # against the broadcast heap; a doc survives when it covers
-            # ALL groups (plain terms are singleton groups)
-            gmap = reader.spark.createDataFrame(
-                [(t, gi) for gi, g in enumerate(req_all) for t in g],
-                "term string, gid int",
-            )
-            covered = (
-                reader.postings(terms=sorted({t for g in req_all for t in g}))
-                .select("doc_id", "term")
-                .join(F.broadcast(verified.select("doc_id")), "doc_id")
-                .join(F.broadcast(gmap), "term")
-                .groupBy("doc_id")
-                .agg(F.countDistinct("gid").alias("ng"))
-                .filter(F.col("ng") == len(req_all))
-                .select("doc_id")
-            )
-            verified = verified.join(F.broadcast(covered), "doc_id")
+            # AND mode: a doc survives by covering ALL groups — every
+            # plain term (singleton groups) and >=1 member per any-of group
+            verified = _heap_group_filter(
+                reader, verified, req_all, require_all_groups=True)
         for m in masks:
             # composite-postings mask: stream the (term-pruned) postings
             # scan against the broadcast <= pool-row heap — never the
