@@ -319,12 +319,41 @@ class IndexReader:
 
     def postings(
         self, terms: list[str] | None = None, prefixes: list[str] | None = None,
-        df_bound: int | None = None,
+        df_bound: int | None = None, block_floor: int | None = None,
     ) -> DataFrame:
-        return self.decode(
-            self.blocks(terms, prefixes),
-            sidecar=self.pruned_doclens(terms, prefixes, df_bound=df_bound),
-        )
+        """Decoded posting rows for the given terms.
+
+        ``block_floor``: restrict to blocks with ``block_key >= floor``
+        (newest doc ranges — block_key is monotone in doc_id). The
+        predicate prunes the postings AND sidecar scans at parquet
+        row-group granularity, the physical basis of the TIME strategy's
+        newest-first early termination."""
+        blocks = self.blocks(terms, prefixes)
+        side = self.pruned_doclens(terms, prefixes, df_bound=df_bound)
+        if block_floor is not None and block_floor > 0:
+            blocks = blocks.filter(F.col("block_key") >= int(block_floor))
+            side = side.filter(F.col("block_key") >= int(block_floor))
+        return self.decode(blocks, sidecar=side)
+
+    def max_block_key(self) -> int:
+        """Highest populated block_key, from the shard manifests'
+        doc_hi (no Spark job); falls back to the dense-id arithmetic
+        when no manifests exist. Cached per reader."""
+        if not hasattr(self, "_max_block_cache"):
+            hi, found = -1, False
+            man_dir = os.path.join(self.index_dir, "manifests")
+            if os.path.isdir(man_dir):
+                for fn in os.listdir(man_dir):
+                    if fn.startswith("shard_") and fn.endswith(".json"):
+                        with open(os.path.join(man_dir, fn)) as f:
+                            m = json.load(f)
+                        if m.get("status") == "done":
+                            hi = max(hi, int(m.get("doc_hi", -1)))
+                            found = True
+            if not found:
+                hi = int(self.stats.get("n_docs", 0)) - 1
+            self._max_block_cache = max(0, hi) >> self.block_bits
+        return self._max_block_cache
 
     def removed_docs(self) -> DataFrame:
         """Doc ids currently hidden by the removal log (REMOVE without a

@@ -362,7 +362,9 @@ def _coverage_expr(node, leaf_ix, covered):
     return F.array_contains(covered, leaf_ix[node])
 
 
-def _fused_candidate_set(reader: IndexReader, ast, expansions) -> DataFrame | None:
+def _fused_candidate_set(
+    reader: IndexReader, ast, expansions, block_floor: int | None = None,
+) -> DataFrame | None:
     """Score-free twin of :func:`search`'s fused plan: the distinct
     candidate doc_ids of a fused-eligible boolean tree from ONE postings
     decode + ONE groupBy, for callers that need candidates without BM25
@@ -384,6 +386,7 @@ def _fused_candidate_set(reader: IndexReader, ast, expansions) -> DataFrame | No
         reader.postings(
             terms=[t for t, _ in map_rows],
             df_bound=sum(stats[t]["df"] for t, _ in map_rows),
+            block_floor=block_floor,
         )
         .join(F.broadcast(map_df), "term")
         .groupBy("doc_id")
@@ -770,18 +773,60 @@ def search_time_newest(
     reader: IndexReader, query: str, k: int = 10, *, max_expansion: int = 100,
     constraint=None, locale: str | None = None, use_stopwords: bool | None = None,
     authz: list[str] | None = None, authz_field: str = "authz",
-    after: tuple[float, int] | None = None,
+    after: tuple[float, int] | None = None, first_span: int | None = None,
+    max_rounds: int = 32,
 ) -> DataFrame:
     """TIME strategy: newest-k matching docs, score = 0 (reference:
     ``FullText.java:222-251`` — descending docId, zero scores).
     ``after``: the same keyset cursor as :func:`search` (zero scores
-    make it a pure doc_id cut)."""
+    make it a pure doc_id cut).
+
+    Fused-eligible trees answer with newest-first EARLY TERMINATION —
+    the reference's descending-iterator behavior made physical: the
+    postings/sidecar scans are pruned to the newest blocks
+    (``block_key >= floor``, a parquet row-group predicate), the window
+    quadrupling until k answers survive the constraint/authz/removal
+    masks or the index is exhausted. Doc ids are monotone in block_key,
+    so a full window's top-k is the global top-k; at 10^12 docs a TIME
+    query touches O(k) recent blocks, never the full posting lists.
+    Per-doc coverage stays complete under the floor because every
+    posting of a doc (any term) lives in the doc's own block.
+    ``first_span`` seeds the window (blocks); tests shrink it to force
+    deepening rounds."""
     ast = _parse_for_index(reader, query, locale=locale, use_stopwords=use_stopwords)
     if ast is None:
         return reader.spark.createDataFrame([], "doc_id long, score double")
     expansions = _expand(reader, ast, max_expansion)
-    cands = _fused_candidate_set(reader, ast, expansions)
-    if cands is None:
+
+    if _fusible(ast) and not isinstance(ast, qp.Not):
+        hi = reader.max_block_key()
+        total = hi + 1
+        if first_span:
+            span = int(first_span)
+        else:
+            # seed the window so ~4k candidates are expected inside it:
+            # Σdf over the query's terms spread across all blocks is an
+            # upper-bound density (exact for single terms, optimistic
+            # for ANDs — the x4 deepening absorbs the miss)
+            leaf_ix, term_leaves = _coverage_plan(ast, expansions)
+            stats = reader.term_stats(list(term_leaves))
+            density = sum(s["df"] for s in stats.values()) / max(total, 1)
+            span = max(1, math.ceil(4 * k / max(density, 0.25)))
+        for _ in range(max_rounds):
+            floor = max(0, hi - span + 1)
+            cands = _fused_candidate_set(
+                reader, ast, expansions, block_floor=floor or None)
+            out = _zero_score_topk(
+                reader, cands, k, constraint=constraint, authz=authz,
+                authz_field=authz_field, after=after,
+            ).localCheckpoint(eager=True)
+            if floor == 0 or out.count() >= k:
+                return out
+            span *= 4
+        # pathological miss-rate (masks rejecting nearly everything):
+        # answer from the full index rather than looping further
+        cands = _fused_candidate_set(reader, ast, expansions)
+    else:
         cands = _eval_candidates(reader, ast, expansions)
     return _zero_score_topk(
         reader, cands, k, constraint=constraint, authz=authz,

@@ -1408,3 +1408,39 @@ def test_fused_candidates_match_general_in_facets_and_time(reader, oracle, corpu
         monkeypatch.undo()
         assert fused_f == gen_f, q
         assert fused_t == gen_t, q
+
+
+def test_time_newest_pruned_matches_full(reader, oracle, monkeypatch):
+    """Block-pruned TIME strategy must equal the unpruned plan: multi-
+    term boolean shapes, constraint masks, keyset paging, and a 1-block
+    first span that forces deepening rounds."""
+    for q, kw in [
+        ("w00001", {}),
+        ("w00001 OR w00004", {}),
+        ("w00001 AND w00004 NOT w00000", {}),
+        ("w0000*", {"max_expansion": 1000}),
+        ("w00001", {"first_span": 1}),
+        ("w00001 OR w00004", {"first_span": 1, "k": 100}),
+    ]:
+        k = kw.pop("k", 12)
+        got = [r["doc_id"] for r in
+               bm25.search_time_newest(reader, q, k=k, **kw).collect()]
+        monkeypatch.setattr(bm25, "_fusible", lambda *a, **kk: False)
+        want = [r["doc_id"] for r in
+                bm25.search_time_newest(reader, q, k=k, **kw).collect()]
+        monkeypatch.undo()
+        assert got == want and got, (q, got[:5], want[:5])
+
+
+def test_time_newest_pruned_with_constraint(spark, corpus, fielded_reader, monkeypatch):
+    from pyspark.sql import functions as F
+
+    got = [r["doc_id"] for r in bm25.search_time_newest(
+        fielded_reader, "w00001", k=8, constraint=F.col("lang") == "en",
+        first_span=1).collect()]
+    monkeypatch.setattr(bm25, "_fusible", lambda *a, **kk: False)
+    want = [r["doc_id"] for r in bm25.search_time_newest(
+        fielded_reader, "w00001", k=8,
+        constraint=F.col("lang") == "en").collect()]
+    monkeypatch.undo()
+    assert got == want and got
