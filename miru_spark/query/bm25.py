@@ -808,7 +808,7 @@ def search_time_newest(
             # Σdf over the query's terms spread across all blocks is an
             # upper-bound density (exact for single terms, optimistic
             # for ANDs — the x4 deepening absorbs the miss)
-            leaf_ix, term_leaves = _coverage_plan(ast, expansions)
+            _, term_leaves = _coverage_plan(ast, expansions)
             stats = reader.term_stats(list(term_leaves))
             density = sum(s["df"] for s in stats.values()) / max(total, 1)
             span = max(1, math.ceil(4 * k / max(density, 0.25)))
