@@ -1400,7 +1400,7 @@ def test_fused_candidates_match_general_in_facets_and_time(reader, oracle, corpu
                    facet_counts(reader, q, "lang", k=10, max_expansion=1000).collect()]
         fused_t = [(r["doc_id"], r["score"]) for r in
                    bm25.search_time_newest(reader, q, k=30, max_expansion=1000).collect()]
-        monkeypatch.setattr(bm25, "_fused_candidate_set", lambda *a, **k: None)
+        monkeypatch.setattr(bm25, "_fusible", lambda *a, **k: False)
         gen_f = [(r["value"], r["n"]) for r in
                  facet_counts(reader, q, "lang", k=10, max_expansion=1000).collect()]
         gen_t = [(r["doc_id"], r["score"]) for r in
