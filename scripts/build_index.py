@@ -33,7 +33,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="parquet path of the pages/documents table")
+    ap.add_argument("--input", required=True,
+                    help="pages/documents source: a parquet path, or a catalog "
+                         "table identifier (e.g. an Iceberg table 'wh.db.pages')")
+    ap.add_argument("--snapshot-id", type=int, default=None,
+                    help="Iceberg time travel: build from this exact snapshot")
+    ap.add_argument("--start-snapshot-id", type=int, default=None,
+                    help="Iceberg incremental: index only rows appended after this snapshot")
+    ap.add_argument("--end-snapshot-id", type=int, default=None,
+                    help="Iceberg incremental: upper snapshot bound (pairs with --start-snapshot-id)")
     ap.add_argument("--output", required=True, help="index output directory")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
@@ -66,7 +74,12 @@ def main() -> None:
 
         spark = SparkSession.builder.appName("miru_spark_build").getOrCreate()
 
-    docs = spark.read.parquet(args.input)
+    from miru_spark.sources import load_corpus
+
+    docs = load_corpus(
+        spark, args.input, snapshot_id=args.snapshot_id,
+        start_snapshot_id=args.start_snapshot_id,
+        end_snapshot_id=args.end_snapshot_id)
     if args.id_col not in docs.columns:
         docs = assign_doc_ids(docs, order_col=args.order_col)
         id_col = "doc_id"

@@ -57,7 +57,9 @@ def run_pipeline(spark, args) -> dict:
     from miru_spark.pipeline.dedup import exact_dedup, minhash_lsh_pairs
     from miru_spark.pipeline.text import lang_id, quality_score
 
-    pages = spark.read.parquet(args.input)
+    from miru_spark.sources import load_corpus
+
+    pages = load_corpus(spark, args.input)
     cols = set(pages.columns)
     stats: dict[str, int | float] = {"input_rows": pages.count()}
 

@@ -109,3 +109,28 @@ def test_compact_cli(spark, cli_index, capsys):
     from miru_spark.query.bm25 import search
 
     assert len(search(IndexReader(spark, cli_index), "spark", k=5).collect()) == 5
+
+
+def test_load_corpus_resolution(spark, tmp_path):
+    """Path sources read parquet; table identifiers resolve through the
+    session catalog (the Iceberg deployment path — snapshot options pass
+    through as catalog read options); snapshot options on a raw parquet
+    path fail loudly."""
+    import pytest as _pytest
+
+    from miru_spark.sources import is_table_identifier, load_corpus
+
+    df = spark.createDataFrame([(1, "a b"), (2, "c d")], "doc_id long, text string")
+    pq = str(tmp_path / "pages.parquet")
+    df.write.mode("overwrite").parquet(pq)
+
+    assert load_corpus(spark, pq).count() == 2
+    df.createOrReplaceTempView("pages_src_test")
+    assert load_corpus(spark, "pages_src_test").count() == 2
+    assert is_table_identifier("wh.db.pages")
+    assert not is_table_identifier("/data/pages.parquet")
+    assert not is_table_identifier("pages.parquet")
+    with _pytest.raises(ValueError, match="catalog table"):
+        load_corpus(spark, pq, snapshot_id=123)
+    with _pytest.raises(ValueError, match="unknown corpus format"):
+        load_corpus(spark, pq, fmt="orc")
