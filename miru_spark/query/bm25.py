@@ -362,8 +362,65 @@ def _coverage_expr(node, leaf_ix, covered):
     return F.array_contains(covered, leaf_ix[node])
 
 
+def _coverage_agg(
+    reader: IndexReader, ast, expansions, *,
+    idf_by_term: dict | None = None, heap: DataFrame | None = None,
+    block_floor: int | None = None, plan: tuple | None = None,
+    k1: float = K1_DEFAULT, b: float = B_DEFAULT,
+) -> DataFrame | None:
+    """The ONE coverage pipeline behind every fused answer: decode the
+    query terms' postings once (``block_floor`` prunes to the newest
+    blocks; a broadcast ``heap`` restricts to a bounded pool), join the
+    broadcast (term -> [idf,] leaf-bits) map, fold per-doc covered bits
+    in one groupBy (summing BM25 when ``idf_by_term`` is given — terms
+    absent from the map score 0), and evaluate the boolean tree over the
+    bits. Returns DataFrame(doc_id[, score]); None when NO query term
+    exists in the dictionary (the caller's provably-empty case — never
+    scan with an empty term filter). ``plan`` reuses a precomputed
+    ``(leaf_ix, term_leaves, stats)`` across deepening rounds."""
+    if plan is None:
+        leaf_ix, term_leaves = _coverage_plan(ast, expansions)
+        stats = reader.term_stats(list(term_leaves))
+    else:
+        leaf_ix, term_leaves, stats = plan
+    cov_terms = [t for t in term_leaves if t in stats]
+    if not cov_terms:
+        return None
+    if idf_by_term is not None:
+        map_df = reader.spark.createDataFrame(
+            [(t, float(idf_by_term.get(t, 0.0)), sorted(term_leaves[t]))
+             for t in cov_terms],
+            "term string, idf double, leaf_ids array<int>")
+    else:
+        map_df = reader.spark.createDataFrame(
+            [(t, sorted(term_leaves[t])) for t in cov_terms],
+            "term string, leaf_ids array<int>")
+    rows = reader.postings(
+        terms=cov_terms,
+        df_bound=sum(stats[t]["df"] for t in cov_terms),
+        block_floor=block_floor,
+    )
+    if heap is not None:
+        rows = rows.join(F.broadcast(heap.select("doc_id")), "doc_id")
+    rows = rows.join(F.broadcast(map_df), "term")
+    covered = F.array_distinct(F.flatten(F.collect_list("leaf_ids"))).alias("covered")
+    if idf_by_term is not None:
+        out = (
+            rows.withColumn(
+                "contrib", _bm25_score_col(F.col("idf"), k1, b, reader.avgdl))
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"), covered)
+        )
+    else:
+        out = rows.groupBy("doc_id").agg(covered)
+    out = out.filter(_coverage_expr(ast, leaf_ix, F.col("covered")))
+    return (out.select("doc_id", "score") if idf_by_term is not None
+            else out.select("doc_id"))
+
+
 def _fused_candidate_set(
     reader: IndexReader, ast, expansions, block_floor: int | None = None,
+    plan: tuple | None = None,
 ) -> DataFrame | None:
     """Score-free twin of :func:`search`'s fused plan: the distinct
     candidate doc_ids of a fused-eligible boolean tree from ONE postings
@@ -373,27 +430,12 @@ def _fused_candidate_set(
     which keeps the loud rejections (pure negation, NOT under OR)."""
     if not _fusible(ast) or isinstance(ast, qp.Not):
         return None
-    leaf_ix, term_leaves = _coverage_plan(ast, expansions)
-    stats = reader.term_stats(list(term_leaves))
-    map_rows = [(t, sorted(term_leaves[t])) for t in term_leaves if t in stats]
-    if not map_rows:
-        # no query term exists in the dictionary -> empty candidate set;
-        # returning it directly avoids postings(terms=[]), which would
-        # scan the whole postings relation (empty isin filters nothing)
+    out = _coverage_agg(
+        reader, ast, expansions, block_floor=block_floor, plan=plan)
+    if out is None:
+        # no query term exists in the dictionary -> empty candidate set
         return reader.spark.range(0).select(F.col("id").alias("doc_id"))
-    map_df = reader.spark.createDataFrame(map_rows, "term string, leaf_ids array<int>")
-    return (
-        reader.postings(
-            terms=[t for t, _ in map_rows],
-            df_bound=sum(stats[t]["df"] for t, _ in map_rows),
-            block_floor=block_floor,
-        )
-        .join(F.broadcast(map_df), "term")
-        .groupBy("doc_id")
-        .agg(F.array_distinct(F.flatten(F.collect_list("leaf_ids"))).alias("covered"))
-        .filter(_coverage_expr(ast, leaf_ix, F.col("covered")))
-        .select("doc_id")
-    )
+    return out
 
 
 def _zero_score_topk(
@@ -563,28 +605,10 @@ def search(
         # boolean tree evaluates over the bits. Identical result set and
         # scores to the general path (dedup-terms-then-sum model), one
         # decode and one exchange instead of three decodes and two.
-        idf_by_term = dict(idf_rows)
-        map_rows = [
-            (t, float(idf_by_term.get(t, 0.0)), sorted(term_leaves[t]))
-            for t in all_terms if t in stats
-        ]
-        map_df = reader.spark.createDataFrame(
-            map_rows, "term string, idf double, leaf_ids array<int>")
-        scored = (
-            reader.postings(
-                terms=[t for t, _, _ in map_rows],
-                df_bound=sum(stats[t]["df"] for t, _, _ in map_rows),
-            )
-            .join(F.broadcast(map_df), "term")
-            .withColumn("contrib", _bm25_score_col(F.col("idf"), k1, b, reader.avgdl))
-            .groupBy("doc_id")
-            .agg(
-                F.sum("contrib").alias("score"),
-                F.array_distinct(F.flatten(F.collect_list("leaf_ids"))).alias("covered"),
-            )
-            .filter(_coverage_expr(ast, leaf_ix, F.col("covered")))
-            .select("doc_id", "score")
-        )
+        # (idf_rows non-empty => >=1 indexed term => never None here)
+        scored = _coverage_agg(
+            reader, ast, expansions, idf_by_term=dict(idf_rows),
+            plan=(leaf_ix, term_leaves, stats), k1=k1, b=b)
         if constraint is not None:
             scored = scored.join(
                 reader.doc_store().filter(constraint).select("doc_id"),
@@ -593,6 +617,15 @@ def search(
             scored = scored.join(
                 composite_authz(reader, authz, authz_field), "doc_id", "left_semi")
         scored = scored.join(reader.removed_docs(), "doc_id", "left_anti")
+        candidates = None
+    elif fused:
+        # fused tree, but no positive term exists in the dictionary:
+        # provably empty (every satisfying doc contains a positive leaf
+        # term — the _fusible invariant). Answer directly rather than
+        # routing to _eval_candidates, whose loud shape rejections don't
+        # cover every fused-only shape — the general path must never be
+        # reached on data-dependent conditions for a fused query.
+        scored = reader.spark.createDataFrame([], "doc_id long, score double")
         candidates = None
     else:
         candidates = _eval_candidates(reader, ast, expansions, phrase_ctx)
@@ -774,7 +807,8 @@ def search_time_newest(
     constraint=None, locale: str | None = None, use_stopwords: bool | None = None,
     authz: list[str] | None = None, authz_field: str = "authz",
     after: tuple[float, int] | None = None, first_span: int | None = None,
-    max_rounds: int = 32,
+    max_rounds: int = 32, text_df: DataFrame | None = None,
+    text_col: str = "text", phrase_via: str = "auto",
 ) -> DataFrame:
     """TIME strategy: newest-k matching docs, score = 0 (reference:
     ``FullText.java:222-251`` — descending docId, zero scores).
@@ -801,6 +835,11 @@ def search_time_newest(
     if _fusible(ast) and not isinstance(ast, qp.Not):
         hi = reader.max_block_key()
         total = hi + 1
+        # one dictionary collect + one broadcast map, shared by every
+        # deepening round (only the block floor varies)
+        leaf_ix, term_leaves = _coverage_plan(ast, expansions)
+        stats = reader.term_stats(list(term_leaves))
+        plan = (leaf_ix, term_leaves, stats)
         if first_span:
             span = int(first_span)
         else:
@@ -808,14 +847,12 @@ def search_time_newest(
             # Σdf over the query's terms spread across all blocks is an
             # upper-bound density (exact for single terms, optimistic
             # for ANDs — the x4 deepening absorbs the miss)
-            _, term_leaves = _coverage_plan(ast, expansions)
-            stats = reader.term_stats(list(term_leaves))
             density = sum(s["df"] for s in stats.values()) / max(total, 1)
             span = max(1, math.ceil(4 * k / max(density, 0.25)))
         for _ in range(max_rounds):
             floor = max(0, hi - span + 1)
             cands = _fused_candidate_set(
-                reader, ast, expansions, block_floor=floor or None)
+                reader, ast, expansions, block_floor=floor or None, plan=plan)
             out = _zero_score_topk(
                 reader, cands, k, constraint=constraint, authz=authz,
                 authz_field=authz_field, after=after,
@@ -825,9 +862,15 @@ def search_time_newest(
             span *= 4
         # pathological miss-rate (masks rejecting nearly everything):
         # answer from the full index rather than looping further
-        cands = _fused_candidate_set(reader, ast, expansions)
+        cands = _fused_candidate_set(reader, ast, expansions, plan=plan)
     else:
-        cands = _eval_candidates(reader, ast, expansions)
+        # phrase-bearing (or otherwise non-fused) trees: the same phrase
+        # context every other entry point builds — positional sidecar
+        # when usable, text verify otherwise, loud error when neither
+        phrase_ctx = _phrase_ctx_for(
+            reader, ast, locale=locale, use_stopwords=use_stopwords,
+            text_df=text_df, text_col=text_col, phrase_via=phrase_via)
+        cands = _eval_candidates(reader, ast, expansions, phrase_ctx)
     return _zero_score_topk(
         reader, cands, k, constraint=constraint, authz=authz,
         authz_field=authz_field, after=after)
@@ -1245,8 +1288,11 @@ def _wand_shape(ast, expander=None):
                 leaf_terms = list(c.terms)
                 phrases.append((leaf_terms, int(getattr(c, "slop", 0))))
             elif expander is not None and isinstance(
-                c, (qp.Prefix, qp.Wildcard, qp.Regexp, qp.Fuzzy, qp.TermRange)
+                c, (qp.Prefix, qp.Wildcard, qp.Regexp, qp.Fuzzy)
             ):
+                # (TermRange never lands here: the grammar requires a
+                # field on ranges, so the fielded-leaf check above owns
+                # every range leaf)
                 # an expansion leaf is a disjunction of its dictionary
                 # terms: under OR (or alone at the root) it flattens into
                 # the WAND term pool, each expanded term scoring with the
@@ -1289,8 +1335,8 @@ def _wand_shape(ast, expander=None):
     if isinstance(ast, qp.Or):
         r = _leaves_of(ast, "or")
         return None if r is None else ("or", *r)
-    if isinstance(ast, (qp.Prefix, qp.Wildcard, qp.Regexp, qp.Fuzzy, qp.TermRange)):
-        # a bare expansion leaf is an OR of its expanded terms
+    if isinstance(ast, (qp.Prefix, qp.Wildcard, qp.Regexp, qp.Fuzzy)):
+        # a bare unfielded expansion leaf is an OR of its expanded terms
         r = _leaves_of(ast, "or")
         return None if r is None else ("or", *r)
     if isinstance(ast, (qp.And, qp.Term, qp.Phrase)):
@@ -1384,11 +1430,7 @@ def _search_wand_coverage(
     boosts = {t: w for t, w in tboost.items() if w != 1.0}
 
     stats = reader.term_stats(all_terms)
-    cov_terms = [t for t in all_terms if t in stats]
-    gmap = reader.spark.createDataFrame(
-        [(t, sorted(term_leaves[t])) for t in cov_terms],
-        "term string, leaf_ids array<int>",
-    )
+    plan = (leaf_ix, term_leaves, stats)
 
     pool = int(first_pool) if first_pool else max(4 * k, 64)
     for _ in range(max_rounds):
@@ -1397,23 +1439,10 @@ def _search_wand_coverage(
             boosts=boosts or None, locale=locale, use_stopwords=use_stopwords,
         ).localCheckpoint(eager=True)
         n_cand = cand.count()
-        if not cov_terms:
+        covered = _coverage_agg(reader, ast, expansions, heap=cand, plan=plan)
+        if covered is None:
             verified = cand  # no query term indexed: cand is empty anyway
         else:
-            covered = (
-                reader.postings(
-                    terms=cov_terms,
-                    df_bound=sum(stats[t]["df"] for t in cov_terms),
-                )
-                .select("doc_id", "term")
-                .join(F.broadcast(cand.select("doc_id")), "doc_id")
-                .join(F.broadcast(gmap), "term")
-                .groupBy("doc_id")
-                .agg(F.array_distinct(
-                    F.flatten(F.collect_list("leaf_ids"))).alias("covered"))
-                .filter(_coverage_expr(ast, leaf_ix, F.col("covered")))
-                .select("doc_id")
-            )
             verified = cand.join(F.broadcast(covered), "doc_id")
         if n_cand < pool or verified.count() >= k:
             out = verified.orderBy(
@@ -1478,7 +1507,7 @@ def search_wand_query(
       postings anti-mask the bounded heap (intersect-then-anti, so the
       unbounded posting list streams against the broadcast heap);
     - unfielded expansion leaves (prefix / wildcard / ``/regexp/`` /
-      fuzzy / range): under OR (or bare at the root) the leaf flattens
+      fuzzy; ranges are always fielded in this grammar): under OR (or bare at the root) the leaf flattens
       into the WAND pool as an OR of its dictionary expansions, each
       expanded term scoring with the leaf's boost (search()'s exact
       model, same default expansion cap); under AND the leaf becomes a

@@ -42,8 +42,13 @@ _SNAPSHOT_OPTS = {
 
 def is_table_identifier(source: str) -> bool:
     """A catalog table name (``pages``, ``db.pages``,
-    ``catalog.db.pages``) vs a filesystem path. Paths carry a separator
-    or a parquet suffix; table identifiers never do."""
+    ``catalog.db.pages``) vs a filesystem path. Anything that exists on
+    the local filesystem is a path (a bare relative parquet directory
+    name carries no separator — existence, not shape, disambiguates);
+    otherwise paths carry a separator or a parquet suffix and table
+    identifiers never do."""
+    if os.path.exists(source):
+        return False
     return (
         os.sep not in source
         and "/" not in source
@@ -85,6 +90,10 @@ def load_corpus(
                 f"snapshot options {sorted(opts)} need a catalog table, "
                 f"not a parquet path: {source!r}"
             )
+        if os.path.exists(source):
+            # the JVM resolves relative paths against ITS cwd, which can
+            # differ from the Python driver's — absolutize local paths
+            source = os.path.abspath(source)
         return spark.read.parquet(source)
     if fmt != "table":
         raise ValueError(f"unknown corpus format {fmt!r}")

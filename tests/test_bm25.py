@@ -1444,3 +1444,33 @@ def test_time_newest_pruned_with_constraint(spark, corpus, fielded_reader, monke
         constraint=F.col("lang") == "en").collect()]
     monkeypatch.undo()
     assert got == want and got
+
+
+def test_fused_only_shapes_never_reach_general_path(reader, monkeypatch):
+    """A fused-eligible shape the general evaluator would reject
+    (NOT-under-OR inside a negated subtree) must answer consistently
+    whether or not its positive terms exist in the dictionary — never
+    flip to a data-dependent SearchError."""
+    q_hit = "w00001 AND NOT (w00002 OR NOT w00003)"
+    q_miss = "zzztypo AND NOT (w00002 OR NOT w00003)"
+    assert bm25._fusible(bm25.qp.parse_query(q_hit))
+
+    def boom(*a, **kw):  # pragma: no cover
+        raise AssertionError("fused query must not reach _eval_candidates")
+
+    monkeypatch.setattr(bm25, "_eval_candidates", boom)
+    assert bm25.search(reader, q_hit, k=5).collect()  # answers
+    assert bm25.search(reader, q_miss, k=5).collect() == []  # empty, no raise
+
+
+def test_time_newest_phrase_via_text(reader, corpus, oracle):
+    """search_time_newest answers phrase queries like every other entry
+    point: newest-k of the adjacency-verified candidate set."""
+    t1, t2 = _top_bigram(oracle)
+    got = [r["doc_id"] for r in bm25.search_time_newest(
+        reader, f'"{t1} {t2}"', k=8, text_df=corpus).collect()]
+    want = sorted(
+        (d for d, toks in oracle.tokens.items()
+         if any(a == t1 and b == t2 for a, b in zip(toks, toks[1:]))),
+        reverse=True)[:8]
+    assert got and got == want

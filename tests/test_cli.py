@@ -111,6 +111,19 @@ def test_compact_cli(spark, cli_index, capsys):
     assert len(search(IndexReader(spark, cli_index), "spark", k=5).collect()) == 5
 
 
+def test_load_corpus_bare_relative_dir_is_a_path(spark, tmp_path, monkeypatch):
+    """A separator-free parquet DIRECTORY name that exists on disk must
+    resolve as a path (pre-existing script behavior), not a catalog
+    table — existence disambiguates."""
+    from miru_spark.sources import is_table_identifier, load_corpus
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "pages_dir"))
+    monkeypatch.chdir(tmp_path)
+    assert not is_table_identifier("pages_dir")
+    assert load_corpus(spark, "pages_dir").count() == 1
+
+
 def test_load_corpus_resolution(spark, tmp_path):
     """Path sources read parquet; table identifiers resolve through the
     session catalog (the Iceberg deployment path — snapshot options pass
