@@ -160,21 +160,42 @@ def ngram_jaccard_pairs(
             .orderBy("id_a", "id_b")
         )
 
-    from pyspark.sql import Window
-
-    # each doc's full (sorted) shingle set — verification input AND the
-    # source of |A| (size(hs)); one groupBy(id) shuffle
-    sets = sh.groupBy("id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
     # global rarity order: df per shingle, ties broken by h
     dfh = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     t = float(threshold)
-    pre = (
+    # ONE per-doc pass yields all three per-doc artifacts: the df-ranked
+    # prefix (AllPairs ordering — rarest shingles first, ties by h, same
+    # total order as the former row_number window), the set size, and the
+    # h-sorted full set the exact verify intersects. The former shape ran
+    # a row_number window (one id-shuffle) plus a groupBy(id) `sets`
+    # relation recomputed by each of its three consumers (three more
+    # id-shuffles over the persisted base); this groupBy(id) shuffles
+    # once and is persisted for its three readers (prefix explode + both
+    # verify sides). At cluster scale this relation is what you'd
+    # checkpoint to a table — it IS the per-doc shingle-set index.
+    sz = F.size("h_by_rank")
+    per_doc = (
         sh.join(dfh, "h")
-        .withColumn("rnk", F.row_number().over(Window.partitionBy("id").orderBy("df", "h")))
-        .join(sets.select("id", F.size("hs").alias("sz")), "id")
-        .filter(F.col("rnk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
-        .select("id", "sz", "h")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "h"))),
+                lambda s: s["h"],
+            ).alias("h_by_rank")
+        )
+        .select(
+            "id",
+            sz.alias("sz"),
+            F.slice(
+                "h_by_rank", F.lit(1),
+                (sz - F.ceil(F.lit(t) * sz) + 1).cast("int"),
+            ).alias("pref"),
+            F.sort_array("h_by_rank").alias("hs"),
+        )
+        .persist()
     )
+    sets = per_doc.select("id", "hs")
+    pre = per_doc.select("id", "sz", F.explode("pref").alias("h"))
     cand = (
         pre.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "h")
         .join(pre.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "h"), "h")
