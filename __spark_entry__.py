@@ -280,6 +280,27 @@ def q_bm25_boost(spark, sf_dir):
         _reader(spark, sf_dir), "spark^2 AND query^0.5 AND data", k=10, round_to=4)
 
 
+def q_bm25_batch(spark, sf_dir):
+    """Shared-scan batch serving: four queries answered from ONE
+    postings decode — the union of their terms prunes the scan, each
+    posting row fans out through a broadcast (query_id, term,
+    boost-weighted idf) map, and one groupBy(query_id, doc_id) both
+    sums BM25 and checks AND coverage; top-k per query is a window
+    partitioned by query_id. Per-query rank-identical to search()
+    (the reference's solver answers many concurrent queries per
+    partition — MiruLowestLatencySolver; this is that amortization,
+    declaratively)."""
+    from miru_spark.query.bm25 import search_batch
+
+    qs = {
+        "and3": " AND ".join(_BM25_TERMS),
+        "or2": " OR ".join(_OR_TERMS),
+        "boosted": "spark^2 AND query^0.5 AND data",
+        "boost_or": "data^1.5 OR scan",
+    }
+    return search_batch(_reader(spark, sf_dir), qs, k=10, round_to=4)
+
+
 def q_bm25_page2(spark, sf_dir):
     """Second page via keyset continuation (report.lowestScore paging):
     page 1's last (score, doc_id) is the cursor for page 2."""
@@ -1650,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_positional": q_bm25_phrase_positional,
         "bm25_slop_positional": q_bm25_slop_positional,
         "bm25_wand_phrase_positional": q_bm25_wand_phrase_positional,
+        "bm25_batch": q_bm25_batch,
         # fulltext / index
         "bm25_and": q_bm25_and,
         "bm25_or": q_bm25_or,
@@ -1755,6 +1777,25 @@ ORDER BY score DESC, s.doc_id DESC LIMIT 10
         "bm25_page2": _bm25_sql(_BM25_TERMS, 10, "and", offset=10),
         "bm25_boost": _bm25_sql(
             _BM25_TERMS, 10, "and", boosts={"spark": 2.0, "query": 0.5}),
+        # batch = UNION ALL of the per-query oracles, re-ranked per query
+        # on the rounded scores (the Spark side rounds before its window
+        # too, so tie-breaks agree)
+        "bm25_batch": "\nSELECT query_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY score DESC, doc_id DESC) AS rank, "
+        "doc_id, score FROM (\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT '{qid}' AS query_id, doc_id, score FROM ({sql})"
+            for qid, sql in [
+                ("and3", _bm25_sql(_BM25_TERMS, 10, "and")),
+                ("or2", _bm25_sql(_OR_TERMS, 10, "or")),
+                ("boosted", _bm25_sql(
+                    _BM25_TERMS, 10, "and",
+                    boosts={"spark": 2.0, "query": 0.5})),
+                ("boost_or", _bm25_sql(
+                    ["data", "scan"], 10, "or", boosts={"data": 1.5})),
+            ]
+        )
+        + "\n) ORDER BY query_id, rank\n",
         "bm25_wand_not": _bm25_sql(["spark", "query"], 10, "and",
                                    exclude=["merge"]),
         "bm25_wand_nested": f"""

@@ -564,7 +564,7 @@ def main() -> None:
     # 2. headline queries (each forced with a collect)
     bench_queries = [
         "bm25_and", "bm25_index_search", "bm25_index_wand", "bm25_index_wand_or",
-        "bm25_prefix",
+        "bm25_batch", "bm25_prefix",
         "bm25_phrase", "bm25_phrase_positional",
         "bm25_lang_constraint", "fulltext_highlight",
         "bm25_wand_nested", "fulltext_time_newest",

@@ -802,6 +802,147 @@ def facet_counts(
     )
 
 
+def _flat_terms_shape(ast):
+    """``(mode, [(term, boost)])`` when ``ast`` is a single unfielded
+    term or a flat AND/OR of unfielded plain terms (the head shape of a
+    production query log), else None."""
+    def _plain(c):
+        return isinstance(c, qp.Term) and c.field is None
+    if _plain(ast):
+        return "and", [(ast.term, float(getattr(ast, "boost", 1.0)))]
+    if isinstance(ast, (qp.And, qp.Or)) and all(_plain(c) for c in ast.children):
+        mode = "and" if isinstance(ast, qp.And) else "or"
+        return mode, [
+            (c.term, float(getattr(c, "boost", 1.0))) for c in ast.children]
+    return None
+
+
+def search_batch(
+    reader: IndexReader,
+    queries: dict[str, str],
+    k: int = 10,
+    *,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    round_to: int | None = None,
+    locale: str | None = None,
+    use_stopwords: bool | None = None,
+    text_df: DataFrame | None = None,
+    text_col: str = "text",
+    phrase_via: str = "auto",
+) -> DataFrame:
+    """Answer MANY queries from ONE shared postings scan.
+
+    Returns DataFrame(query_id string, rank long, doc_id long,
+    score double), per-query rank-identical to :func:`search` by
+    construction, ordered (query_id, rank), <= k rows per query.
+
+    The serving-scale shape the reference's solver takes for free — many
+    concurrent tenant queries against one partition
+    (``MiruLowestLatencySolver``) — re-expressed declaratively: the
+    union of every flat query's terms prunes ONE postings decode, each
+    posting row fans out to the queries containing its term via a
+    broadcast (query_id, term, weighted-idf) map, and one
+    groupBy(query_id, doc_id) both sums BM25 and counts matched terms
+    (AND coverage). Per-query cost amortizes the scan: N queries share
+    a single pass over the index instead of N passes.
+
+    Flat AND/OR term queries (incl. ``term^N`` boosts) ride the shared
+    scan; any other parse (phrases, fielded masks, expansions, nesting)
+    is answered by :func:`search` per query and unioned in — correct by
+    delegation, still one Spark job. AND semantics match search()'s
+    fused plan: a conjunct absent from the dictionary voids that query
+    (coverage can never complete). Removals are anti-joined once for
+    the whole batch. The top-k per query is a window partitioned by
+    query_id — bounded per-group state, no global sort.
+    """
+    out_schema = "query_id string, rank long, doc_id long, score double"
+    if not queries:
+        return reader.spark.createDataFrame([], out_schema)
+
+    shared: dict[str, tuple[str, dict[str, float]]] = {}
+    fallback: dict[str, object] = {}
+    for qid, q in queries.items():
+        ast = _parse_for_index(
+            reader, q, locale=locale, use_stopwords=use_stopwords)
+        if ast is None:
+            continue  # all-stopword query: empty, like search()
+        shape = _flat_terms_shape(ast)
+        if shape is None:
+            fallback[qid] = ast
+            continue
+        mode, leaves = shape
+        tboost: dict[str, float] = {}
+        for t, w in leaves:
+            tboost[t] = max(tboost[t], w) if t in tboost else w
+        shared[qid] = (mode, tboost)
+
+    parts: list[DataFrame] = []
+    if shared:
+        union_terms = sorted({t for _, tb in shared.values() for t in tb})
+        stats = reader.term_stats(union_terms)
+        # (query_id, term, idf*boost) for indexed terms; n_req counts ALL
+        # conjuncts (indexed or not), so an unindexed AND term leaves the
+        # query's coverage forever short — provably empty, like search()
+        qt_rows = [
+            (qid, t, reader.idf(stats[t]["df"]) * w)
+            for qid, (_, tb) in shared.items()
+            for t, w in tb.items() if t in stats
+        ]
+        req_rows = [
+            (qid, len(tb) if mode == "and" else 1)
+            for qid, (mode, tb) in shared.items()
+        ]
+        if qt_rows:
+            qt = F.broadcast(reader.spark.createDataFrame(
+                qt_rows, "query_id string, term string, widf double"))
+            req = F.broadcast(reader.spark.createDataFrame(
+                req_rows, "query_id string, n_req int"))
+            scored = (
+                reader.postings(
+                    terms=sorted({t for _, t, _w in qt_rows}),
+                    df_bound=sum(stats[t]["df"] for t in
+                                 {t for _, t, _w in qt_rows}),
+                )
+                .join(qt, "term")
+                .withColumn(
+                    "contrib", _bm25_score_col(F.col("widf"), k1, b, reader.avgdl))
+                .groupBy("query_id", "doc_id")
+                .agg(F.sum("contrib").alias("score"),
+                     F.count(F.lit(1)).alias("nt"))
+                .join(req, "query_id")
+                .filter(F.col("nt") >= F.col("n_req"))
+                .select("query_id", "doc_id", "score")
+            )
+            parts.append(scored)
+    for qid, ast in fallback.items():
+        parts.append(
+            search(
+                reader, ast, k, k1=k1, b=b, locale=locale,
+                use_stopwords=use_stopwords, text_df=text_df,
+                text_col=text_col, phrase_via=phrase_via,
+            ).select(F.lit(qid).alias("query_id"), "doc_id", "score")
+        )
+    if not parts:
+        return reader.spark.createDataFrame([], out_schema)
+    allq = parts[0]
+    for p in parts[1:]:
+        allq = allq.unionByName(p)
+    allq = allq.join(reader.removed_docs(), "doc_id", "left_anti")
+    if round_to is not None:
+        allq = allq.withColumn("score", F.round("score", round_to))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").desc())
+    return (
+        allq.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
 def search_time_newest(
     reader: IndexReader, query: str, k: int = 10, *, max_expansion: int = 100,
     constraint=None, locale: str | None = None, use_stopwords: bool | None = None,

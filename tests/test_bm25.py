@@ -1474,3 +1474,39 @@ def test_time_newest_phrase_via_text(reader, corpus, oracle):
          if any(a == t1 and b == t2 for a, b in zip(toks, toks[1:]))),
         reverse=True)[:8]
     assert got and got == want
+
+
+def test_search_batch_matches_per_query(reader):
+    """search_batch answers each query rank- and score-identically to
+    search(): shared-scan flat shapes, a fallback (nested) shape, a
+    boosted OR, and an AND with an unindexed conjunct (empty)."""
+    qs = {
+        "a": "w00000 AND w00001",
+        "b": "w00050 OR w00003",
+        "c": "w00001^2 OR w00004",
+        "d": "zzzabsent AND w00001",
+        "e": "(w00000 OR w00001) AND w00002",
+    }
+    rows = bm25.search_batch(reader, qs, k=12).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, q in qs.items():
+        exp = bm25.search(reader, q, k=12).collect()
+        got = by_q.get(qid, [])
+        assert [r["rank"] for r in got] == list(range(1, len(exp) + 1))
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp], qid
+        for g, e in zip(got, exp):
+            assert abs(g["score"] - e["score"]) < 1e-9
+    assert "d" not in by_q  # unindexed conjunct voids the query
+
+
+def test_search_batch_empty_and_stopword_queries(reader):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    assert bm25.search_batch(reader, {}, k=5).collect() == []
+    # an all-stopword query contributes nothing; the other query answers
+    rows = bm25.search_batch(
+        reader, {"s": "the", "t": "w00002"}, k=5, use_stopwords=True,
+    ).collect()
+    assert rows and all(r["query_id"] == "t" for r in rows)
