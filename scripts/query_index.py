@@ -5,6 +5,11 @@ Usage::
     spark-submit --py-files /tmp/miru_spark.zip scripts/query_index.py \
         --index /path/to/index --query "spark AND query" -k 10
     python scripts/query_index.py --index /tmp/idx --query "quer*" --cores 8 --wand
+    python scripts/query_index.py --index /tmp/idx --queries-file batch.json -k 10
+
+Batch mode (``--queries-file``, JSON {id: query} or one query per line)
+answers every query from ONE shared postings scan (``search_batch``) and
+reports total + amortized per-query latency.
 """
 
 from __future__ import annotations
@@ -21,7 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--query", required=True)
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--query", default=None)
+    g.add_argument("--queries-file", default=None, metavar="FILE",
+                   help="batch mode: JSON object {query_id: query} or one "
+                        "query per line; all queries share ONE postings "
+                        "scan (search_batch)")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--wand", action="store_true", help="block-max WAND path (flat term list)")
     ap.add_argument("--or", dest="use_or", action="store_true",
@@ -47,6 +57,35 @@ def main() -> None:
     if args.after:
         s, d = args.after.split(",")
         after = (float(s), int(d))
+
+    if args.queries_file:
+        from miru_spark.query.bm25 import search_batch
+
+        with open(args.queries_file) as f:
+            raw = f.read()
+        try:
+            qmap = json.loads(raw)
+            if not isinstance(qmap, dict):
+                raise ValueError
+        except ValueError:
+            lines = [ln.strip() for ln in raw.splitlines() if ln.strip()]
+            qmap = {f"q{i:04d}": q for i, q in enumerate(lines)}
+        t0 = time.monotonic()
+        rows = search_batch(reader, qmap, k=args.k).collect()
+        dt = time.monotonic() - t0
+        hits: dict[str, list] = {qid: [] for qid in qmap}
+        for r in rows:
+            hits[r["query_id"]].append(
+                {"doc_id": r["doc_id"], "score": round(r["score"], 6)})
+        print(json.dumps({
+            "queries": len(qmap),
+            "k": args.k,
+            "latency_sec": round(dt, 4),
+            "latency_per_query_sec": round(dt / max(len(qmap), 1), 4),
+            "hits": hits,
+        }))
+        return
+
     t0 = time.monotonic()
     if args.wand:
         from miru_spark.analysis.tokenizer import tokenize

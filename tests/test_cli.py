@@ -147,3 +147,47 @@ def test_load_corpus_resolution(spark, tmp_path):
         load_corpus(spark, pq, snapshot_id=123)
     with _pytest.raises(ValueError, match="unknown corpus format"):
         load_corpus(spark, pq, fmt="orc")
+
+
+def test_query_cli_batch_file(spark, cli_index, capsys, tmp_path):
+    """--queries-file: one shared-scan job answers every query; the JSON
+    sink agrees with per-query search() for each entry."""
+    import scripts.query_index as q
+
+    qf = tmp_path / "queries.json"
+    qf.write_text(json.dumps({"a": "spark AND join", "b": "scan OR merge"}))
+    old = sys.argv
+    sys.argv = ["query_index.py", "--index", cli_index,
+                "--queries-file", str(qf), "-k", "4", "--cores", "8"]
+    try:
+        q.main()
+    finally:
+        sys.argv = old
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["queries"] == 2 and set(out["hits"]) == {"a", "b"}
+
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query.bm25 import search
+
+    r = IndexReader(spark, cli_index)
+    for qid, qs in [("a", "spark AND join"), ("b", "scan OR merge")]:
+        direct = search(r, qs, k=4).collect()
+        assert [h["doc_id"] for h in out["hits"][qid]] == \
+            [x["doc_id"] for x in direct]
+
+
+def test_query_cli_batch_lines(spark, cli_index, capsys, tmp_path):
+    import scripts.query_index as q
+
+    qf = tmp_path / "queries.txt"
+    qf.write_text("spark AND join\nscan OR merge\n")
+    old = sys.argv
+    sys.argv = ["query_index.py", "--index", cli_index,
+                "--queries-file", str(qf), "-k", "3", "--cores", "8"]
+    try:
+        q.main()
+    finally:
+        sys.argv = old
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out["hits"]) == {"q0000", "q0001"}
+    assert all(len(v) == 3 for v in out["hits"].values())
