@@ -151,7 +151,7 @@ def ngram_jaccard_pairs(
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("inter"))
         )
-        return (
+        ret = (
             inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
             .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
             .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
@@ -159,6 +159,8 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
             .orderBy("id_a", "id_b")
         )
+        ret._miru_cached = [sh]
+        return ret
 
     # global rarity order: df per shingle, ties broken by h
     dfh = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
@@ -207,7 +209,7 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return (
+    ret = (
         cand.join(sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
@@ -219,6 +221,11 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
+    # the two persisted relations pin executor storage for the session;
+    # a long-lived caller over many corpora should release them once the
+    # pairs are materialized: for c in ret._miru_cached: c.unpersist()
+    ret._miru_cached = [sh, per_doc]
+    return ret
 
 
 # ---------------------------------------------------------------------

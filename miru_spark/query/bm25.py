@@ -56,6 +56,20 @@ class SearchError(ValueError):
     pass
 
 
+def _max_boost_fold(pairs) -> dict[str, float]:
+    """Per-term max clause weight over the (term, weight) pairs of the
+    leaves containing the term — the engine's dedup-terms-then-sum boost
+    model (Lucene `term^N`): a term reached through several leaves
+    scores once with the MAX weight, no implicit 1.0 floor (fractional
+    down-boosts apply; an unboosted sibling lifts the max back to 1.0).
+    Shared by search(), search_batch() and the WAND router so the rule
+    cannot drift between paths."""
+    out: dict[str, float] = {}
+    for t, w in pairs:
+        out[t] = max(out[t], w) if t in out else w
+    return out
+
+
 def composite_authz(
     reader: IndexReader, values: list[str], field: str = "authz"
 ) -> DataFrame:
@@ -584,13 +598,10 @@ def search(
     # so a down-boost (`noise^0.1`, N < 1) genuinely down-weights.
     # NB: the weight variable must NOT be named `b` — that is the BM25
     # length-normalization parameter in this scope.
-    tboost: dict[str, float] = {}
-    for leaf in qp.positive_leaves(ast):
-        if leaf.field is not None:
-            continue
-        wboost = float(getattr(leaf, "boost", 1.0))
-        for t in _leaf_terms(leaf, expansions):
-            tboost[t] = max(tboost[t], wboost) if t in tboost else wboost
+    tboost = _max_boost_fold(
+        (t, float(getattr(leaf, "boost", 1.0)))
+        for leaf in qp.positive_leaves(ast) if leaf.field is None
+        for t in _leaf_terms(leaf, expansions))
     idf_rows = [
         (t, reader.idf(stats[t]["df"]) * tboost.get(t, 1.0))
         for t in pos_terms if t in stats
@@ -872,10 +883,7 @@ def search_batch(
             fallback[qid] = ast
             continue
         mode, leaves = shape
-        tboost: dict[str, float] = {}
-        for t, w in leaves:
-            tboost[t] = max(tboost[t], w) if t in tboost else w
-        shared[qid] = (mode, tboost)
+        shared[qid] = (mode, _max_boost_fold(leaves))
 
     parts: list[DataFrame] = []
     if shared:
@@ -916,10 +924,13 @@ def search_batch(
             )
             parts.append(scored)
     for qid, ast in fallback.items():
+        # round_to passes through: the delegate's top-k cut must happen
+        # on the same (rounded) scores as the flat path's, or a rounded
+        # tie at the k boundary breaks the rank-identity contract
         parts.append(
             search(
-                reader, ast, k, k1=k1, b=b, locale=locale,
-                use_stopwords=use_stopwords, text_df=text_df,
+                reader, ast, k, k1=k1, b=b, round_to=round_to,
+                locale=locale, use_stopwords=use_stopwords, text_df=text_df,
                 text_col=text_col, phrase_via=phrase_via,
             ).select(F.lit(qid).alias("query_id"), "doc_id", "score")
         )

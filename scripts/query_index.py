@@ -59,15 +59,28 @@ def main() -> None:
         after = (float(s), int(d))
 
     if args.queries_file:
+        if args.wand or args.use_or or args.after:
+            ap.error("--queries-file cannot combine with --wand/--or/--after "
+                     "(batch mode uses the parsed-grammar shared-scan path)")
         from miru_spark.query.bm25 import search_batch
 
         with open(args.queries_file) as f:
             raw = f.read()
         try:
-            qmap = json.loads(raw)
-            if not isinstance(qmap, dict):
-                raise ValueError
+            parsed = json.loads(raw)
         except ValueError:
+            parsed = None
+        if isinstance(parsed, dict):
+            qmap = {str(k): str(v) for k, v in parsed.items()}
+        elif isinstance(parsed, list):
+            # JSON array of query strings: enumerate like line mode
+            qmap = {f"q{i:04d}": str(q) for i, q in enumerate(parsed)}
+        elif isinstance(parsed, str):
+            qmap = {"q0000": parsed}
+        elif parsed is not None:
+            ap.error(f"--queries-file: expected a JSON object/array or "
+                     f"query lines, got {type(parsed).__name__}")
+        else:
             lines = [ln.strip() for ln in raw.splitlines() if ln.strip()]
             qmap = {f"q{i:04d}": q for i, q in enumerate(lines)}
         t0 = time.monotonic()

@@ -1502,8 +1502,6 @@ def test_search_batch_matches_per_query(reader):
 
 
 def test_search_batch_empty_and_stopword_queries(reader):
-    from pyspark.sql import functions as F  # noqa: F401
-
     assert bm25.search_batch(reader, {}, k=5).collect() == []
     # an all-stopword query contributes nothing; the other query answers
     rows = bm25.search_batch(

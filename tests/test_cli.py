@@ -191,3 +191,29 @@ def test_query_cli_batch_lines(spark, cli_index, capsys, tmp_path):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(out["hits"]) == {"q0000", "q0001"}
     assert all(len(v) == 3 for v in out["hits"].values())
+
+
+def test_query_cli_batch_json_array_and_flag_conflict(spark, cli_index, capsys, tmp_path):
+    import scripts.query_index as q
+
+    qf = tmp_path / "queries_arr.json"
+    qf.write_text(json.dumps(["spark AND join", "scan OR merge"]))
+    old = sys.argv
+    sys.argv = ["query_index.py", "--index", cli_index,
+                "--queries-file", str(qf), "-k", "2", "--cores", "8"]
+    try:
+        q.main()
+    finally:
+        sys.argv = old
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out["hits"]) == {"q0000", "q0001"}
+
+    # --wand/--or/--after conflict with batch mode: loud argparse error
+    sys.argv = ["query_index.py", "--index", cli_index,
+                "--queries-file", str(qf), "--wand", "--cores", "8"]
+    try:
+        with pytest.raises(SystemExit):
+            q.main()
+    finally:
+        sys.argv = old
+    capsys.readouterr()
