@@ -838,6 +838,7 @@ def search_batch(
     round_to: int | None = None,
     locale: str | None = None,
     use_stopwords: bool | None = None,
+    gather_fields: list[str] | None = None,
     text_df: DataFrame | None = None,
     text_col: str = "text",
     phrase_via: str = "auto",
@@ -946,12 +947,19 @@ def search_batch(
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").desc())
-    return (
+    out = (
         allq.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
-        .orderBy("query_id", "rank")
     )
+    if gather_fields:
+        # lazy gather, batch shape: join stored fields onto the already
+        # bounded (<= N*k rows) result — broadcast the tiny side, stream
+        # the doc store past it (same discipline as _gather)
+        out = F.broadcast(out).join(
+            reader.doc_store().select("doc_id", *gather_fields), "doc_id"
+        ).select("query_id", "rank", "doc_id", "score", *gather_fields)
+    return out.orderBy("query_id", "rank")
 
 
 def search_time_newest(

@@ -38,6 +38,9 @@ def main() -> None:
                     help="with --wand: disjunctive (OR) scoring instead of AND")
     ap.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
                     help="keyset continuation cursor: last hit of the previous page")
+    ap.add_argument("--gather", default=None, metavar="COL,COL",
+                    help="stored doc-store columns joined onto the top-k "
+                         "(lazy gather — the join runs over <= k rows)")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
@@ -57,6 +60,14 @@ def main() -> None:
     if args.after:
         s, d = args.after.split(",")
         after = (float(s), int(d))
+    gather = [c.strip() for c in args.gather.split(",") if c.strip()] \
+        if args.gather else None
+
+    def _hit(r):
+        h = {"doc_id": r["doc_id"], "score": round(r["score"], 6)}
+        for c in gather or []:
+            h[c] = r[c] if not hasattr(r[c], "isoformat") else r[c].isoformat()
+        return h
 
     if args.queries_file:
         if args.wand or args.use_or or args.after:
@@ -84,12 +95,12 @@ def main() -> None:
             lines = [ln.strip() for ln in raw.splitlines() if ln.strip()]
             qmap = {f"q{i:04d}": q for i, q in enumerate(lines)}
         t0 = time.monotonic()
-        rows = search_batch(reader, qmap, k=args.k).collect()
+        rows = search_batch(
+            reader, qmap, k=args.k, gather_fields=gather).collect()
         dt = time.monotonic() - t0
         hits: dict[str, list] = {qid: [] for qid in qmap}
         for r in rows:
-            hits[r["query_id"]].append(
-                {"doc_id": r["doc_id"], "score": round(r["score"], 6)})
+            hits[r["query_id"]].append(_hit(r))
         print(json.dumps({
             "queries": len(qmap),
             "k": args.k,
@@ -105,9 +116,11 @@ def main() -> None:
 
         terms = tokenize(args.query, locale=reader.stats.get("locale"))
         out = search_wand(reader, terms, k=args.k,
-                          mode="or" if args.use_or else "and", after=after)
+                          mode="or" if args.use_or else "and", after=after,
+                          gather_fields=gather)
     else:
-        out = search(reader, args.query, k=args.k, after=after)
+        out = search(reader, args.query, k=args.k, after=after,
+                     gather_fields=gather)
     rows = out.collect()
     dt = time.monotonic() - t0
     print(
@@ -116,7 +129,7 @@ def main() -> None:
                 "query": args.query,
                 "k": args.k,
                 "latency_sec": round(dt, 4),
-                "hits": [{"doc_id": r["doc_id"], "score": round(r["score"], 6)} for r in rows],
+                "hits": [_hit(r) for r in rows],
             }
         )
     )

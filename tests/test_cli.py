@@ -217,3 +217,31 @@ def test_query_cli_batch_json_array_and_flag_conflict(spark, cli_index, capsys, 
     finally:
         sys.argv = old
     capsys.readouterr()
+
+
+def test_query_cli_gather_single_and_batch(spark, cli_index, capsys, tmp_path):
+    """--gather joins stored doc-store columns onto the top-k in both
+    single and batch mode (lazy gather: join after the limit)."""
+    import scripts.query_index as q
+
+    def run(argv):
+        old = sys.argv
+        sys.argv = ["query_index.py", *argv]
+        try:
+            q.main()
+        finally:
+            sys.argv = old
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out = run(["--index", cli_index, "--query", "spark AND join",
+               "-k", "3", "--cores", "8", "--gather", "lang,source"])
+    assert all("lang" in h and "source" in h for h in out["hits"])
+
+    qf = tmp_path / "qb.txt"
+    qf.write_text("spark AND join\n")
+    outb = run(["--index", cli_index, "--queries-file", str(qf),
+                "-k", "3", "--cores", "8", "--gather", "lang"])
+    hits = outb["hits"]["q0000"]
+    assert len(hits) == 3 and all("lang" in h for h in hits)
+    # gather never perturbs the ranking
+    assert [h["doc_id"] for h in hits] == [h["doc_id"] for h in out["hits"]]
