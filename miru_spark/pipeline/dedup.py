@@ -43,6 +43,23 @@ from miru_spark.analysis.tokenizer import tokenize
 _MERSENNE = (1 << 31) - 1
 
 
+def _with_release(ret: DataFrame, cached: list) -> DataFrame:
+    """Attach the persist-lifecycle contract to a returned DataFrame.
+
+    ``ret.release()`` unpersists every relation this operator pinned —
+    call it once the result is materialized. A long-lived session over
+    many corpora otherwise accumulates executor storage per corpus.
+    ``ret._miru_cached`` remains for introspection/tests.
+    """
+    def release() -> None:
+        for c in cached:
+            c.unpersist()
+
+    ret._miru_cached = cached
+    ret.release = release
+    return ret
+
+
 def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical texts. Columns: digest, n, ids (sorted)."""
     return (
@@ -135,9 +152,14 @@ def ngram_jaccard_pairs(
     # anti-join is a cheap hash probe per consumer, and a second persist
     # of the pruned copy would double the storage footprint and the
     # first-run materialization wall for no second-run gain.
-    sh = shingles(df, id_col, text_col, n, locale=locale).withColumn(
+    base = shingles(df, id_col, text_col, n, locale=locale).withColumn(
         "h", F.xxhash64("shingle")
     ).select("id", "h").persist()
+    # `base` is the PERSISTED relation; the hot-shingle prune below
+    # rebinds `sh` to a lazy anti-join on top of it, so the release
+    # hook must hold `base`, not `sh` (unpersisting the pruned view
+    # would be a no-op on the actually-pinned storage).
+    sh = base
     if max_shingle_df is not None:
         hot = sh.groupBy("h").count().filter(F.col("count") > max_shingle_df).select("h")
         sh = sh.join(F.broadcast(hot), "h", "left_anti")
@@ -159,8 +181,7 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
             .orderBy("id_a", "id_b")
         )
-        ret._miru_cached = [sh]
-        return ret
+        return _with_release(ret, [base])
 
     # global rarity order: df per shingle, ties broken by h
     dfh = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
@@ -190,7 +211,13 @@ def ngram_jaccard_pairs(
             sz.alias("sz"),
             F.slice(
                 "h_by_rank", F.lit(1),
-                (sz - F.ceil(F.lit(t) * sz) + 1).cast("int"),
+                # clamp: a degenerate threshold (> 1.0) drives the prefix
+                # length negative, and Spark's slice() errors on negative
+                # lengths where the former rank filter returned empty —
+                # greatest(0) preserves the empty-result semantics.
+                F.greatest(
+                    (sz - F.ceil(F.lit(t) * sz) + 1).cast("int"), F.lit(0)
+                ),
             ).alias("pref"),
             F.sort_array("h_by_rank").alias("hs"),
         )
@@ -222,10 +249,9 @@ def ngram_jaccard_pairs(
         .orderBy("id_a", "id_b")
     )
     # the two persisted relations pin executor storage for the session;
-    # a long-lived caller over many corpora should release them once the
-    # pairs are materialized: for c in ret._miru_cached: c.unpersist()
-    ret._miru_cached = [sh, per_doc]
-    return ret
+    # release() (attached below) is the contract: call it once the pairs
+    # are materialized. ret._miru_cached remains for introspection.
+    return _with_release(ret, [base, per_doc])
 
 
 # ---------------------------------------------------------------------
@@ -460,7 +486,7 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is not None:
         out = out.filter(F.col("est_jaccard") >= verify_threshold)
-    return out.orderBy("id_a", "id_b")
+    return _with_release(out.orderBy("id_a", "id_b"), [sigs])
 
 
 # ---------------------------------------------------------------------
@@ -576,11 +602,12 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return (
+    return _with_release(
         cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
+        .orderBy("id_a", "id_b"),
+        [sigs],
     )
 
 

@@ -44,6 +44,13 @@ def main() -> None:
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
+    # flag-conflict validation BEFORE Spark session / IndexReader
+    # construction — a bad invocation should fail in milliseconds, not
+    # after paying full JVM startup.
+    if args.queries_file and (args.wand or args.use_or or args.after):
+        ap.error("--queries-file cannot combine with --wand/--or/--after "
+                 "(batch mode uses the parsed-grammar shared-scan path)")
+
     from miru_spark.index.reader import IndexReader
     from miru_spark.query.bm25 import search, search_wand
     from miru_spark.session import get_spark
@@ -70,9 +77,6 @@ def main() -> None:
         return h
 
     if args.queries_file:
-        if args.wand or args.use_or or args.after:
-            ap.error("--queries-file cannot combine with --wand/--or/--after "
-                     "(batch mode uses the parsed-grammar shared-scan path)")
         from miru_spark.query.bm25 import search_batch
 
         with open(args.queries_file) as f:

@@ -76,6 +76,31 @@ def test_ngram_jaccard_prefix_filter_matches_naive(spark):
         assert [tuple(r) for r in fast] == [tuple(r) for r in naive], (thr, cap)
 
 
+def test_ngram_jaccard_release_contract(docs_with_dups):
+    """release() unpersists the ACTUALLY-persisted relations (the base
+    shingle relation even when the hot-shingle prune rebinds on top of
+    it) — no pinned executor storage after the caller is done."""
+    for cap in (None, 100):
+        ret = dedup.ngram_jaccard_pairs(
+            docs_with_dups, "id", "text", threshold=0.5, max_shingle_df=cap
+        )
+        ret.collect()
+        for c in ret._miru_cached:
+            assert c.storageLevel.useMemory or c.storageLevel.useDisk, cap
+        ret.release()
+        for c in ret._miru_cached:
+            assert not (c.storageLevel.useMemory or c.storageLevel.useDisk), cap
+
+
+def test_ngram_jaccard_degenerate_threshold_empty(docs_with_dups):
+    """threshold > 1.0 drives the AllPairs prefix length negative; the
+    clamped slice returns the rank-filter semantics (empty), not an
+    error."""
+    assert dedup.ngram_jaccard_pairs(
+        docs_with_dups, "id", "text", threshold=1.5
+    ).collect() == []
+
+
 def test_minhash_lsh_finds_near_dups(docs_with_dups):
     pairs = {
         (r["id_a"], r["id_b"])
