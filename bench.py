@@ -154,6 +154,12 @@ def _scaling_probe(cores: int, n_docs: int) -> None:
         extra["spark.sql.parquet.compression.codec"] = os.environ["MIRU_BENCH_PARQUET_CODEC"]
     if os.environ.get("MIRU_BENCH_ARROW_BATCH"):
         extra["spark.sql.execution.arrow.maxRecordsPerBatch"] = os.environ["MIRU_BENCH_ARROW_BATCH"]
+    # generic A/B knob: "key=val;key=val" spark confs for structural
+    # experiments (e.g. concurrent partition writers vs sort-based)
+    for kv in os.environ.get("MIRU_BENCH_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k.strip()] = v.strip()
     spark = get_spark(
         f"bench_probe_{cores}", cores=cores,
         shuffle_partitions=max(cores, int(cores * ex_mult)),
