@@ -92,7 +92,17 @@ _UNICODE_TOKEN_RE = re.compile(rf"(?:[^\W_]|[{_MARK_CLASS}])+", re.UNICODE)
 # 2 = mark-class union in _UNICODE_TOKEN_RE (combining marks join their
 #     base word run) + Thai stopwords filtered at word level before
 #     bigram expansion.
-ANALYZER_VERSION = 2
+# 3 = stemming analyzer tier: NEW locale codes en_stem/de_stem/fr_stem/
+#     es_stem (light suffix stemmers, analysis/stem.py). Additive: every
+#     locale valid under generation 2 tokenizes identically under 3, so
+#     appends to generation-2 indexes remain safe (see
+#     ANALYZER_COMPATIBLE_PREDECESSORS and the schema guard).
+ANALYZER_VERSION = 3
+
+# Generations whose ENTIRE locale surface tokenizes identically under
+# the current code (only new codes were added since): the schema guard
+# accepts an append to an index pinned at one of these.
+ANALYZER_COMPATIBLE_PREDECESSORS = frozenset({2})
 
 STOPWORDS_DE = frozenset(
     """aber als am an auch auf aus bei bin bis da das dass dem den der des
@@ -280,15 +290,20 @@ _THAI_RUN_RE = re.compile(f"[{_THAI_CHARS}]+")
 
 
 class _Analyzer:
-    __slots__ = ("token_re", "stopwords", "mode")
+    __slots__ = ("token_re", "stopwords", "mode", "stem_lang")
 
-    def __init__(self, token_re: re.Pattern, stopwords: frozenset, mode: str = "word"):
+    def __init__(self, token_re: re.Pattern, stopwords: frozenset,
+                 mode: str = "word", stem_lang: str | None = None):
         self.token_re = token_re
         self.stopwords = stopwords
         # "word": regex word-break; "cjk": UAX#29-style unigram
         # Han/Hiragana + word-run everything else; "thai_bigram":
         # character bigrams over Thai runs + word-run everything else
         self.mode = mode
+        # set -> stemming tier: analysis/stem.py light-stemmer rules for
+        # this language run after the (optional) stop filter, matching
+        # the Lucene analyzer order (StopFilter before the stemmer)
+        self.stem_lang = stem_lang
 
 
 def _segment_cjk(text: str) -> list[str]:
@@ -375,6 +390,15 @@ _ANALYZERS: dict[str, _Analyzer] = {
     "ko": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_EN, mode="cjk"),
     "cjk": _Analyzer(_UNICODE_TOKEN_RE, frozenset(), mode="cjk"),
     "unicode": _Analyzer(_UNICODE_TOKEN_RE, frozenset()),
+    # --- stemming tier (ANALYZER_VERSION 3): the reference's analyzers
+    # are Lucene STEMMING analyzers (TermAnalyzers.java:52-84 binds
+    # EnglishAnalyzer/GermanAnalyzer/FrenchAnalyzer/SpanishAnalyzer);
+    # these opt-in codes add that behavior as light suffix stemmers
+    # (analysis/stem.py) without touching the frozen base codes ---
+    "en_stem": _Analyzer(_TOKEN_RE, STOPWORDS_EN, stem_lang="en"),
+    "de_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_DE, stem_lang="de"),
+    "fr_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_FR, stem_lang="fr"),
+    "es_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_ES, stem_lang="es"),
 }
 _DEFAULT_ANALYZER = _ANALYZERS["en"]
 
@@ -437,6 +461,11 @@ def tokenize(
         toks = analyzer.token_re.findall(text.lower())
     if use_stopwords:
         toks = [t for t in toks if t not in analyzer.stopwords]
+    if analyzer.stem_lang is not None:
+        from miru_spark.analysis.stem import stem
+
+        lang = analyzer.stem_lang
+        toks = [stem(t, lang) for t in toks]
     return toks
 
 
@@ -548,4 +577,18 @@ def tokens_col(col, use_stopwords: bool = False, locale: str | None = None):
     if use_stopwords and analyzer.mode != "thai_bigram":
         stop = F.array(*[F.lit(s) for s in sorted(analyzer.stopwords)])
         toks = F.filter(toks, lambda x: ~F.array_contains(stop, x))
+    if analyzer.stem_lang is not None:
+        # stemming tier: the same anchored rules as the Python stemmer,
+        # chained regexp_replace per rule (Java replacement spelling $1);
+        # runs AFTER the stop filter, like the Python twin
+        from miru_spark.analysis.stem import jvm_rules
+
+        rules = jvm_rules(analyzer.stem_lang)
+
+        def _stem_col(t):
+            for pat, repl in rules:
+                t = F.regexp_replace(t, pat, repl)
+            return t
+
+        toks = F.transform(toks, _stem_col)
     return toks

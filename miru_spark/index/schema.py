@@ -30,6 +30,18 @@ class SchemaEvolutionError(ValueError):
     """A build/append was configured non-additively vs the persisted schema."""
 
 
+def _analyzer_gen_compatible(old_gen: int, new_gen: int) -> bool:
+    """True when appending under analyzer generation ``new_gen`` to an
+    index pinned at ``old_gen`` is safe: the newer generation only ADDED
+    locale codes, so every locale valid under the old generation
+    tokenizes identically (tokenizer.ANALYZER_COMPATIBLE_PREDECESSORS
+    declares which generations that holds for)."""
+    from miru_spark.analysis.tokenizer import (ANALYZER_COMPATIBLE_PREDECESSORS,
+                                               ANALYZER_VERSION)
+
+    return new_gen == ANALYZER_VERSION and old_gen in ANALYZER_COMPATIBLE_PREDECESSORS
+
+
 @dataclass
 class IndexSchema:
     id_col: str
@@ -84,6 +96,8 @@ def check_additive(old: IndexSchema, new: IndexSchema) -> list[str]:
     for f_ in IndexSchema._IMMUTABLE:
         a, b = getattr(old, f_), getattr(new, f_)
         if a != b:
+            if f_ == "analyzer_version" and _analyzer_gen_compatible(a, b):
+                continue
             problems.append(f"{f_} changed {a!r} -> {b!r} (rewires every built shard)")
     for name, src in old.keyword_fields.items():
         if name not in new.keyword_fields:
@@ -118,7 +132,11 @@ def enforce_additive(index_dir: str, new: IndexSchema) -> IndexSchema:
             + " (rebuild with overwrite=True to change these)"
         )
     changed = (
-        new.keyword_fields != old.keyword_fields or new.stored_cols != old.stored_cols
+        new.keyword_fields != old.keyword_fields
+        or new.stored_cols != old.stored_cols
+        # a compatible analyzer-generation step (new codes only) is
+        # re-persisted so the pin reflects the code that now appends
+        or new.analyzer_version != old.analyzer_version
     )
     new.version = old.version + 1 if changed else old.version
     if changed:

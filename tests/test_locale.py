@@ -382,3 +382,137 @@ def test_thai_stopwords_filtered_at_word_level(spark):
         tokens_col(F.col("t"), use_stopwords=True, locale="th").alias("toks")
     ).collect()[0]["toks"]
     assert jvm == got
+
+
+# ---------------------------------------------------------------------
+# Stemming tier (ANALYZER_VERSION 3): light suffix stemmers en/de/fr/es
+# ---------------------------------------------------------------------
+
+def test_light_stemmer_rules():
+    """Rule semantics: minimal plural then ONE derivational strip (en);
+    single ordered strip with a minimum-stem guard elsewhere. The rules
+    are anchored lazy-prefix regexes (longest suffix wins, min stem
+    enforced by the {n,} bound)."""
+    from miru_spark.analysis.stem import stem
+
+    cases = {
+        "en": [("meetings", "meet"),      # plural strip THEN -ing strip
+               ("running", "runn"),
+               ("glass", "glass"),        # -ss protected
+               ("bus", "bus"),            # -us protected
+               ("cats", "cat"),
+               ("nation", "nation"),      # -ation needs a 3-char stem
+               ("statements", "stat"),    # plural then -ement
+               ("red", "red"),            # too short for -ed
+               ("quickly", "quick")],
+        "de": [("häuser", "häus"), ("haben", "habe"),
+               ("tags", "tags"),          # min stem 4: unchanged
+               ("rot", "rot")],
+        "fr": [("chevaux", "chev"), ("heureuses", "heur"), ("chats", "chat")],
+        "es": [("canciones", "cancion"), ("gatos", "gato"),
+               ("rojo", "rojo")],      # min stem 4: unchanged
+    }
+    for lang, cs in cases.items():
+        for tok, want in cs:
+            assert stem(tok, lang) == want, (lang, tok, stem(tok, lang))
+
+
+def test_stem_locale_tokenize_and_jvm_parity(spark):
+    """en_stem/de_stem/fr_stem/es_stem resolve; tokenize() stems after
+    the stop filter; the JVM tokens_col twin is token-identical
+    (chained regexp_replace, Java $1 spelling)."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.analysis.tokenizer import tokens_col
+
+    assert find_analyzer("en_stem").stem_lang == "en"
+    # base locales are untouched (frozen generations)
+    assert find_analyzer("en").stem_lang is None
+    assert tokenize("the meetings were running", locale="en_stem") == \
+        ["the", "meet", "were", "runn"]
+    # stopword filter runs BEFORE the stemmer (Lucene analyzer order)
+    assert tokenize("the meetings", locale="en_stem", use_stopwords=True) == ["meet"]
+
+    texts = ["The meetings were running smoothly",
+             "Nations and nationalization statements",
+             "glass buses pass axes", "Häuser haben viele Tage",
+             "chevaux heureuses", "canciones de gatos"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string")
+    for loc in ("en_stem", "de_stem", "fr_stem", "es_stem"):
+        for use_stop in (False, True):
+            rows = df.select(
+                "id",
+                tokens_col(F.col("text"), use_stopwords=use_stop,
+                           locale=loc).alias("toks"),
+            ).collect()
+            for r in rows:
+                want = tokenize(texts[r["id"]], use_stopwords=use_stop, locale=loc)
+                assert r["toks"] == want, (loc, use_stop, texts[r["id"]])
+
+
+def test_stem_sql_expr_matches_python():
+    """The DuckDB oracle twin (sql_stem_expr) is character-identical to
+    the Python stemmer on every rule path + fuzz tokens — the 3-engine
+    parity that lets bm25_stemmed carry a value oracle."""
+    import random
+
+    import duckdb
+
+    from miru_spark.analysis.stem import RULES, sql_stem_expr, stem
+
+    con = duckdb.connect()
+    random.seed(7)
+    alpha = "abcdefghilmnorstuvxyz"
+    toks = ["".join(random.choice(alpha) for _ in range(random.randint(1, 12)))
+            for _ in range(300)]
+    toks += ["nations", "nationalization", "usefulness", "ss", "uss",
+             "axes", "eaux", "issements", "meetings", "glass"]
+    for lang in RULES:
+        sql = sql_stem_expr("t", lang)
+        rows = con.execute(
+            f"SELECT t, {sql} FROM (SELECT unnest(?) AS t)", [toks]).fetchall()
+        for t, s in rows:
+            assert stem(t, lang) == s, (lang, t, stem(t, lang), s)
+
+
+def test_stemmed_index_end_to_end(spark, tmp_path):
+    """An en_stem index matches across inflections ('meetings' query
+    hits docs containing meeting/meet/meetings) on BOTH the inline and
+    disk-index paths, and the schema pins the analyzer generation."""
+    from miru_spark.analysis.tokenizer import ANALYZER_VERSION
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.index.schema import read_schema
+    from miru_spark.query.bm25 import search, search_wand
+
+    docs = spark.createDataFrame(
+        [(0, "the team meeting ran long"),
+         (1, "we meet on mondays"),
+         (2, "meetings about meetings"),
+         (3, "nothing relevant here")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    build_index(spark, docs, idx, n_shards=1, block_bits=6, locale="en_stem")
+    assert read_schema(idx).analyzer_version == ANALYZER_VERSION
+    r = IndexReader(spark, idx)
+    exact = search(r, "meetings", k=10).collect()
+    assert {h["doc_id"] for h in exact} == {0, 1, 2}
+    wand = search_wand(r, ["meetings"], k=10).collect()
+    assert [(h["doc_id"], round(h["score"], 9)) for h in wand] == \
+        [(h["doc_id"], round(h["score"], 9)) for h in exact]
+
+
+def test_schema_guard_accepts_compatible_analyzer_generation(tmp_path):
+    """Generation 2 -> 3 only ADDED locale codes (*_stem): appends to a
+    gen-2 index are additive and re-pin the schema at the new
+    generation; gen 1 -> 3 stays rejected."""
+    from miru_spark.analysis.tokenizer import ANALYZER_VERSION
+    from miru_spark.index.schema import IndexSchema, check_additive
+
+    mk = lambda gen: IndexSchema(  # noqa: E731
+        id_col="doc_id", text_col="text", locale="de",
+        use_stopwords=False, block_bits=13, analyzer_version=gen)
+    assert check_additive(mk(2), mk(ANALYZER_VERSION)) == []
+    assert any("analyzer_version" in p
+               for p in check_additive(mk(1), mk(ANALYZER_VERSION)))
