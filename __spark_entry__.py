@@ -409,6 +409,43 @@ def q_bm25_wand_not(spark, sf_dir):
     )
 
 
+def q_bm25_wand_or_fielded(spark, sf_dir):
+    """Fielded disjunct on the SCALE path (round-4 router widening): in
+    `spark OR lang:de`, the `lang:de` composite posting list QUALIFIES
+    docs that carry no scoring term at all — search_wand_query runs the
+    OR-WAND over the scoring terms and completes the answer with
+    zero-score members of the composite postings (postings-scan union,
+    doc_id desc), exactly search()'s _or_admits_nonscoring semantics.
+    'dup' is the rarest term at sf0.01 (df=25), so k=30 genuinely
+    crosses into the zero-score admission region."""
+    from miru_spark.query.bm25 import search_wand_query
+
+    out = search_wand_query(_reader(spark, sf_dir), "dup OR lang:de", k=30)
+    return (
+        out.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").desc())
+        .limit(30)
+    )
+
+
+def q_bm25_wand_not_phrase(spark, sf_dir):
+    """`NOT "a b"` on the SCALE path (round-4 router widening): the
+    negated phrase's match relation anti-masks the bounded WAND heap
+    (intersect-then-anti, the neg_masks shape with adjacency as the
+    mask) — rank-identical to the exact path's phrase anti-join."""
+    from miru_spark.query.bm25 import search_wand_query
+
+    out = search_wand_query(
+        _reader(spark, sf_dir), 'spark AND query NOT "data scan"', k=30,
+        text_df=_read(spark, sf_dir, "documents"),
+    )
+    return (
+        out.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").desc())
+        .limit(10)
+    )
+
+
 def q_bm25_wand_nested(spark, sf_dir):
     """Nested boolean on the SCALE path: ((spark AND query) OR scan)
     NOT merge is not a flat WAND shape, so the router answers it through
@@ -574,6 +611,61 @@ _JA_DOCS: list[tuple[int, str]] = [
     (10, "街の名所を歩いてまわる"),
     (11, "新幹線で東へむかう"),
 ]
+
+
+# Deterministic synthetic English corpus with inflected forms for the
+# stemming-analyzer entry (same VALUES-literal contract as _JA_DOCS).
+_STEM_DOCS: list[tuple[int, str]] = [
+    (0, "The weekly meetings were running long"),
+    (1, "We meet to discuss the reports"),
+    (2, "A meeting about quarterly reporting"),
+    (3, "She reported the statement quickly"),
+    (4, "Useful statements from the managers"),
+    (5, "The manager manages many meetings"),
+    (6, "Nothing relevant in this document"),
+    (7, "Reports of glass buses passing"),
+    (8, "Management reported the meeting notes"),
+    (9, "Quick discussion with no relevant terms"),
+]
+
+
+def _sql_stem(col: str) -> str:
+    """DuckDB twin of the en light stemmer (oracle side)."""
+    from miru_spark.analysis.stem import sql_stem_expr
+
+    return sql_stem_expr(col, "en")
+
+
+def _stem_reader(spark):
+    """en_stem-locale index over the synthetic corpus (once per process)."""
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+
+    with _INDEX_LOCK:
+        key = "\x00stem_synth"
+        if key not in _INDEX_CACHE:
+            d = os.path.join(tempfile.mkdtemp(prefix="miru_entry_stem_"), "idx")
+            docs = spark.createDataFrame(_STEM_DOCS, "doc_id long, text string")
+            build_index(spark, docs, d, id_col="doc_id", text_col="text",
+                        n_shards=1, block_bits=7, locale="en_stem",
+                        overwrite=True)
+            _INDEX_CACHE[key] = d
+        return IndexReader(spark, _INDEX_CACHE[key])
+
+
+def q_bm25_stemmed(spark, sf_dir):
+    """Stemming analyzer tier end-to-end: the reference's per-locale
+    analyzers are Lucene STEMMING analyzers (TermAnalyzers.java:52-84
+    binds EnglishAnalyzer etc.), so "meetings" matches an indexed
+    "meeting"/"meet" there — round 3's last analyzer-behavior gap. The
+    en_stem index stems at build AND query time (light suffix rules,
+    analysis/stem.py); the oracle replicates the exact rule regexes in
+    DuckDB (RE2 and Java regex agree on the anchored lazy-prefix form —
+    parity pytest-pinned) over the identical VALUES corpus. (sf_dir
+    unused: module-literal corpus, like bm25_cjk.)"""
+    from miru_spark.query.bm25 import search
+
+    return search(_stem_reader(spark), "meetings AND reports", k=10, round_to=4)
 
 
 def _ja_reader(spark):
@@ -1644,6 +1736,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_highlight": q_fulltext_highlight,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        # --- new in round 4 ---
+        "bm25_stemmed": q_bm25_stemmed,
+        "bm25_wand_or_fielded": q_bm25_wand_or_fielded,
+        "bm25_wand_not_phrase": q_bm25_wand_not_phrase,
         # --- driver-green in r3; keep a representative spread in-window ---
         "bm25_wand_nested": q_bm25_wand_nested,
         "reco_cf": q_reco_cf,
@@ -1804,6 +1900,54 @@ ORDER BY score DESC, s.doc_id DESC LIMIT 10
         + "\n) ORDER BY query_id, rank\n",
         "bm25_wand_not": _bm25_sql(["spark", "query"], 10, "and",
                                    exclude=["merge"]),
+        # fielded disjunct with zero-score admission: docs containing the
+        # rare scoring term 'dup' score normally; lang='de' docs without
+        # it are admitted at score 0, ordered doc_id desc after every
+        # scored doc in the (score desc, doc_id desc) total order
+        "bm25_wand_or_fielded": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
+st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
+tf AS (SELECT doc_id, count(*) AS tf FROM tk WHERE term = 'dup' GROUP BY 1),
+dft AS (SELECT count(*)::DOUBLE AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * {K1 + 1.0}
+           / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / st.avgdl)) AS score
+  FROM tf CROSS JOIN dft JOIN dl USING (doc_id) CROSS JOIN st),
+qual AS (
+  SELECT doc_id, round(score, 4) AS score FROM scored
+  UNION ALL
+  SELECT d.doc_id, 0.0 FROM documents d
+  WHERE d.lang = 'de' AND d.doc_id NOT IN (SELECT doc_id FROM scored))
+SELECT doc_id::BIGINT AS doc_id, score FROM qual
+ORDER BY score DESC, doc_id DESC LIMIT 30
+""",
+        # negated phrase on the WAND path: spark&query docs minus
+        # "data scan" adjacency — the exact path's phrase anti-join
+        "bm25_wand_not_phrase": f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
+st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+ph AS (SELECT doc_id FROM base
+       WHERE len(list_filter(generate_series(1, len(toks) - 1),
+                             i -> toks[i] = 'data' AND toks[i + 1] = 'scan')) > 0),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
+q(term) AS (VALUES ('spark'), ('query')),
+tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * {K1 + 1.0}
+              / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / st.avgdl)) ) AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM scored WHERE nt = 2 AND doc_id NOT IN (SELECT doc_id FROM ph)
+ORDER BY score DESC, doc_id DESC LIMIT 10
+""",
         "bm25_wand_nested": f"""
 WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
@@ -2016,6 +2160,33 @@ WHERE nt = 2 ORDER BY score DESC, doc_id DESC LIMIT 10
         # rule), split on whitespace; Katakana runs survive whole. Phrase
         # "東京" = adjacency of the 東,京 unigrams; scoring is the same
         # BM25 CTE as _PHRASE_SQL with nt = 3 terms.
+        # stemmed entry: identical VALUES corpus (_STEM_DOCS); tokens =
+        # ASCII word-break then the exact light-stemmer rule regexes
+        # (miru_spark.analysis.stem.sql_stem_expr — RE2/Java/Python
+        # anchored-lazy-prefix parity is pytest-pinned); query terms are
+        # pre-stemmed literals (meetings->meet, reports->report)
+        "bm25_stemmed": f"""
+WITH docs(doc_id, text) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in _STEM_DOCS)}),
+base AS (SELECT doc_id,
+    list_transform(
+        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+        t -> {_sql_stem('t')}) AS toks FROM docs),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
+st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
+q(term) AS (VALUES ('meet'), ('report')),
+tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * {K1 + 1.0}
+              / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / st.avgdl)) ) AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM scored WHERE nt = 2 ORDER BY score DESC, doc_id DESC LIMIT 10
+""",
         "bm25_cjk": f"""
 WITH docs(doc_id, text) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in _JA_DOCS)}),
 base AS (SELECT doc_id,

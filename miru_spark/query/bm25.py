@@ -1087,15 +1087,22 @@ def search_wand(
         use_stopwords if use_stopwords is not None
         else bool(reader.stats.get("use_stopwords"))
     )
+    from miru_spark.analysis.tokenizer import find_analyzer
+
+    eff_locale = locale if locale is not None else reader.stats.get("locale")
+    analyzer = find_analyzer(eff_locale)
     if eff_stop:
         # a stopword-analyzed index never indexed these terms; the
         # reference's analyzer strips them from the query too — without
         # this an AND would go empty on a term the index dropped by design
-        from miru_spark.analysis.tokenizer import find_analyzer
+        terms = [t for t in terms if t not in analyzer.stopwords]
+    if analyzer.stem_lang is not None:
+        # stemming index: the dictionary holds STEMS, so raw query terms
+        # must pass through the same analyzer (stop filter first, then
+        # stem — the order tokenize() uses)
+        from miru_spark.analysis.stem import stem
 
-        eff_locale = locale if locale is not None else reader.stats.get("locale")
-        stop = find_analyzer(eff_locale).stopwords
-        terms = [t for t in terms if t not in stop]
+        terms = [stem(t, analyzer.stem_lang) for t in terms]
     terms = list(dict.fromkeys(terms))
     n_terms = len(terms)
     stats = reader.term_stats(terms)
@@ -1356,6 +1363,7 @@ def _wand_shape(ast, expander=None):
         boosts: dict[str, float] = {}
         masks: list[str] = []
         neg_masks: list[str] = []
+        neg_phrases: list[tuple[list[str], int]] = []  # AND: NOT "a b"~N
         req_groups: list[list[str]] = []  # AND mode: required any-of groups
         all_groups: list[list[str]] = []  # OR mode: qualifying all-of groups
 
@@ -1386,18 +1394,30 @@ def _wand_shape(ast, expander=None):
         for c in children:
             if isinstance(c, qp.Not):
                 # negated plain/fielded exact term = non-scoring
-                # anti-mask (search() anti-joins its postings); negated
-                # phrases/expansions need text or the dictionary — fallback
+                # anti-mask (search() anti-joins its postings); a negated
+                # PHRASE anti-masks via the phrase-match relation
+                # (positions sidecar or text verify) the same way —
+                # negated expansions need the dictionary — fallback
                 if mode == "and" and isinstance(c.child, qp.Term):
                     if c.child.term not in neg_masks:
                         neg_masks.append(c.child.term)
                     continue
+                if mode == "and" and isinstance(c.child, qp.Phrase) \
+                        and getattr(c.child, "field", None) is None:
+                    neg_phrases.append(
+                        (list(c.child.terms),
+                         int(getattr(c.child, "slop", 0))))
+                    continue
                 return None
             if getattr(c, "field", None) is not None:
-                # fielded exact term = non-scoring candidate mask; only
-                # conjunctive masks post-filter order-preservingly (and
-                # fielded expansion leaves need the dictionary — fallback)
-                if mode == "and" and isinstance(c, qp.Term):
+                # fielded exact term = non-scoring candidate mask. Under
+                # AND it post-filters the heap (required); under OR it is
+                # a qualifying disjunct that also ADMITS zero-score docs
+                # — the router unions the composite postings into the
+                # answer the same way search()'s _or_admits_nonscoring
+                # completes the exact path. Fielded expansion leaves need
+                # the dictionary — fallback.
+                if isinstance(c, qp.Term):
                     if c.term not in masks:
                         masks.append(c.term)
                     continue
@@ -1489,8 +1509,14 @@ def _wand_shape(ast, expander=None):
             # qualification (postings coverage) under one OR would need
             # a union of two verify machineries — rare shape, fallback
             return None
+        if mode == "or" and masks and phrases:
+            # zero-score admission + phrase qualification under one OR:
+            # the text-verify path cannot express mask membership in a
+            # per-doc expression — rare shape, fallback
+            return None
         boosts = {t: w for t, w in boosts.items() if w != 1.0}
-        return terms, phrases, boosts, plain, masks, neg_masks, req_groups, all_groups
+        return (terms, phrases, boosts, plain, masks, neg_masks,
+                neg_phrases, req_groups, all_groups)
 
     if isinstance(ast, qp.Or):
         r = _leaves_of(ast, "or")
@@ -1726,14 +1752,22 @@ def search_wand_query(
             gather_fields=gather_fields, after=after, **search_kwargs,
         )
     (mode, terms, phrases, boosts, plain_terms, masks, neg_masks,
-     req_groups, all_groups) = shape
+     neg_phrases, req_groups, all_groups) = shape
     if any(not g for g in req_groups):
         # an AND-required expansion matched nothing in the dictionary:
         # the conjunction is unsatisfiable (exact path: empty candidate
         # intersection) — answer without touching postings
         return reader.spark.createDataFrame([], "doc_id long, score double")
-    if (not phrases and not masks and not neg_masks and not req_groups
-            and not all_groups):
+    if mode == "or" and masks and after is not None:
+        # keyset paging through the zero-score admission region needs
+        # the exact path's cursor semantics — rare shape, fallback
+        return search(
+            reader, ast, k, k1=k1, b=b, locale=locale,
+            use_stopwords=use_stopwords, text_df=text_df, text_col=text_col,
+            gather_fields=gather_fields, after=after,
+        )
+    if (not phrases and not masks and not neg_masks and not neg_phrases
+            and not req_groups and not all_groups):
         return search_wand(
             reader, terms, k, k1=k1, b=b, mode=mode, after=after,
             gather_fields=gather_fields, boosts=boosts or None,
@@ -1750,11 +1784,12 @@ def search_wand_query(
     # (total-order-ranked) WAND pool preserves global rank.
     hit = None
     pos_semi: list[DataFrame] = []  # AND mode: one semi-filter per phrase
+    neg_pos: list[DataFrame] = []  # AND mode: one anti-filter per NOT-phrase
     pos_union: DataFrame | None = None  # OR mode: any-qualifier doc set
-    if phrases:
+    if phrases or neg_phrases:
         # same resolution (and the same loud missing-text error) as every
         # other entry point — _phrase_ctx_for is never None here because
-        # the shape carries phrases
+        # the shape carries phrase leaves (negated ones included)
         tdf, tcol, eff_stop, eff_locale, use_pos = _phrase_ctx_for(
             reader, ast, locale=locale, use_stopwords=use_stopwords,
             text_df=text_df, text_col=text_col, phrase_via=phrase_via)
@@ -1768,6 +1803,10 @@ def search_wand_query(
                 pos_semi = [
                     phrase_match_ids(reader, list(p_terms), p_slop)
                     for p_terms, p_slop in phrases
+                ]
+                neg_pos = [
+                    phrase_match_ids(reader, list(p_terms), p_slop)
+                    for p_terms, p_slop in neg_phrases
                 ]
             else:
                 pos_union = phrase_match_ids(
@@ -1789,6 +1828,10 @@ def search_wand_query(
                     hit = c
                 else:
                     hit = (hit & c) if mode == "and" else (hit | c)
+            for p_terms, p_slop in neg_phrases:  # AND-only by the shape
+                c = _phrase_hit_col(p_terms, text_col, eff_stop, slop=p_slop,
+                                    locale=eff_locale)
+                hit = ~c if hit is None else (hit & ~c)
             if mode == "or" and plain_terms:
                 from miru_spark.analysis.tokenizer import tokens_col
 
@@ -1822,24 +1865,32 @@ def search_wand_query(
             # OR mode with all-of disjunct groups: a pool doc qualifies
             # by containing any plain disjunct's term OR every member of
             # some (a AND b) disjunct (plain terms are singleton groups)
+            # OR membership in a fielded mask's composite posting list
+            # (masks are singleton groups over the composite vocabulary)
             verified = _heap_group_filter(
-                reader, verified, [[t] for t in plain_terms] + all_groups,
+                reader, verified,
+                [[t] for t in plain_terms] + all_groups
+                + ([[m] for m in masks] if mode == "or" else []),
                 require_all_groups=False)
         if req_all:
             # AND mode: a doc survives by covering ALL groups — every
             # plain term (singleton groups) and >=1 member per any-of group
             verified = _heap_group_filter(
                 reader, verified, req_all, require_all_groups=True)
-        for m in masks:
-            # composite-postings mask: stream the (term-pruned) postings
-            # scan against the broadcast <= pool-row heap — never the
-            # other way around; at corpus scale a keyword value's posting
-            # list is unbounded, the heap is not
-            verified = (
-                reader.postings(terms=[m]).select("doc_id")
-                .join(F.broadcast(verified), "doc_id")
-                .select("doc_id", "score")
-            )
+        if mode == "and":
+            for m in masks:
+                # composite-postings mask: stream the (term-pruned)
+                # postings scan against the broadcast <= pool-row heap —
+                # never the other way around; at corpus scale a keyword
+                # value's posting list is unbounded, the heap is not.
+                # (OR-mode masks never REMOVE pool docs — they only
+                # qualify/admit; handled above and in the zero-score
+                # completion below.)
+                verified = (
+                    reader.postings(terms=[m]).select("doc_id")
+                    .join(F.broadcast(verified), "doc_id")
+                    .select("doc_id", "score")
+                )
         if neg_masks:
             # NOT terms anti-mask the heap, exactly search()'s negative
             # anti-join — but keep the big side streaming: a negated
@@ -1866,6 +1917,17 @@ def search_wand_query(
                 m_df.join(F.broadcast(verified), "doc_id")
                 .select("doc_id", "score")
             )
+        for m_df in neg_pos:
+            # NOT "a b": the phrase-match relation anti-masks the heap —
+            # intersect the (unbounded) match relation with the
+            # broadcast heap first, then anti-join the tiny hit set
+            # (the neg_masks shape, with phrase adjacency as the mask)
+            hit_neg = (
+                m_df.join(F.broadcast(verified.select("doc_id")), "doc_id")
+                .distinct()
+            )
+            verified = verified.join(
+                F.broadcast(hit_neg), "doc_id", "left_anti")
         if pos_union is not None:
             verified = (
                 pos_union.join(F.broadcast(verified), "doc_id")
@@ -1888,5 +1950,26 @@ def search_wand_query(
             text_col=text_col, phrase_via=phrase_via,
             gather_fields=gather_fields, after=after,
         )
+    if mode == "or" and masks:
+        # fielded disjuncts ADMIT docs with no scoring-term signal: when
+        # fewer than k scored docs qualify, the answer completes with
+        # zero-score members of the composite posting lists — exactly
+        # search()'s _or_admits_nonscoring completion, expressed as
+        # term-pruned postings scans (mask postings minus docs holding
+        # any scoring term, minus removals), ordered doc_id desc. Every
+        # scored doc outranks every zero-score doc in the (score desc,
+        # doc_id desc) total order, so appending preserves rank.
+        have = verified.count()
+        if have < k:
+            scored_docs = reader.postings(terms=terms).select("doc_id").distinct()
+            zero = (
+                reader.postings(terms=masks).select("doc_id").distinct()
+                .join(scored_docs, "doc_id", "left_anti")
+                .join(reader.removed_docs(), "doc_id", "left_anti")
+                .withColumn("score", F.lit(0.0))
+                .orderBy(F.col("doc_id").desc())
+                .limit(k - have)
+            )
+            verified = verified.select("doc_id", "score").unionByName(zero)
     out = verified.orderBy(F.col("score").desc(), F.col("doc_id").desc()).limit(k)
     return _gather(reader, out, gather_fields)

@@ -993,10 +993,9 @@ def test_router_fallback_shapes_route_to_search(reader, corpus, monkeypatch):
 
     monkeypatch.setattr(bm25, "search", spy)
     shapes = [
-        'w00001 NOT "w00000 w00002"',  # negated phrase
-        "lang:en OR w00001",   # fielded under OR: mask-only disjunct
         "lang:en",             # pure mask -> TIME path
         '(w00001 AND w00004) OR "w00000 w00002"',  # phrase + all-of mix under OR
+        'lang:en OR "w00000 w00002"',  # fielded + phrase under OR
     ]
     for q in shapes:
         bm25.search_wand_query(reader, q, k=5, text_df=corpus).collect()
@@ -1022,6 +1021,26 @@ def test_router_wandable_shapes_bypass_search(reader, corpus, monkeypatch):
     assert bm25.search_wand_query(
         reader, '"w00000 w00001" OR w00002', k=5, text_df=corpus).collect()
     assert bm25.search_wand_query(reader, "w00001 NOT w00000", k=5).collect()
+    # round-4 router widening: negated phrases (anti-mask on the heap)
+    # and fielded-under-OR (zero-score admission) stay on the WAND path
+    assert bm25.search_wand_query(
+        reader, 'w00001 NOT "w00000 w00002"', k=5, text_df=corpus).collect()
+    assert bm25.search_wand_query(reader, "lang:de OR w00050", k=5).collect()
+
+
+def test_router_round4_shapes_rank_identical(reader, corpus):
+    """The round-4 widened shapes answer rank-identically to search():
+    negated phrase (NOT "a b") and fielded-under-OR with zero-score
+    admission (the composite postings complete the answer)."""
+    for q, kw in [
+        ('w00001 AND w00004 NOT "w00000 w00002"', {"text_df": corpus}),
+        ("w00050 OR lang:de", {}),
+        ("lang:de OR lang:fr OR w00050", {}),
+    ]:
+        exact = bm25.search(reader, q, 15, **kw).collect()
+        wand = bm25.search_wand_query(reader, q, 15, **kw).collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in wand] == \
+            [(r["doc_id"], round(r["score"], 9)) for r in exact], q
     # round-3 widening #2: unfielded expansions under OR (or bare) flatten
     # into the WAND pool as OR-of-expansions
     assert bm25.search_wand_query(reader, "w0000*", k=5).collect()
@@ -1191,9 +1210,11 @@ def test_router_fielded_mask_and_matches_exact(fielded_reader, corpus):
     got_de = bm25.search_wand_query(fielded_reader, "lang:de AND the0",
                                     k=5, first_pool=2)
     _same_ranks(got_de, bm25.search(fielded_reader, "lang:de AND the0", k=5))
-    # fielded under OR / pure-mask queries stay on the exact path
-    assert bm25._wand_shape(
-        bm25._parse_for_index(fielded_reader, "lang:en OR w00001")) is None
+    # round-4: fielded under OR is WAND-able (zero-score admission) and
+    # rank-identical to the exact path, including the score-0 region
+    got_or = bm25.search_wand_query(fielded_reader, "lang:de OR w00050", k=20)
+    _same_ranks(got_or, bm25.search(fielded_reader, "lang:de OR w00050", k=20))
+    # pure-mask queries stay on the exact path (TIME ordering)
     assert bm25._wand_shape(
         bm25._parse_for_index(fielded_reader, "lang:en")) is None
 
