@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -152,6 +153,25 @@ def index_state_fingerprint(index_dir: str) -> str:
     return hashlib.md5(";".join(parts).encode()).hexdigest()
 
 
+def shard_position_states(index_dir: str) -> dict[int, dict]:
+    """Per-shard (state, doc range) from the lineage manifests — the
+    incremental-build key: a shard whose ``checksum:n_docs`` state is
+    unchanged since the sidecar was stamped needs no rebuild."""
+    import glob as _glob
+
+    states: dict[int, dict] = {}
+    for p in sorted(_glob.glob(os.path.join(index_dir, "manifests", "*.json"))):
+        with open(p) as f:
+            m = json.load(f)
+        if m.get("status") == "done":
+            states[int(m["shard"])] = {
+                "state": f"{m.get('checksum')}:{m.get('n_docs')}",
+                "doc_lo": int(m["doc_lo"]),
+                "doc_hi": int(m["doc_hi"]),
+            }
+    return states
+
+
 def positions_path(index_dir: str) -> str:
     return os.path.join(index_dir, POSITIONS_DIR)
 
@@ -174,6 +194,7 @@ def build_positions(
     index_dir: str,
     *,
     exchange_partitions: int | None = None,
+    incremental: bool = True,
 ) -> dict:
     """Build the positional sidecar for an already-built index.
 
@@ -181,6 +202,16 @@ def build_positions(
     ``id_col``/``text_col`` values); analyzer settings come from the
     index's persisted ``schema.json``, so the position stream can never
     silently disagree with the indexed vocabulary. Returns the meta dict.
+
+    INCREMENTAL by default: the sidecar meta stamps each shard's
+    ``checksum:n_docs`` manifest state; a rebuild re-tokenizes ONLY the
+    shards whose state changed since the stamp (appends rebuild the new
+    shards, a compaction rebuilds the compacted ones), overwriting just
+    those partitions — vanished shards' partitions are dropped. An
+    analyzer/layout mismatch (or ``incremental=False``) falls back to
+    the full rebuild. The doc filter pushes the stale shards' id ranges
+    down to the corpus scan, so an append over a 10^12-doc corpus
+    re-reads only the appended range.
     """
     sch = read_schema(index_dir)
     if sch is None:
@@ -188,6 +219,65 @@ def build_positions(
     from miru_spark.analysis.tokenizer import ANALYZER_VERSION
 
     block_bits = sch.block_bits
+    shard_states = shard_position_states(index_dir)
+    prev = positions_meta(index_dir)
+    analyzer_same = prev is not None and (
+        prev.get("locale") == sch.locale
+        and bool(prev.get("use_stopwords")) == bool(sch.use_stopwords)
+        and prev.get("block_bits") == block_bits
+        and prev.get("analyzer_version") == ANALYZER_VERSION
+    )
+    incremental = (
+        incremental and analyzer_same
+        and bool(prev.get("shard_states"))
+        and os.path.isdir(positions_path(index_dir))
+    )
+    prev_states = (prev or {}).get("shard_states") or {}
+    if incremental:
+        stale = sorted(
+            s for s, st in shard_states.items()
+            if prev_states.get(str(s)) != st["state"]
+        )
+        gone = sorted(
+            int(s) for s in prev_states if int(s) not in shard_states)
+    else:
+        stale = sorted(shard_states)
+        gone = []
+    for s in gone:
+        leaf = os.path.join(positions_path(index_dir), f"shard={s}")
+        if os.path.isdir(leaf):
+            shutil.rmtree(leaf)
+
+    meta = {
+        "locale": sch.locale,
+        "use_stopwords": bool(sch.use_stopwords),
+        "block_bits": block_bits,
+        "analyzer_version": ANALYZER_VERSION,
+        "index_state": index_state_fingerprint(index_dir),
+        "shard_states": {str(s): st["state"] for s, st in shard_states.items()},
+    }
+    if incremental and not stale and not gone:
+        # nothing changed (or only metadata): restamp and return
+        with open(os.path.join(index_dir, POSITIONS_META), "w") as f:
+            json.dump(meta, f)
+        return meta
+
+    if incremental:
+        # push the stale shards' id ranges down to the corpus scan
+        intervals: list[list[int]] = []
+        for s in stale:
+            lo, hi = shard_states[s]["doc_lo"], shard_states[s]["doc_hi"]
+            if intervals and lo <= intervals[-1][1] + 1:
+                intervals[-1][1] = max(intervals[-1][1], hi)
+            else:
+                intervals.append([lo, hi])
+        cond = None
+        for lo, hi in intervals:
+            c = (F.col(sch.id_col).cast("long") >= lo) & (
+                F.col(sch.id_col).cast("long") <= hi)
+            cond = c if cond is None else cond | c
+        docs = docs.filter(cond)
+
     tp = term_positions_udf(use_stopwords=sch.use_stopwords, locale=sch.locale)
     ex = (
         docs.select(
@@ -217,17 +307,34 @@ def build_positions(
         .select("shard", "block_key")
         .distinct()
     )
+    if incremental:
+        blockmap = blockmap.filter(F.col("shard").isin([int(s) for s in stale]))
     out = rows.join(F.broadcast(blockmap), "block_key", "inner")
-    out.select("shard", "term", "block_key", "n", "doc_ids", "pos_lens", "positions") \
-        .write.mode("overwrite").option("compression", "zstd") \
-        .partitionBy("shard").parquet(positions_path(index_dir))
-    meta = {
-        "locale": sch.locale,
-        "use_stopwords": bool(sch.use_stopwords),
-        "block_bits": block_bits,
-        "analyzer_version": ANALYZER_VERSION,
-        "index_state": index_state_fingerprint(index_dir),
-    }
+    writer = out.select(
+        "shard", "term", "block_key", "n", "doc_ids", "pos_lens", "positions"
+    ).write.mode("overwrite").option("compression", "zstd").partitionBy("shard")
+    if incremental:
+        # replace ONLY the stale shards' partitions; untouched shards'
+        # files stay byte-identical on disk. Pre-clearing the stale
+        # leaves (instead of relying on dynamic overwrite alone) also
+        # covers a stale shard that now produces ZERO rows, which a
+        # dynamic overwrite would silently leave in place. Crash-safe:
+        # the meta is restamped only after a successful write, and a
+        # missing/stale stamp makes positions_usable() False — phrase
+        # queries fall back to the text plan, never to a torn sidecar.
+        for s in stale:
+            leaf = os.path.join(positions_path(index_dir), f"shard={s}")
+            if os.path.isdir(leaf):
+                shutil.rmtree(leaf)
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            writer.parquet(positions_path(index_dir))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    else:
+        writer.parquet(positions_path(index_dir))
     with open(os.path.join(index_dir, POSITIONS_META), "w") as f:
         json.dump(meta, f)
     return meta

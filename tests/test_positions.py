@@ -329,3 +329,67 @@ def test_stale_sidecar_disqualified_by_index_mutation(spark, corpus, oracle, tmp
     rebuilt = {x["doc_id"] for x in bm25.search(
         IndexReader(spark, d), q, k=1000, phrase_via="positions").collect()}
     assert rebuilt == auto
+
+
+def test_incremental_positions_rebuilds_only_changed_shards(spark, corpus, tmp_path):
+    """An append rebuilds ONLY the new/changed shards' position
+    partitions (untouched shards' files stay byte-identical on disk),
+    the meta restamps, and the sidecar re-validates (VERDICT r3 next#7)."""
+    import glob
+    import os
+
+    from miru_spark.index.builder import build_index
+
+    d = str(tmp_path / "idx")
+    first = corpus.filter(F.col("doc_id") < 256)  # shards 0-1 at block_bits=7, span 2
+    build_index(spark, first, d, shard_span_blocks=2, block_bits=7,
+                overwrite=True)
+    pos.build_positions(spark, first, d)
+    assert pos.positions_usable(d, None, False)
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(d, "positions", "shard=0", "*.parquet"))
+    }
+    assert before
+
+    # append: docs 256.. land in NEW shards; shard 0's manifest state is
+    # unchanged, so its positions must not be rewritten
+    build_index(spark, corpus, d, shard_span_blocks=2, block_bits=7)
+    assert not pos.positions_usable(d, None, False)  # stale vs new postings
+    meta = pos.build_positions(spark, corpus, d)
+    assert pos.positions_usable(d, None, False)
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(d, "positions", "shard=0", "*.parquet"))
+    }
+    assert after == before  # same files, untouched
+    # the new shards' partitions exist
+    shards = {p.split("=")[1] for p in os.listdir(os.path.join(d, "positions"))
+              if p.startswith("shard=")}
+    assert len(shards) > 2
+    assert set(meta["shard_states"]) == {str(s) for s in range(len(shards))} \
+        or len(meta["shard_states"]) >= len(shards)
+
+    # unchanged index: a further rebuild is a pure restamp (no partition
+    # rewritten anywhere)
+    all_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(d, "positions", "shard=*", "*.parquet"))
+    }
+    pos.build_positions(spark, corpus, d)
+    all_after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(d, "positions", "shard=*", "*.parquet"))
+    }
+    assert all_after == all_before
+
+    # and the incremental sidecar answers phrases identically to a
+    # from-scratch full rebuild
+    r = IndexReader(spark, d)
+    inc = bm25.search_wand_query(
+        r, '"w00000 w00001"', k=10, phrase_via="positions").collect()
+    pos.build_positions(spark, corpus, d, incremental=False)
+    full = bm25.search_wand_query(
+        IndexReader(spark, d), '"w00000 w00001"', k=10,
+        phrase_via="positions").collect()
+    assert [tuple(x) for x in inc] == [tuple(x) for x in full]
