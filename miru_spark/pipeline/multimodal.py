@@ -80,6 +80,42 @@ def _fake_decode_features(data: bytes, n_bins: int = 8) -> list[float]:
     return list(hist / hist.sum())
 
 
+def _pillow_decode_features(data: bytes, n_bins: int = 8) -> list[float]:
+    """Real image decode path (used when Pillow is importable): decode,
+    convert to grayscale, and emit the normalized pixel-intensity
+    histogram — same shape/contract as the fake byte-histogram, so the
+    Spark plumbing (schema, batching, partitioning) is identical."""
+    import io
+
+    from PIL import Image
+
+    if not data:
+        return [0.0] * n_bins
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            arr = np.asarray(im.convert("L"), dtype=np.uint8).ravel()
+    except Exception:  # undecodable payload -> zero vector, not a crash
+        return [0.0] * n_bins
+    if arr.size == 0:
+        return [0.0] * n_bins
+    hist = np.bincount(arr >> 5, minlength=n_bins).astype(np.float64)
+    return list(hist / hist.sum())
+
+
+def _resolve_decoder(decoder: str) -> str:
+    """``auto`` probes for a real codec library at runtime and falls back
+    to the loud stub when none is present — the stub stays the honest
+    default, but an environment WITH Pillow gets real decoding without a
+    code change (VERDICT r3 next#10)."""
+    if decoder != "auto":
+        return decoder
+    try:
+        import PIL.Image  # noqa: F401
+        return "pillow"
+    except ImportError:
+        return "stub"
+
+
 def decode_features(
     df: DataFrame, id_col: str, data_col: str, *, decoder: str = "stub", n_bins: int = 8
 ) -> DataFrame:
@@ -87,14 +123,23 @@ def decode_features(
 
     ``decoder="stub"`` raises NotImplementedError (real image/audio libs
     are not available in this environment); ``decoder="fake"`` produces
-    the deterministic byte-histogram feature for pipeline testing.
+    the deterministic byte-histogram feature for pipeline testing;
+    ``decoder="auto"`` resolves to the real Pillow path when the library
+    is importable and the stub otherwise; ``decoder="pillow"`` forces
+    the real path (ImportError if absent).
     """
+    decoder = _resolve_decoder(decoder)
     if decoder == "stub":
         raise NotImplementedError(
             "media decoding requires an image/audio library not present in "
             "this environment; use decoder='fake' for the deterministic test path"
         )
-    if decoder != "fake":
+    if decoder == "pillow":
+        import PIL.Image  # noqa: F401 - fail on the driver, not in tasks
+        kernel = _pillow_decode_features
+    elif decoder == "fake":
+        kernel = _fake_decode_features
+    else:
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def _decode(pdf_iter):
@@ -102,7 +147,7 @@ def decode_features(
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
-                    "features": [_fake_decode_features(d, n_bins) for d in pdf["data"]],
+                    "features": [kernel(d, n_bins) for d in pdf["data"]],
                 }
             )
 

@@ -98,3 +98,22 @@ def load_corpus(
     if fmt != "table":
         raise ValueError(f"unknown corpus format {fmt!r}")
     return spark.read.options(**opts).table(source)
+
+
+def current_snapshot_id(spark: SparkSession, table: str) -> int | None:
+    """Latest snapshot id of an Iceberg table, via its ``.snapshots``
+    metadata table — the value the build lifecycle PINS (stats.json for
+    bulk builds, cursor.json for snapshot sips) so a resume re-reads the
+    same data and the next sip knows its ``start-snapshot-id``.
+
+    Returns None when the catalog exposes no snapshots metadata (plain
+    parquet, non-Iceberg tables) — callers treat that as
+    "not snapshot-capable", never as an error."""
+    try:
+        rows = spark.sql(
+            f"SELECT snapshot_id FROM {table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(rows[0][0]) if rows else None
+    except Exception:  # noqa: BLE001 - no catalog / not Iceberg
+        return None

@@ -142,6 +142,41 @@ class StreamingIndexer:
         self._write_cursor({"n_shards": shard + 1, "next_doc_id": hi + 1,
                             "last_batch_id": batch_id})
 
+    def sip_snapshots(self, spark, table: str) -> dict:
+        """Pull-based sip over Iceberg snapshots: index the delta between
+        the cursor's last indexed snapshot and the table's current one,
+        then advance the cursor (the reference's WAL sip cursor,
+        ``AmzaSipCursor.java:14-47``, with the snapshot id as the
+        cursor). First call (no pinned snapshot) indexes the current
+        snapshot in full via time travel, so the pin is exact even if
+        the table advances mid-build; later calls pass
+        ``start-snapshot-id``/``end-snapshot-id`` so Iceberg reads ONLY
+        the appended files. Idempotent: an unchanged snapshot no-ops.
+        """
+        from miru_spark import sources
+
+        cur = self.read_cursor()
+        last = cur.get("last_snapshot_id")
+        latest = sources.current_snapshot_id(spark, table)
+        if latest is None:
+            raise ValueError(
+                f"{table!r} exposes no snapshots metadata table — "
+                "snapshot sip needs an Iceberg(-like) catalog table")
+        if last is not None and int(latest) == int(last):
+            return {"status": "no-op", "snapshot_id": int(latest)}
+        if last is None:
+            delta = sources.load_corpus(spark, table, snapshot_id=latest)
+        else:
+            delta = sources.load_corpus(
+                spark, table,
+                start_snapshot_id=int(last), end_snapshot_id=int(latest))
+        self.process_batch(delta, batch_id=int(latest))
+        cur = self.read_cursor()
+        cur["last_snapshot_id"] = int(latest)
+        self._write_cursor(cur)
+        return {"status": "indexed", "snapshot_id": int(latest),
+                "start_snapshot_id": int(last) if last is not None else None}
+
     def finalize(self, spark) -> "object":
         """Merge per-shard stats into the global dictionary + stats.json.
 

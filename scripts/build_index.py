@@ -74,10 +74,20 @@ def main() -> None:
 
         spark = SparkSession.builder.appName("miru_spark_build").getOrCreate()
 
-    from miru_spark.sources import load_corpus
+    from miru_spark.sources import (current_snapshot_id, is_table_identifier,
+                                    load_corpus)
 
+    # pin the snapshot BEFORE reading: an explicit --snapshot-id is the
+    # pin; otherwise resolve the table's current snapshot so the build's
+    # lineage records exactly which data it read (a concurrent append
+    # between "read" and "record" cannot skew the pin)
+    pinned_snapshot = args.snapshot_id
+    if pinned_snapshot is None and is_table_identifier(args.input):
+        pinned_snapshot = current_snapshot_id(spark, args.input)
     docs = load_corpus(
-        spark, args.input, snapshot_id=args.snapshot_id,
+        spark, args.input,
+        snapshot_id=args.snapshot_id if args.snapshot_id is not None
+        else (pinned_snapshot if args.start_snapshot_id is None else None),
         start_snapshot_id=args.start_snapshot_id,
         end_snapshot_id=args.end_snapshot_id)
     if args.id_col not in docs.columns:
@@ -108,6 +118,21 @@ def main() -> None:
     cached = getattr(docs, "_miru_cached_input", None)
     if cached is not None:
         cached.unpersist()
+    # pin the source snapshot into stats.json (lineage: which Iceberg
+    # snapshot this index was built from; a resume or audit reads it
+    # back, and an incremental build passes it as --start-snapshot-id)
+    if pinned_snapshot is not None:
+        stats_path = os.path.join(args.output, "stats.json")
+        with open(stats_path) as f:
+            stats = json.load(f)
+        stats["source_table"] = args.input
+        stats["snapshot_id"] = int(pinned_snapshot)
+        if args.start_snapshot_id is not None:
+            stats["start_snapshot_id"] = int(args.start_snapshot_id)
+        tmp = stats_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f, indent=1, sort_keys=True)
+        os.replace(tmp, stats_path)
     print(
         json.dumps(
             {

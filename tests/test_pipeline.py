@@ -257,6 +257,31 @@ def test_multimodal_meta_and_decode(spark):
     assert f0[0]["frame"] == bytes((b"\xff\xd8\xff" + b"a" * 100)[:32])
 
 
+def test_multimodal_auto_decoder(spark):
+    """decoder='auto' registers the real Pillow path when the library is
+    importable and resolves to the loud stub otherwise — the stub stays
+    honest, an environment WITH codecs gets real decoding free."""
+    try:
+        import PIL.Image  # noqa: F401
+        have_pillow = True
+    except ImportError:
+        have_pillow = False
+    assert multimodal._resolve_decoder("auto") == (
+        "pillow" if have_pillow else "stub")
+    assert multimodal._resolve_decoder("fake") == "fake"
+    df = spark.createDataFrame([(0, b"not an image")], "id long, data binary")
+    if not have_pillow:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_features(df, "id", "data", decoder="auto")
+        with pytest.raises(ImportError):
+            multimodal.decode_features(df, "id", "data", decoder="pillow")
+    else:
+        # undecodable payload -> zero vector, not a crash
+        feats = multimodal.decode_features(
+            df, "id", "data", decoder="auto").collect()
+        assert feats[0]["features"] == [0.0] * 8
+
+
 def test_connected_components_topologies(spark):
     """Chain (worst case for label propagation), clique, singleton pair,
     and an isolated edge — all must resolve to min-id components within

@@ -348,3 +348,60 @@ def test_compact_crash_recovery(spark, paged_corpus, tmp_path, monkeypatch):
              for x in search(r, "spark AND join", k=30).collect()]
     assert after == before
     assert not os.path.isdir(os.path.join(idx_dir, "postings", "shard=1"))
+
+
+def test_sip_snapshots_cursor_and_passthrough(spark, paged_corpus, tmp_path, monkeypatch):
+    """Snapshot sip lifecycle (Iceberg options faked — no catalog in the
+    sandbox): the first sip pins the current snapshot via time travel,
+    later sips pass start/end-snapshot-id so only the delta is read, an
+    unchanged snapshot no-ops, and the cursor records the pin."""
+    from miru_spark import sources
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query.bm25 import search_wand
+    from miru_spark.streaming.ingest import StreamingIndexer
+
+    root, texts = paged_corpus
+    segs = sorted(os.listdir(root))
+    state = {"latest": 101}
+    calls = []
+
+    def fake_current(spark_, table):
+        assert table == "wh.db.pages"
+        return state["latest"]
+
+    def fake_load(spark_, table, **kw):
+        calls.append(kw)
+        if kw.get("snapshot_id") is not None:
+            # full table as of the pinned snapshot = first segment
+            return spark_.read.parquet(os.path.join(root, segs[0]))
+        # incremental: the delta appended after start_snapshot_id
+        assert kw["start_snapshot_id"] == 101 and kw["end_snapshot_id"] == 102
+        return spark_.read.parquet(os.path.join(root, segs[1]))
+
+    monkeypatch.setattr(sources, "current_snapshot_id", fake_current)
+    monkeypatch.setattr(sources, "load_corpus", fake_load)
+
+    idx = str(tmp_path / "idx")
+    indexer = StreamingIndexer(idx, block_bits=6)
+    r1 = indexer.sip_snapshots(spark, "wh.db.pages")
+    assert r1 == {"status": "indexed", "snapshot_id": 101,
+                  "start_snapshot_id": None}
+    assert calls[-1]["snapshot_id"] == 101
+    assert indexer.read_cursor()["last_snapshot_id"] == 101
+
+    # unchanged table: no-op, no read
+    n_calls = len(calls)
+    assert indexer.sip_snapshots(spark, "wh.db.pages")["status"] == "no-op"
+    assert len(calls) == n_calls
+
+    # table advances: delta-only read with the cursor as start
+    state["latest"] = 102
+    r2 = indexer.sip_snapshots(spark, "wh.db.pages")
+    assert r2 == {"status": "indexed", "snapshot_id": 102,
+                  "start_snapshot_id": 101}
+    assert indexer.read_cursor()["last_snapshot_id"] == 102
+
+    meta = indexer.finalize(spark)
+    assert meta.n_docs == 20  # both segments indexed, once each
+    hits = search_wand(IndexReader(spark, idx), ["spark"], k=25).collect()
+    assert len(hits) > 0
