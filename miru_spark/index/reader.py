@@ -355,6 +355,14 @@ class IndexReader:
             self._max_block_cache = max(0, hi) >> self.block_bits
         return self._max_block_cache
 
+    def has_removals(self) -> bool:
+        """Driver-side check for an existing removal log. Callers use it
+        to SKIP the anti-join entirely: an empty-relation anti-join
+        still plans a sort-merge join with two exchanges before AQE can
+        collapse it at runtime — pure stage latency on every query of a
+        removal-free index."""
+        return os.path.isdir(os.path.join(self.index_dir, "removals"))
+
     def removed_docs(self) -> DataFrame:
         """Doc ids currently hidden by the removal log (REMOVE without a
         later REPAIR — highest version wins, ties resolved remove-wins).

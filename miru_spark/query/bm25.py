@@ -842,6 +842,7 @@ def search_batch(
     text_df: DataFrame | None = None,
     text_col: str = "text",
     phrase_via: str = "auto",
+    block_prune: bool | None = None,
 ) -> DataFrame:
     """Answer MANY queries from ONE shared postings scan.
 
@@ -907,16 +908,96 @@ def search_batch(
                 qt_rows, "query_id string, term string, widf double"))
             req = F.broadcast(reader.spark.createDataFrame(
                 req_rows, "query_id string, n_req int"))
+            union_idx_terms = sorted({t for _, t, _w in qt_rows})
+            # Block-coverage pruning (the shared-scan twin of
+            # search_wand's block-granular intersection): an AND query's
+            # matches can only live in blocks containing ALL its terms —
+            # a block is a doc-id range, so every posting of a matching
+            # doc co-locates. Computing the covered (query, block) set
+            # from the BLOCK-level relation (no decode) and restricting
+            # both the decode and each AND query's fan-out to it makes
+            # the decode volume proportional to co-occurring doc ranges,
+            # not to the union terms' full posting lists. The block
+            # relation pass costs ~2 extra small stages, so it pays only
+            # when the index actually has many blocks — "auto" turns it
+            # on past 64 blocks (a 5k-doc test index has 1-80; a
+            # 10^12-doc index has ~10^8).
+            and_terms = {
+                qid: set(tb) for qid, (mode, tb) in shared.items()
+                if mode == "and"
+            }
+            # populated doc-block count from the manifests (driver-side);
+            # block_prune=True/False overrides the auto threshold
+            prune = (
+                block_prune if block_prune is not None
+                else reader.max_block_key() + 1 > 64
+            ) and bool(and_terms)
+            cov = None
+            if prune:
+                blk = reader.blocks(terms=union_idx_terms).select(
+                    "term", "block_key")
+                qt_and = F.broadcast(reader.spark.createDataFrame(
+                    [(qid, t) for qid, ts in and_terms.items()
+                     for t in ts if t in stats],
+                    "query_id string, term string"))
+                req_and = F.broadcast(reader.spark.createDataFrame(
+                    [(qid, len(ts)) for qid, ts in and_terms.items()],
+                    "query_id string, n_req int"))
+                cov = F.broadcast(
+                    blk.join(qt_and, "term")
+                    .groupBy("query_id", "block_key")
+                    .agg(F.countDistinct("term").alias("ntb"))
+                    .join(req_and, "query_id")
+                    .filter(F.col("ntb") >= F.col("n_req"))
+                    .select("query_id", "block_key")
+                )
+                or_terms = sorted({
+                    t for qid, (mode, tb) in shared.items()
+                    if mode == "or" for t in tb if t in stats
+                })
+                # blocks ANY query still needs: every block of an OR
+                # term, plus the AND-covered blocks
+                needed = cov.select("block_key").distinct()
+                if or_terms:
+                    needed = needed.union(
+                        blk.filter(F.col("term").isin(or_terms))
+                        .select("block_key")
+                    ).distinct()
+                needed = F.broadcast(needed)
+            src_blocks = reader.blocks(terms=union_idx_terms)
+            if prune:
+                src_blocks = src_blocks.join(needed, "block_key", "left_semi")
             scored = (
-                reader.postings(
-                    terms=sorted({t for _, t, _w in qt_rows}),
-                    df_bound=sum(stats[t]["df"] for t in
-                                 {t for _, t, _w in qt_rows}),
+                reader.decode(
+                    src_blocks,
+                    sidecar=reader.pruned_doclens(
+                        union_idx_terms,
+                        df_bound=sum(stats[t]["df"] for t in union_idx_terms),
+                    ),
                 )
                 .join(qt, "term")
                 .withColumn(
                     "contrib", _bm25_score_col(F.col("widf"), k1, b, reader.avgdl))
-                .groupBy("query_id", "doc_id")
+            )
+            if prune:
+                # restrict each AND query's fan-out to its covered
+                # blocks (OR queries pass; the nt coverage filter below
+                # keeps correctness either way — this only drops rows
+                # that could never complete their conjunction)
+                or_qids = [qid for qid, (m, _t) in shared.items() if m == "or"]
+                scored = (
+                    scored.withColumn(
+                        "block_key",
+                        F.shiftright(F.col("doc_id"), reader.block_bits))
+                    .join(
+                        cov.withColumn("cv", F.lit(1)),
+                        ["query_id", "block_key"], "left")
+                    .filter(
+                        F.col("cv").isNotNull()
+                        | F.col("query_id").isin(or_qids))
+                )
+            scored = (
+                scored.groupBy("query_id", "doc_id")
                 .agg(F.sum("contrib").alias("score"),
                      F.count(F.lit(1)).alias("nt"))
                 .join(req, "query_id")
@@ -940,7 +1021,10 @@ def search_batch(
     allq = parts[0]
     for p in parts[1:]:
         allq = allq.unionByName(p)
-    allq = allq.join(reader.removed_docs(), "doc_id", "left_anti")
+    if reader.has_removals():
+        # skipped entirely on a removal-free index: an empty-relation
+        # anti-join still plans a sort-merge join with two exchanges
+        allq = allq.join(reader.removed_docs(), "doc_id", "left_anti")
     if round_to is not None:
         allq = allq.withColumn("score", F.round("score", round_to))
     from pyspark.sql import Window
@@ -959,7 +1043,10 @@ def search_batch(
         out = F.broadcast(out).join(
             reader.doc_store().select("doc_id", *gather_fields), "doc_id"
         ).select("query_id", "rank", "doc_id", "score", *gather_fields)
-    return out.orderBy("query_id", "rank")
+    # presentation order WITHOUT a range exchange: orderBy() samples for
+    # range partitioning — a whole extra pass for <= N*k result rows.
+    # One partition + in-partition sort gives the same order for free.
+    return out.coalesce(1).sortWithinPartitions("query_id", "rank")
 
 
 def search_time_newest(

@@ -1522,6 +1522,22 @@ def test_search_batch_matches_per_query(reader):
     assert "d" not in by_q  # unindexed conjunct voids the query
 
 
+def test_search_batch_block_prune_identical(reader):
+    """The shared block-coverage prune (an AND query's matches live only
+    in blocks containing ALL its terms) never changes an answer —
+    forced on (the test index is below the auto threshold) it is row-
+    identical to the unpruned shared scan across AND/OR mixes."""
+    qs = {
+        "a": "w00000 AND w00001 AND w00002",
+        "b": "w00050 OR w00003",
+        "c": "the0 AND w00007",
+        "d": "w00001^2 AND w00004",
+    }
+    base = bm25.search_batch(reader, qs, k=12, block_prune=False).collect()
+    pruned = bm25.search_batch(reader, qs, k=12, block_prune=True).collect()
+    assert [tuple(r) for r in pruned] == [tuple(r) for r in base]
+
+
 def test_search_batch_empty_and_stopword_queries(reader):
     assert bm25.search_batch(reader, {}, k=5).collect() == []
     # an all-stopword query contributes nothing; the other query answers
