@@ -2557,7 +2557,15 @@ def compact_removals(spark: SparkSession, index_dir: str) -> dict:
                         out_rows[c].append(vals[c])
                 out_frames.append(pd.DataFrame(out_rows, columns=cols))
             if out_frames:
-                yield pd.concat(out_frames, ignore_index=True)[cols]
+                # restore term order within the batch: the unchanged/
+                # changed/RLE partitions above reorder rows, and the
+                # rewritten files should keep term-clustered row groups
+                # (parquet min/max stats prune term lookups)
+                yield (
+                    pd.concat(out_frames, ignore_index=True)[cols]
+                    .sort_values(["term", "block_key"], kind="stable")
+                    .reset_index(drop=True)
+                )
             else:
                 yield pdf.iloc[0:0]
 
