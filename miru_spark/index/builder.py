@@ -2030,6 +2030,16 @@ def _build_wave(
             leaf = os.path.join(index_dir, "shard_stats", f"shard={s}")
             if os.path.isdir(leaf):
                 shutil.rmtree(leaf)
+        # prior shards' stats partitions, listed AFTER the wave pre-clear
+        # and BEFORE the tails start: the dictionary tail reads exactly
+        # these paths, never the root, so it cannot race the concurrent
+        # stats writer committing the wave's partitions
+        stats_root = os.path.join(index_dir, "shard_stats")
+        prior_stats_dirs = (
+            [os.path.join(stats_root, d) for d in os.listdir(stats_root)
+             if d.startswith("shard=")]
+            if os.path.isdir(stats_root) else []
+        )
 
         # Post-write tail, PARALLEL: the doclens-marker transform, the
         # shard_stats relation (+ its manifest aggregate), and the
@@ -2144,18 +2154,41 @@ def _build_wave(
                         )
                         .collect()
                     }
-                if build_dictionary:
-                    # last wave: global dictionary merge overlapped with
-                    # the doclens/doc-store writers on this thread —
-                    # _finalize then only reads footers + manifests
-                    (
-                        spark.read.parquet(os.path.join(index_dir, "shard_stats"))
+            except BaseException as e:  # noqa: BLE001
+                tail_errs.append(e)
+
+        def _dictionary_tail():
+            # last wave: the global dictionary merge runs CONCURRENTLY
+            # with the shard_stats write instead of chained after it —
+            # the wave's contribution is re-derived from the written
+            # postings (df/cf are additive: sum(n)/sum(sum_tf) over
+            # blocks equals the shard_stats sums by associativity) and
+            # merged with the PRIOR shards' stats partitions, listed
+            # before the tails start so the read never races the stats
+            # writer (the wave's own partitions were pre-cleared above).
+            # _finalize then only reads footers + manifests.
+            try:
+                written = spark.read.parquet(post_root).filter(
+                    F.col("shard").isin(wave_shards) & (F.col("term") != DOCLEN_TERM)
+                )
+                part = written.groupBy("term").agg(
+                    F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+                if prior_stats_dirs:
+                    prior = (
+                        spark.read
+                        .option("basePath", os.path.join(index_dir, "shard_stats"))
+                        .parquet(*prior_stats_dirs)
                         .groupBy("term")
                         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-                        .write.mode("overwrite")
-                        .parquet(os.path.join(index_dir, "dictionary"))
                     )
-                    phases["dictionary"] = round(time.monotonic() - wall_start, 2)
+                    part = (
+                        part.unionByName(prior)
+                        .groupBy("term")
+                        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+                    )
+                part.write.mode("overwrite").parquet(
+                    os.path.join(index_dir, "dictionary"))
+                phases["dictionary"] = round(time.monotonic() - wall_start, 2)
             except BaseException as e:  # noqa: BLE001
                 tail_errs.append(e)
 
@@ -2195,6 +2228,9 @@ def _build_wave(
                 tail_errs.append(e)
 
         tails = [threading.Thread(target=_stats_tail, name="stats_tail")]
+        if build_dictionary:
+            tails.append(
+                threading.Thread(target=_dictionary_tail, name="dictionary_tail"))
         if obs_post is None:
             tails.append(threading.Thread(target=_docagg_tail, name="docagg_tail"))
         if map_pack:
