@@ -595,19 +595,19 @@ def main() -> None:
     collected: dict[str, list] = {}
     for name in bench_queries:
         runs = []
-        ret = None
         for _ in range(2):
             t0 = time.monotonic()
             ret = qs[name](spark, SF_DIR)
             collected[name] = ret.collect()
             runs.append(time.monotonic() - t0)
+            # persist-lifecycle contract: operators that pin relations
+            # (dedup family) expose release(); EACH call pins fresh
+            # relations, so release per run or a 40-query bench session
+            # accumulates executor storage.
+            if hasattr(ret, "release"):
+                ret.release()
         timings[name] = round(min(runs), 3)
         all_runs[name] = [round(t, 3) for t in runs]
-        # persist-lifecycle contract: operators that pin relations
-        # (dedup family) expose release(); call it so a 38-query bench
-        # session doesn't accumulate executor storage across queries.
-        if hasattr(ret, "release"):
-            ret.release()
 
     # rank-identity across the three physical BM25 plans (north rule:
     # "top-k docIDs and scores rank-identical"): the inline DataFrame

@@ -468,7 +468,7 @@ def _zero_score_topk(
     if authz is not None:
         cands = cands.join(
             composite_authz(reader, authz, authz_field), "doc_id", "left_semi")
-    cands = cands.join(reader.removed_docs(), "doc_id", "left_anti")
+    cands = _anti_removed(reader, cands)
     if after is not None:
         a_score, a_doc = float(after[0]), int(after[1])
         if a_score == 0.0:
@@ -627,7 +627,7 @@ def search(
         if authz is not None:
             scored = scored.join(
                 composite_authz(reader, authz, authz_field), "doc_id", "left_semi")
-        scored = scored.join(reader.removed_docs(), "doc_id", "left_anti")
+        scored = _anti_removed(reader, scored)
         candidates = None
     elif fused:
         # fused tree, but no positive term exists in the dictionary:
@@ -648,7 +648,7 @@ def search(
                 composite_authz(reader, authz, authz_field), "doc_id", "left_semi")
         # removal mask: tombstoned docs never reach the scorer (the
         # reference ANDs ¬removal into every answer, FullTextCustomQuestion.java:89)
-        candidates = candidates.join(reader.removed_docs(), "doc_id", "left_anti")
+        candidates = _anti_removed(reader, candidates)
 
     if candidates is None:
         pass  # fused: scored is complete
@@ -798,7 +798,7 @@ def facet_counts(
     cands = _fused_candidate_set(reader, ast, expansions)
     if cands is None:
         cands = _eval_candidates(reader, ast, expansions, phrase_ctx)
-    cands = cands.join(reader.removed_docs(), "doc_id", "left_anti")
+    cands = _anti_removed(reader, cands)
     # docs missing the facet field are SKIPPED, as Lucene/miru faceting
     # does — without this a corpus-scale null bucket can occupy the top-k
     return (
@@ -827,6 +827,16 @@ def _flat_terms_shape(ast):
             (c.term, float(getattr(c, "boost", 1.0))) for c in ast.children]
     return None
 
+
+
+def _anti_removed(reader: IndexReader, df: DataFrame) -> DataFrame:
+    """Anti-join the removal mask — skipped entirely on a removal-free
+    index (the common case): an empty-relation anti-join still plans a
+    sort-merge join with two exchanges before AQE collapses it at
+    runtime, pure stage latency on every query."""
+    if not reader.has_removals():
+        return df
+    return df.join(reader.removed_docs(), "doc_id", "left_anti")
 
 def search_batch(
     reader: IndexReader,
@@ -1021,10 +1031,7 @@ def search_batch(
     allq = parts[0]
     for p in parts[1:]:
         allq = allq.unionByName(p)
-    if reader.has_removals():
-        # skipped entirely on a removal-free index: an empty-relation
-        # anti-join still plans a sort-merge join with two exchanges
-        allq = allq.join(reader.removed_docs(), "doc_id", "left_anti")
+    allq = _anti_removed(reader, allq)
     if round_to is not None:
         allq = allq.withColumn("score", F.round("score", round_to))
     from pyspark.sql import Window
@@ -2052,7 +2059,7 @@ def search_wand_query(
             zero = (
                 reader.postings(terms=masks).select("doc_id").distinct()
                 .join(scored_docs, "doc_id", "left_anti")
-                .join(reader.removed_docs(), "doc_id", "left_anti")
+                .transform(lambda d: _anti_removed(reader, d))
                 .withColumn("score", F.lit(0.0))
                 .orderBy(F.col("doc_id").desc())
                 .limit(k - have)
