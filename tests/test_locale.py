@@ -516,3 +516,32 @@ def test_schema_guard_accepts_compatible_analyzer_generation(tmp_path):
     assert check_additive(mk(2), mk(ANALYZER_VERSION)) == []
     assert any("analyzer_version" in p
                for p in check_additive(mk(1), mk(ANALYZER_VERSION)))
+
+
+def test_stemmed_phrase_positions_and_text_parity(spark, tmp_path):
+    """Phrase adjacency on a stemming index: both physical phrase plans
+    (positions sidecar / text re-analysis) stem identically — the
+    sidecar's position stream comes from the same tokenize(), so a
+    quoted inflected phrase matches stem-adjacent docs on either plan."""
+    from miru_spark.index import positions as pos
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query.bm25 import search_wand_query
+
+    docs = spark.createDataFrame(
+        [(0, "the team meeting reports arrived"),
+         (1, "meetings report nothing new"),
+         (2, "meeting of quarterly reporting"),   # meet..report NOT adjacent
+         (3, "no relevant words here")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    build_index(spark, docs, idx, n_shards=1, block_bits=6, locale="en_stem")
+    pos.build_positions(spark, docs, idx)
+    r = IndexReader(spark, idx)
+    via_pos = search_wand_query(
+        r, '"meetings reported"', k=10, phrase_via="positions").collect()
+    via_text = search_wand_query(
+        r, '"meetings reported"', k=10, phrase_via="text",
+        text_df=docs).collect()
+    assert {h["doc_id"] for h in via_pos} == {0, 1}
+    assert [tuple(x) for x in via_pos] == [tuple(x) for x in via_text]
