@@ -256,8 +256,11 @@ def build_positions(
         "index_state": index_state_fingerprint(index_dir),
         "shard_states": {str(s): st["state"] for s, st in shard_states.items()},
     }
-    if incremental and not stale and not gone:
-        # nothing changed (or only metadata): restamp and return
+    if incremental and not stale:
+        # nothing to rebuild (gone shards' partitions were dropped
+        # above; a shrunken layout can orphan shards without changing
+        # any survivor's state): restamp and return — an empty stale
+        # list must not fall through to docs.filter(None)
         with open(os.path.join(index_dir, POSITIONS_META), "w") as f:
             json.dump(meta, f)
         return meta

@@ -76,7 +76,11 @@ def _fake_decode_features(data: bytes, n_bins: int = 8) -> list[float]:
     if not data:
         return [0.0] * n_bins
     arr = np.frombuffer(data, dtype=np.uint8)
-    hist = np.bincount(arr >> 5, minlength=n_bins).astype(np.float64)
+    # bin index = value * n_bins / 256 — for n_bins=8 this is exactly
+    # the historical (arr >> 5), and it stays length-correct for any
+    # n_bins (a hardcoded shift returned 8 bins regardless)
+    idx = (arr.astype(np.int32) * n_bins) >> 8
+    hist = np.bincount(idx, minlength=n_bins).astype(np.float64)
     return list(hist / hist.sum())
 
 
@@ -98,7 +102,8 @@ def _pillow_decode_features(data: bytes, n_bins: int = 8) -> list[float]:
         return [0.0] * n_bins
     if arr.size == 0:
         return [0.0] * n_bins
-    hist = np.bincount(arr >> 5, minlength=n_bins).astype(np.float64)
+    idx = (arr.astype(np.int32) * n_bins) >> 8
+    hist = np.bincount(idx, minlength=n_bins).astype(np.float64)
     return list(hist / hist.sum())
 
 

@@ -953,7 +953,12 @@ def search_batch(
                 req_and = F.broadcast(reader.spark.createDataFrame(
                     [(qid, len(ts)) for qid, ts in and_terms.items()],
                     "query_id string, n_req int"))
-                cov = F.broadcast(
+                # NO broadcast hint on cov/needed: their size scales with
+                # covered blocks (up to queries x blocks on wide-df AND
+                # terms over a 10^8-block index) — AQE picks broadcast
+                # when the runtime stats are small and a shuffled join
+                # when they are not, instead of a forced-collect OOM
+                cov = (
                     blk.join(qt_and, "term")
                     .groupBy("query_id", "block_key")
                     .agg(F.countDistinct("term").alias("ntb"))
@@ -973,7 +978,6 @@ def search_batch(
                         blk.filter(F.col("term").isin(or_terms))
                         .select("block_key")
                     ).distinct()
-                needed = F.broadcast(needed)
             src_blocks = reader.blocks(terms=union_idx_terms)
             if prune:
                 src_blocks = src_blocks.join(needed, "block_key", "left_semi")
@@ -1051,9 +1055,13 @@ def search_batch(
             reader.doc_store().select("doc_id", *gather_fields), "doc_id"
         ).select("query_id", "rank", "doc_id", "score", *gather_fields)
     # presentation order WITHOUT a range exchange: orderBy() samples for
-    # range partitioning — a whole extra pass for <= N*k result rows.
-    # One partition + in-partition sort gives the same order for free.
-    return out.coalesce(1).sortWithinPartitions("query_id", "rank")
+    # range partitioning — an extra pass for <= N*k result rows. NOTE:
+    # repartition(1), not coalesce(1) — coalesce is narrow and would
+    # merge INTO the window stage, running the whole per-query ranking
+    # (corpus-scale candidate sets) and any gather join as one serial
+    # task; repartition keeps the shuffle boundary so the window stays
+    # parallel and only the <= N*k final rows funnel into one sorter.
+    return out.repartition(1).sortWithinPartitions("query_id", "rank")
 
 
 def search_time_newest(
@@ -1147,6 +1155,7 @@ def search_wand(
     boosts: dict[str, float] | None = None,
     locale: str | None = None,
     use_stopwords: bool | None = None,
+    stem_terms: bool = True,
 ) -> DataFrame:
     """Top-k BM25 for a flat AND/OR-of-terms query with block-max pruning.
 
@@ -1190,10 +1199,14 @@ def search_wand(
         # reference's analyzer strips them from the query too — without
         # this an AND would go empty on a term the index dropped by design
         terms = [t for t in terms if t not in analyzer.stopwords]
-    if analyzer.stem_lang is not None:
-        # stemming index: the dictionary holds STEMS, so raw query terms
+    if stem_terms and analyzer.stem_lang is not None:
+        # stemming index: the dictionary holds STEMS, so RAW query terms
         # must pass through the same analyzer (stop filter first, then
-        # stem — the order tokenize() uses)
+        # stem — the order tokenize() uses). AST-driven callers
+        # (search_wand_query and friends) pass stem_terms=False: the
+        # parser already analyzed the leaves, and the light stemmers are
+        # NOT idempotent ("fitting" -> "fitt"), so a second application
+        # would look up the wrong dictionary terms.
         from miru_spark.analysis.stem import stem
 
         terms = [stem(t, analyzer.stem_lang) for t in terms]
@@ -1717,6 +1730,7 @@ def _search_wand_coverage(
         cand = search_wand(
             reader, pos_terms, pool, k1=k1, b=b, mode="or", after=after,
             boosts=boosts or None, locale=locale, use_stopwords=use_stopwords,
+            stem_terms=False,  # parser-analyzed leaves: already stemmed
         ).localCheckpoint(eager=True)
         n_cand = cand.count()
         covered = _coverage_agg(reader, ast, expansions, heap=cand, plan=plan)
@@ -1866,6 +1880,7 @@ def search_wand_query(
             reader, terms, k, k1=k1, b=b, mode=mode, after=after,
             gather_fields=gather_fields, boosts=boosts or None,
             locale=locale, use_stopwords=use_stopwords,
+            stem_terms=False,  # parser-analyzed leaves: already stemmed
         )
 
     # phrase/mask-bearing boolean: WAND candidates + leaf-match
@@ -1952,6 +1967,7 @@ def search_wand_query(
         cand = search_wand(
             reader, terms, pool, k1=k1, b=b, mode=run_mode, after=after,
             boosts=boosts or None, locale=locale, use_stopwords=use_stopwords,
+            stem_terms=False,  # parser-analyzed leaves: already stemmed
         ).localCheckpoint(eager=True)  # <= pool rows; reused twice below
         n_cand = cand.count()
         verified = cand

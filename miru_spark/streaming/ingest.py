@@ -139,7 +139,12 @@ class StreamingIndexer:
             block_bits=self.block_bits, use_stopwords=self.use_stopwords,
             fingerprints={shard: fingerprint},
         )
-        self._write_cursor({"n_shards": shard + 1, "next_doc_id": hi + 1,
+        # PRESERVE unknown cursor keys (e.g. sip_snapshots' pins): a
+        # fresh dict here would drop last_snapshot_id on every
+        # micro-batch, and a crash before the sip restamp would make
+        # the next sip re-index the full snapshot as duplicates
+        self._write_cursor({**cur, "n_shards": shard + 1,
+                            "next_doc_id": hi + 1,
                             "last_batch_id": batch_id})
 
     def sip_snapshots(self, spark, table: str) -> dict:
@@ -152,10 +157,37 @@ class StreamingIndexer:
         the table advances mid-build; later calls pass
         ``start-snapshot-id``/``end-snapshot-id`` so Iceberg reads ONLY
         the appended files. Idempotent: an unchanged snapshot no-ops.
+
+        Crash-safe WAL discipline: the (start, end] delta is persisted
+        as ``sip_inflight`` in the cursor BEFORE the batch runs, and a
+        later sip REPLAYS a pending inflight delta with the exact same
+        bounds first (the micro-batch fingerprint makes the replay a
+        no-op when the shard already committed) — without this, a crash
+        between the index commit and the cursor restamp would widen the
+        next delta and re-index the already-committed range as
+        duplicate docs.
         """
         from miru_spark import sources
 
+        def _load(s0, e0):
+            if s0 is None:
+                return sources.load_corpus(spark, table, snapshot_id=int(e0))
+            return sources.load_corpus(
+                spark, table,
+                start_snapshot_id=int(s0), end_snapshot_id=int(e0))
+
+        def _commit(s0, e0):
+            self.process_batch(_load(s0, e0), batch_id=int(e0))
+            c = self.read_cursor()
+            c["last_snapshot_id"] = int(e0)
+            c.pop("sip_inflight", None)
+            self._write_cursor(c)
+
         cur = self.read_cursor()
+        if cur.get("sip_inflight"):
+            s0, e0 = cur["sip_inflight"]
+            _commit(s0, e0)
+            cur = self.read_cursor()
         last = cur.get("last_snapshot_id")
         latest = sources.current_snapshot_id(spark, table)
         if latest is None:
@@ -164,16 +196,10 @@ class StreamingIndexer:
                 "snapshot sip needs an Iceberg(-like) catalog table")
         if last is not None and int(latest) == int(last):
             return {"status": "no-op", "snapshot_id": int(latest)}
-        if last is None:
-            delta = sources.load_corpus(spark, table, snapshot_id=latest)
-        else:
-            delta = sources.load_corpus(
-                spark, table,
-                start_snapshot_id=int(last), end_snapshot_id=int(latest))
-        self.process_batch(delta, batch_id=int(latest))
-        cur = self.read_cursor()
-        cur["last_snapshot_id"] = int(latest)
+        cur["sip_inflight"] = [
+            int(last) if last is not None else None, int(latest)]
         self._write_cursor(cur)
+        _commit(cur["sip_inflight"][0], latest)
         return {"status": "indexed", "snapshot_id": int(latest),
                 "start_snapshot_id": int(last) if last is not None else None}
 

@@ -77,19 +77,25 @@ def main() -> None:
     from miru_spark.sources import (current_snapshot_id, is_table_identifier,
                                     load_corpus)
 
-    # pin the snapshot BEFORE reading: an explicit --snapshot-id is the
-    # pin; otherwise resolve the table's current snapshot so the build's
-    # lineage records exactly which data it read (a concurrent append
-    # between "read" and "record" cannot skew the pin)
-    pinned_snapshot = args.snapshot_id
+    # pin the snapshot BEFORE reading and make the READ use the pin: an
+    # explicit --snapshot-id / --end-snapshot-id is the pin; otherwise
+    # the table's current snapshot is resolved once and passed as the
+    # read's snapshot bound (time travel for full builds, the
+    # end-snapshot-id for incremental ones), so the data actually read
+    # and the recorded lineage can never diverge — not even when a
+    # concurrent append lands between resolution and scan planning
+    pinned_snapshot = args.snapshot_id or args.end_snapshot_id
     if pinned_snapshot is None and is_table_identifier(args.input):
         pinned_snapshot = current_snapshot_id(spark, args.input)
+    end_id = args.end_snapshot_id
+    if args.start_snapshot_id is not None and end_id is None:
+        end_id = pinned_snapshot  # bound the delta at the pin
     docs = load_corpus(
         spark, args.input,
         snapshot_id=args.snapshot_id if args.snapshot_id is not None
         else (pinned_snapshot if args.start_snapshot_id is None else None),
         start_snapshot_id=args.start_snapshot_id,
-        end_snapshot_id=args.end_snapshot_id)
+        end_snapshot_id=end_id)
     if args.id_col not in docs.columns:
         docs = assign_doc_ids(docs, order_col=args.order_col)
         id_col = "doc_id"
