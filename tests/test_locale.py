@@ -545,3 +545,27 @@ def test_stemmed_phrase_positions_and_text_parity(spark, tmp_path):
         text_df=docs).collect()
     assert {h["doc_id"] for h in via_pos} == {0, 1}
     assert [tuple(x) for x in via_pos] == [tuple(x) for x in via_text]
+
+
+def test_stemmed_router_no_double_stem(spark, tmp_path):
+    """The light stemmers are NOT idempotent ("fitting" -> "fitt"): the
+    WAND router must not re-stem parser-analyzed terms, or the scale
+    path looks up the wrong dictionary entries (round-4 review fix)."""
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query.bm25 import search, search_wand, search_wand_query
+
+    docs = spark.createDataFrame(
+        [(0, "a fittingly good outcome"), (1, "the fitting room"),
+         (2, "nothing here")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    build_index(spark, docs, idx, n_shards=1, block_bits=6, locale="en_stem")
+    r = IndexReader(spark, idx)
+    exact = search(r, "fittingly", k=10).collect()
+    assert {h["doc_id"] for h in exact} == {0}  # 'fittingly' -> 'fitting'
+    wand = search_wand_query(r, "fittingly", k=10).collect()
+    assert [tuple(x) for x in wand] == [tuple(x) for x in exact]
+    # the raw-term API analyzes exactly ONCE
+    raw = search_wand(r, ["fittingly"], k=10).collect()
+    assert [tuple(x) for x in raw] == [tuple(x) for x in exact]
