@@ -405,3 +405,64 @@ def test_sip_snapshots_cursor_and_passthrough(spark, paged_corpus, tmp_path, mon
     assert meta.n_docs == 20  # both segments indexed, once each
     hits = search_wand(IndexReader(spark, idx), ["spark"], k=25).collect()
     assert len(hits) > 0
+
+
+def test_sip_snapshots_inflight_crash_replay(spark, paged_corpus, tmp_path, monkeypatch):
+    """WAL discipline: a crash between the index commit and the cursor
+    restamp leaves sip_inflight behind; the next sip replays the EXACT
+    same delta bounds (a committed shard no-ops via its fingerprint, an
+    uncommitted one builds), so already-indexed ranges are never
+    re-read under widened bounds as duplicates."""
+    import json
+
+    from miru_spark import sources
+    from miru_spark.streaming.ingest import StreamingIndexer
+
+    root, _texts = paged_corpus
+    segs = sorted(os.listdir(root))
+    state = {"latest": 101}
+    loads = []
+
+    def fake_current(spark_, table):
+        return state["latest"]
+
+    def fake_load(spark_, table, **kw):
+        loads.append(kw)
+        if kw.get("snapshot_id") is not None:
+            return spark_.read.parquet(os.path.join(root, segs[0]))
+        assert (kw["start_snapshot_id"], kw["end_snapshot_id"]) == (101, 102)
+        return spark_.read.parquet(os.path.join(root, segs[1]))
+
+    monkeypatch.setattr(sources, "current_snapshot_id", fake_current)
+    monkeypatch.setattr(sources, "load_corpus", fake_load)
+
+    idx = str(tmp_path / "idx")
+    indexer = StreamingIndexer(idx, block_bits=6)
+    indexer.sip_snapshots(spark, "wh.db.pages")  # snapshot 101 indexed
+
+    # CRASH SIMULATION A: inflight written, batch NOT committed — the
+    # next sip must build exactly (101, 102], not a widened delta
+    cur = indexer.read_cursor()
+    cur["sip_inflight"] = [101, 102]
+    indexer._write_cursor(cur)
+    state["latest"] = 102
+    indexer.sip_snapshots(spark, "wh.db.pages")
+    assert indexer.read_cursor()["last_snapshot_id"] == 102
+    assert "sip_inflight" not in indexer.read_cursor()
+    assert indexer.finalize(spark).n_docs == 20  # both segs, once each
+
+    # CRASH SIMULATION B: batch committed, restamp lost — the replay's
+    # identical fingerprint makes it a no-op (still 20 docs, 2 shards)
+    cur = indexer.read_cursor()
+    cur["sip_inflight"] = [101, 102]
+    cur["last_snapshot_id"] = 101
+    indexer._write_cursor(cur)
+    indexer.sip_snapshots(spark, "wh.db.pages")
+    assert indexer.read_cursor()["last_snapshot_id"] == 102
+    meta = indexer.finalize(spark)
+    assert meta.n_docs == 20
+    assert meta.n_shards == 2
+
+    # micro-batch cursor writes preserve the sip pin (review fix)
+    with open(indexer.cursor_path) as f:
+        assert json.load(f)["last_snapshot_id"] == 102
