@@ -636,6 +636,32 @@ def _sql_stem(col: str) -> str:
     return sql_stem_expr(col, "en")
 
 
+# Deterministic synthetic Portuguese corpus for the round-5 stemming
+# breadth entry (same VALUES-literal contract as _STEM_DOCS). Pure
+# lowercase-able words + single spaces — the oracle then tokenizes with
+# a whitespace split, which equals the unicode word-break stream on
+# punctuation-free text (accented letters survive both).
+_STEM_PT_DOCS: list[tuple[int, str]] = [
+    (0, "as nações discutem correndo os relatórios"),
+    (1, "uma nação aprovou o relatório"),
+    (2, "o cão corre no parque da nação"),
+    (3, "ela está correndo na praia"),
+    (4, "os livros falam de nações"),
+    (5, "cães estão a correr juntos"),
+    (6, "nada de relevante neste documento"),
+    (7, "relatórios importantes da nação unida"),
+    (8, "o atleta corre e a nação observa"),
+    (9, "discussão rápida sem termos"),
+]
+
+
+def _sql_stem_pt(col: str) -> str:
+    """DuckDB twin of the pt light stemmer (oracle side)."""
+    from miru_spark.analysis.stem import sql_stem_expr
+
+    return sql_stem_expr(col, "pt")
+
+
 def _stem_reader(spark):
     """en_stem-locale index over the synthetic corpus (once per process)."""
     from miru_spark.index.builder import build_index
@@ -666,6 +692,39 @@ def q_bm25_stemmed(spark, sf_dir):
     from miru_spark.query.bm25 import search
 
     return search(_stem_reader(spark), "meetings AND reports", k=10, round_to=4)
+
+
+def _stem_pt_reader(spark):
+    """pt_stem-locale index over the synthetic corpus (once per process)."""
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+
+    with _INDEX_LOCK:
+        key = "\x00stem_pt_synth"
+        if key not in _INDEX_CACHE:
+            d = os.path.join(tempfile.mkdtemp(prefix="miru_entry_stempt_"), "idx")
+            docs = spark.createDataFrame(_STEM_PT_DOCS, "doc_id long, text string")
+            build_index(spark, docs, d, id_col="doc_id", text_col="text",
+                        n_shards=1, block_bits=7, locale="pt_stem",
+                        overwrite=True)
+            _INDEX_CACHE[key] = d
+        return IndexReader(spark, _INDEX_CACHE[key])
+
+
+def q_bm25_stemmed_pt(spark, sf_dir):
+    """Round-5 stemming breadth: the reference binds a STEMMING analyzer
+    for ~31 locales (TermAnalyzers.java:52-84 — PortugueseAnalyzer among
+    them), and round 4 covered only en/de/fr/es; this entry exercises
+    one of the 23 locales round 5 added (analysis/stem.py rule tables,
+    generation 4). "nações" and "correndo" stem to "naçã"/"corr" at
+    query time and match indexed "nação"/"corre"/"correr" — the
+    cross-inflection behavior a pt user of the reference gets. Oracle:
+    identical VALUES corpus, whitespace tokens, the exact pt rule
+    regexes via sql_stem_expr (3-engine parity pytest-pinned), pre-
+    stemmed query literals. (sf_dir unused: module-literal corpus.)"""
+    from miru_spark.query.bm25 import search
+
+    return search(_stem_pt_reader(spark), "nações AND correndo", k=10, round_to=4)
 
 
 def _ja_reader(spark):
@@ -1736,6 +1795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_highlight": q_fulltext_highlight,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        # --- new in round 5 ---
+        "bm25_stemmed_pt": q_bm25_stemmed_pt,
         # --- new in round 4 ---
         "bm25_stemmed": q_bm25_stemmed,
         "bm25_wand_or_fielded": q_bm25_wand_or_fielded,
@@ -2175,6 +2236,34 @@ dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
 st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
 tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
 q(term) AS (VALUES ('meet'), ('report')),
+tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * {K1 + 1.0}
+              / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / st.avgdl)) ) AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id::BIGINT AS doc_id, round(score, 4) AS score
+FROM scored WHERE nt = 2 ORDER BY score DESC, doc_id DESC LIMIT 10
+""",
+        # pt stemming-breadth entry: identical VALUES corpus
+        # (_STEM_PT_DOCS, punctuation-free so whitespace split == the
+        # unicode word-break); tokens run through the exact pt rule
+        # regexes (sql_stem_expr — 3-engine parity pytest-pinned);
+        # query terms are pre-stemmed literals (nações->naçã,
+        # correndo->corr)
+        "bm25_stemmed_pt": f"""
+WITH docs(doc_id, text) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in _STEM_PT_DOCS)}),
+base AS (SELECT doc_id,
+    list_transform(
+        list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
+        t -> {_sql_stem_pt('t')}) AS toks FROM docs),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM base),
+st AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM base),
+q(term) AS (VALUES ('naçã'), ('corr')),
 tf AS (SELECT tk.doc_id, tk.term, count(*) AS tf FROM tk JOIN q USING (term) GROUP BY 1, 2),
 dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 scored AS (

@@ -97,12 +97,16 @@ _UNICODE_TOKEN_RE = re.compile(rf"(?:[^\W_]|[{_MARK_CLASS}])+", re.UNICODE)
 #     locale valid under generation 2 tokenizes identically under 3, so
 #     appends to generation-2 indexes remain safe (see
 #     ANALYZER_COMPATIBLE_PREDECESSORS and the schema guard).
-ANALYZER_VERSION = 3
+# 4 = stemming tier completed to the reference's FULL stemming-locale
+#     map (TermAnalyzers.java:52-84): it/pt/pt_br/nl/ru/sv/da/nb/nn/fi/
+#     cs/ro/ca/gl/id/hi/bg/gr/tr/lv/eu/hy/ar/ku/en_ie ``*_stem`` codes.
+#     Additive again: no existing code's stream changed.
+ANALYZER_VERSION = 4
 
 # Generations whose ENTIRE locale surface tokenizes identically under
 # the current code (only new codes were added since): the schema guard
 # accepts an append to an index pinned at one of these.
-ANALYZER_COMPATIBLE_PREDECESSORS = frozenset({2})
+ANALYZER_COMPATIBLE_PREDECESSORS = frozenset({2, 3})
 
 STOPWORDS_DE = frozenset(
     """aber als am an auch auf aus bei bin bis da das dass dem den der des
@@ -399,6 +403,35 @@ _ANALYZERS: dict[str, _Analyzer] = {
     "de_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_DE, stem_lang="de"),
     "fr_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_FR, stem_lang="fr"),
     "es_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_ES, stem_lang="es"),
+    # --- generation 4: the rest of the reference's stemming locales
+    # (TermAnalyzers.java:52-84; analysis/stem.py rule tables). fa and
+    # th are absent by design — Lucene's PersianAnalyzer/ThaiAnalyzer
+    # do not stem (normalization / segmentation only). ---
+    "it_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_IT, stem_lang="it"),
+    "pt_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_PT, stem_lang="pt"),
+    "pt_br_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_PT, stem_lang="pt"),
+    "nl_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_NL, stem_lang="nl"),
+    "ru_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_RU, stem_lang="ru"),
+    "sv_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_SV, stem_lang="sv"),
+    "da_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_DA, stem_lang="da"),
+    "nb_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_NO, stem_lang="no"),
+    "nn_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_NO, stem_lang="no"),
+    "fi_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_FI, stem_lang="fi"),
+    "cs_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_CS, stem_lang="cs"),
+    "ro_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_RO, stem_lang="ro"),
+    "ca_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_CA, stem_lang="ca"),
+    "gl_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_GL, stem_lang="gl"),
+    "id_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_ID, stem_lang="id"),
+    "hi_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_HI, stem_lang="hi"),
+    "bg_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_BG, stem_lang="bg"),
+    "gr_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_GR, stem_lang="gr"),
+    "tr_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_TR, stem_lang="tr"),
+    "lv_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_LV, stem_lang="lv"),
+    "eu_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_EU, stem_lang="eu"),
+    "hy_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_HY, stem_lang="hy"),
+    "ar_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_AR, stem_lang="ar"),
+    "ku_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_KU, stem_lang="ku"),
+    "en_ie_stem": _Analyzer(_UNICODE_TOKEN_RE, STOPWORDS_EN, stem_lang="ga"),
 }
 _DEFAULT_ANALYZER = _ANALYZERS["en"]
 

@@ -177,7 +177,7 @@ def lsh_topk(
                          vec_col=vec_col, query_id_col=query_id_col)
 
 
-def cosine_pairs_exact(
+def _cosine_pairs_exact(
     vectors: DataFrame,
     *,
     id_col: str = "vec_id",
@@ -186,6 +186,11 @@ def cosine_pairs_exact(
     round_to: int = 4,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold via blocked matrix multiply.
+
+    TEST ORACLE ONLY (private since round 5): the ``toPandas`` corpus
+    collect runs on the driver, so this shape must never be wired into a
+    production path at scale — use ``cosine_pairs`` (LSH-blocked) or
+    ``cosine_pairs_blocked`` (block-pair GEMM) instead.
 
     The full (normalized) corpus matrix is broadcast to executors and each
     Arrow batch computes ``batch @ corpus.T`` in one BLAS call — the exact
@@ -223,6 +228,24 @@ def cosine_pairs_exact(
         src.mapInPandas(_pairs, schema="id_a long, id_b long, cos double")
         .orderBy("id_a", "id_b")
     )
+
+
+def cosine_pairs_exact(*args, **kwargs) -> DataFrame:
+    """Deprecated public alias of :func:`_cosine_pairs_exact`.
+
+    Kept one release so external callers get a pointer to the scale-safe
+    replacements instead of an AttributeError; emits DeprecationWarning.
+    """
+    import warnings
+
+    warnings.warn(
+        "cosine_pairs_exact is a driver-collect test oracle; use "
+        "cosine_pairs (LSH) or cosine_pairs_blocked (block-pair GEMM) "
+        "at scale. It is now private (_cosine_pairs_exact).",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return _cosine_pairs_exact(*args, **kwargs)
 
 
 def cosine_pairs_blocked(

@@ -411,10 +411,48 @@ def test_light_stemmer_rules():
         "fr": [("chevaux", "chev"), ("heureuses", "heur"), ("chats", "chat")],
         "es": [("canciones", "cancion"), ("gatos", "gato"),
                ("rojo", "rojo")],      # min stem 4: unchanged
+        # --- round 5: the rest of the reference's stemming locales ---
+        "it": [("amministrazione", "amministr"), ("libri", "libr"),
+               ("bella", "bell")],
+        "pt": [("livros", "livr"), ("correndo", "corr"),
+               ("cães", "cão"), ("cão", "cão")],  # -ães -> -ão fold
+        "nl": [("mogelijkheden", "mogelijkheid"),  # -heden -> -heid fold
+               ("boeken", "boek"), ("huisje", "huis")],
+        "ru": [("книгами", "книг"), ("красивый", "красив"), ("окно", "окн")],
+        "sv": [("flickorna", "flick"), ("starkaste", "stark"),
+               ("huset", "hus")],
+        "da": [("bilerne", "bil"), ("huset", "hus"), ("piger", "pig")],
+        "no": [("guttene", "gutt"), ("huset", "hus")],
+        "fi": [("talossa", "talo"), ("autolla", "auto"), ("kirjat", "kirja")],
+        "cs": [("hradech", "hrad"), ("ženami", "žen"), ("mladého", "mlad")],
+        "ro": [("copiilor", "cop"), ("orașul", "oraș")],
+        "ca": [("cases", "cas"), ("pagaments", "pag")],
+        "gl": [("camións", "camión"), ("libros", "libro")],
+        "id": [("bukunya", "buku"), ("makanan", "makan"),
+               ("membaca", "baca")],   # prefix rule
+        "hi": [("लड़कों", "लड़क"), ("किताबें", "किताब")],
+        "bg": [("книгите", "книг"), ("градовете", "град")],
+        "gr": [("ανθρώπων", "ανθρώπ"), ("καλός", "καλ")],
+        "tr": [("kitapları", "kitap"), ("evlerin", "ev"), ("okulda", "okul")],
+        "lv": [("grāmatas", "grāmat"), ("bērniem", "bērn")],
+        "eu": [("etxearen", "etxe"), ("liburuak", "liburu")],
+        "hy": [("գրքերը", "գրք")],
+        "ar": [("الكتاب", "كتاب"),     # definite-article prefix strip
+               ("مدرسة", "مدرس"), ("معلمون", "معلم")],
+        "ku": [("کتێبەکان", "کتێب")],
+        "ga": [("scoileanna", "scoil"), ("hathair", "athair")],
     }
     for lang, cs in cases.items():
         for tok, want in cs:
             assert stem(tok, lang) == want, (lang, tok, stem(tok, lang))
+    # confluence: inflected and base forms MEET (the property queries
+    # rely on; exact stem spelling is secondary for a light stemmer)
+    pairs = [("pt", "nações", "nação"), ("pt", "livros", "livro"),
+             ("pt", "correndo", "correr"), ("pt", "cães", "cão"),
+             ("nl", "mogelijkheden", "mogelijkheid"),
+             ("tr", "kitapları", "kitap"), ("ca", "pagaments", "pagament")]
+    for lang, a, b in pairs:
+        assert stem(a, lang) == stem(b, lang), (lang, a, b)
 
 
 def test_stem_locale_tokenize_and_jvm_parity(spark):
@@ -451,6 +489,48 @@ def test_stem_locale_tokenize_and_jvm_parity(spark):
                 assert r["toks"] == want, (loc, use_stop, texts[r["id"]])
 
 
+def test_stem_locale_round5_jvm_parity(spark):
+    """The round-5 stem locales (full reference stemming map) run the
+    same rule tables through Java regexp_replace (tokens_col) as through
+    Python re (tokenize) — token-identical across scripts (Latin with
+    diacritics, Cyrillic, Greek, Devanagari, Armenian, Arabic/Sorani)."""
+    from pyspark.sql import functions as F
+
+    from miru_spark.analysis.tokenizer import find_analyzer, tokens_col
+
+    texts = [
+        "as nações discutem correndo os relatórios",
+        "mogelijkheden voor boeken en huisje",
+        "книгами на красивый окно",
+        "flickorna huset bilerne guttene",
+        "talossa autolla kirjat",
+        "hradech ženami mladého copiilor",
+        "bukunya makanan membaca",
+        "लड़कों और किताबें",
+        "книгите градовете ανθρώπων καλός",
+        "kitapları evlerin okulda grāmatas",
+        "etxearen liburuak գրքերը",
+        "الكتاب مدرسة معلمون کتێبەکان",
+        "scoileanna hathair amministrazione cases camións",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string")
+    locs = ["it_stem", "pt_stem", "pt_br_stem", "nl_stem", "ru_stem",
+            "sv_stem", "da_stem", "nb_stem", "nn_stem", "fi_stem",
+            "cs_stem", "ro_stem", "ca_stem", "gl_stem", "id_stem",
+            "hi_stem", "bg_stem", "gr_stem", "tr_stem", "lv_stem",
+            "eu_stem", "hy_stem", "ar_stem", "ku_stem", "en_ie_stem"]
+    for loc in locs:
+        assert find_analyzer(loc).stem_lang is not None, loc
+    for loc in locs:
+        rows = df.select(
+            "id", tokens_col(F.col("text"), locale=loc).alias("toks"),
+        ).collect()
+        for r in rows:
+            want = tokenize(texts[r["id"]], locale=loc)
+            assert r["toks"] == want, (loc, texts[r["id"]], r["toks"], want)
+
+
 def test_stem_sql_expr_matches_python():
     """The DuckDB oracle twin (sql_stem_expr) is character-identical to
     the Python stemmer on every rule path + fuzz tokens — the 3-engine
@@ -468,6 +548,12 @@ def test_stem_sql_expr_matches_python():
             for _ in range(300)]
     toks += ["nations", "nationalization", "usefulness", "ss", "uss",
              "axes", "eaux", "issements", "meetings", "glass"]
+    # round-5 locales: non-Latin + fold-rule (\1<tail> replacement) words
+    toks += ["nações", "cães", "mogelijkheden", "книгами", "окно",
+             "красивый", "ανθρώπων", "लड़कों", "किताबें", "الكتاب",
+             "کتێبەکان", "գրքերը", "kitapları", "grāmatas", "hradech",
+             "ženami", "camións", "bukunya", "membaca", "scoileanna",
+             "hathair", "huset", "copiilor"]
     for lang in RULES:
         sql = sql_stem_expr("t", lang)
         rows = con.execute(
