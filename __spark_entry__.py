@@ -297,8 +297,16 @@ def q_bm25_batch(spark, sf_dir):
         "or2": " OR ".join(_OR_TERMS),
         "boosted": "spark^2 AND query^0.5 AND data",
         "boost_or": "data^1.5 OR scan",
+        # round 5: non-flat shapes ride the SAME shared decode — the
+        # phrase's constituent terms score through the union-term scan
+        # with adjacency enforced by the shared phrase-match relation,
+        # and the fielded conjunct joins the coverage count as a
+        # zero-weight composite posting mask
+        "ph": 'data AND "table hash"',
+        "fld": "lang:en AND spark AND query",
     }
-    return search_batch(_reader(spark, sf_dir), qs, k=10, round_to=4)
+    return search_batch(_reader(spark, sf_dir), qs, k=10, round_to=4,
+                        text_df=_read(spark, sf_dir, "documents"))
 
 
 def q_bm25_page2(spark, sf_dir):
@@ -1785,11 +1793,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the driver correctness-checks a 50-entry
-    # window per round, so ORACLED entries that have never received a
-    # driver-green CORRECTNESS row come FIRST, and every rows-only
-    # (no-oracle) entry sits PAST slot 50 — a rows-only entry in the
-    # window wastes a slot that can never go green (VERDICT r3 §wrong #1).
-    return {
+    # window per round. Round-5 policy (VERDICT r4 next#4): the window =
+    # {entries NEW or CHANGED this round} ∪ {oracled entries whose last
+    # driver-green row is OLDEST} — so every oracled entry gets a
+    # driver row at most ~2 rounds old. Rows-only (no-oracle) entries
+    # always sit PAST slot 50 (they can never go hash-green; in-window
+    # they waste a slot — VERDICT r3 wrong#1). The literal below keeps
+    # its historical grouping; _WINDOW_R5 reorders it.
+    base = {
         # --- oracled, never driver-green (fell past the r1-r3 windows;
         # all pass locally via tools/check_entry.py) ---
         "fulltext_highlight": q_fulltext_highlight,
@@ -1905,6 +1916,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
+    # Round-5 window (slots 1-50): new/changed entries, then the 43
+    # oracled entries whose last driver-green row was r3 or older
+    # (CORRECTNESS_r01..r04 audit), then 5 re-verify picks covering the
+    # subsystems round 5 touched (analyzer generation bump, dedup
+    # fan-out, connected components). Everything else keeps its base
+    # order; rows-only entries remain last by construction.
+    window = [
+        # new / changed in round 5
+        "bm25_stemmed_pt", "bm25_batch",
+        # stale oracled (last driver row <= r3)
+        "q1_pricing", "q3_shipping", "rollup_pricing", "filter_tree",
+        "distincts", "distinct_count", "uniques", "gather",
+        "aggregate_counts", "gather_features", "strut_score",
+        "strut_unit_weighted", "catwalk_model", "inbox_unread",
+        "trending_strategies", "latest_by_user", "waveform",
+        "waveforms_named", "streaming_window_counts", "streaming_unread",
+        "metrics_daily", "anomaly_daily", "stumptown_tail", "trending",
+        "token_stats", "quality", "lang_id", "fingerprint", "dedup_exact",
+        "ngram_jaccard", "ann_cosine_topk", "cosine_pairs", "bm25_facets",
+        "bm25_field_group", "bm25_fuzzy", "bm25_range", "bm25_regexp",
+        "bm25_slop", "bm25_wildcard", "fulltext_match_all",
+        "fulltext_time_newest", "index_dictionary", "index_doc_stats",
+        # re-verify picks for round-5-touched subsystems
+        "bm25_stemmed", "bm25_cjk", "dedup_components", "dedup_canonical",
+        "substring_dedup",
+    ]
+    assert len(window) == 50 and all(k in base for k in window)
+    return {**{k: base[k] for k in window},
+            **{k: v for k, v in base.items() if k not in window}}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1956,6 +1996,11 @@ ORDER BY score DESC, s.doc_id DESC LIMIT 10
                     boosts={"spark": 2.0, "query": 0.5})),
                 ("boost_or", _bm25_sql(
                     ["data", "scan"], 10, "or", boosts={"data": 1.5})),
+                # round 5: non-flat shapes on the shared scan — the
+                # phrase and fielded queries reuse their standalone
+                # oracles verbatim (per-query rank identity)
+                ("ph", _PHRASE_SQL),
+                ("fld", lang_en_sql),
             ]
         )
         + "\n) ORDER BY query_id, rank\n",

@@ -415,13 +415,17 @@ def _verifier_factory(slots: list[str], slop: int, block_bits: int):
         bk = int(pdf["block_key"].iloc[0])
         base = bk << block_bits
         per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
-        for _, row in pdf.iterrows():
-            t = row["term"]
+        # itertuples, not iterrows: the group holds at most one row per
+        # phrase term (block-level sidecar layout), so the loop is
+        # bounded by the phrase length — but iterrows materializes a
+        # Series per row, ~10x the attribute-access cost for nothing
+        for row in pdf.itertuples(index=False):
+            t = row.term
             if t not in uniq:
                 continue
-            ids = np.cumsum(codec.varbyte_decode(row["doc_ids"]).astype(np.int64)) + base
-            lens = codec.varbyte_decode(row["pos_lens"]).astype(np.int64)
-            gaps = codec.varbyte_decode(row["positions"]).astype(np.int64)
+            ids = np.cumsum(codec.varbyte_decode(row.doc_ids).astype(np.int64)) + base
+            lens = codec.varbyte_decode(row.pos_lens).astype(np.int64)
+            gaps = codec.varbyte_decode(row.positions).astype(np.int64)
             # segmented cumsum: per-doc firsts are absolute, gaps follow
             starts = np.zeros(len(lens), dtype=np.int64)
             starts[1:] = np.cumsum(lens)[:-1]

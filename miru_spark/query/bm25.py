@@ -828,6 +828,72 @@ def _flat_terms_shape(ast):
     return None
 
 
+def _batch_shape(ast):
+    """Shared-scan eligibility classifier for :func:`search_batch`
+    (round 5 widens it past flat term lists): returns
+    ``(mode, score_terms, mask_terms, phrases)`` or None (fallback).
+
+    - ``score_terms``: {unfielded term: max boost} — plain terms plus
+      every phrase's constituent terms (phrase terms contribute BM25
+      weight like ordinary terms, exactly as in :func:`search`);
+    - ``mask_terms``: composite ``field:value`` terms of exact fielded
+      conjuncts — candidate MASKS that never score (search()'s fielded
+      semantics), folded into the coverage count with idf weight 0;
+    - ``phrases``: [(terms tuple, slop)] — adjacency requirements,
+      verified against ONE shared phrase-match relation and folded into
+      the coverage count as zero-weight pseudo-rows.
+
+    Eligible: a single plain term / phrase, a flat OR of plain terms,
+    or a flat AND whose conjuncts are plain terms, unfielded phrases,
+    and exact fielded terms — with at least one scoring term (a pure-
+    mask query takes search()'s TIME path, not a BM25 scan). Everything
+    else (expansions, ranges, nesting, NOT, OR with masks) delegates.
+    """
+    def _plain(c):
+        return isinstance(c, qp.Term) and c.field is None
+
+    def _mask(c):
+        return isinstance(c, qp.Term) and c.field is not None
+
+    def _phrase(c):
+        return isinstance(c, qp.Phrase)
+
+    if isinstance(ast, (qp.Term, qp.Phrase)):
+        children = [ast]
+        mode = "and"
+    elif isinstance(ast, qp.Or) and all(_plain(c) for c in ast.children):
+        return ("or",
+                _max_boost_fold((c.term, float(getattr(c, "boost", 1.0)))
+                                for c in ast.children),
+                [], [])
+    elif isinstance(ast, qp.And) and all(
+            _plain(c) or _mask(c) or _phrase(c) for c in ast.children):
+        children = ast.children
+        mode = "and"
+    else:
+        return None
+    score: list[tuple[str, float]] = []
+    masks: list[str] = []
+    phrases: list[tuple[tuple, int]] = []
+    for c in children:
+        if _plain(c):
+            score.append((c.term, float(getattr(c, "boost", 1.0))))
+        elif _mask(c):
+            masks.append(c.term)
+        elif _phrase(c):
+            w = float(getattr(c, "boost", 1.0))
+            score.extend((t, w) for t in dict.fromkeys(c.terms))
+            phrases.append((tuple(c.terms), int(getattr(c, "slop", 0))))
+        else:
+            return None
+    if not score:
+        return None  # pure-mask: TIME-ordered zero-score path, not BM25
+    # dedup repeated phrases: each distinct requirement produces ONE
+    # coverage pseudo-row, so n_req must count it once
+    return mode, _max_boost_fold(score), sorted(set(masks)), \
+        list(dict.fromkeys(phrases))
+
+
 
 def _anti_removed(reader: IndexReader, df: DataFrame) -> DataFrame:
     """Anti-join the removal mask — skipped entirely on a removal-free
@@ -871,47 +937,67 @@ def search_batch(
     a single pass over the index instead of N passes.
 
     Flat AND/OR term queries (incl. ``term^N`` boosts) ride the shared
-    scan; any other parse (phrases, fielded masks, expansions, nesting)
-    is answered by :func:`search` per query and unioned in — correct by
-    delegation, still one Spark job. AND semantics match search()'s
-    fused plan: a conjunct absent from the dictionary voids that query
-    (coverage can never complete). Removals are anti-joined once for
-    the whole batch. The top-k per query is a window partitioned by
-    query_id — bounded per-group state, no global sort.
+    scan, and — round 5 — so do AND queries with quoted PHRASES and
+    exact FIELDED conjuncts: phrase constituent terms score through the
+    same union-term decode (they weigh like ordinary terms, as in
+    search()), fielded masks join the coverage count as zero-weight
+    composite-term posting rows, and adjacency is enforced by ONE
+    shared phrase-match relation whose (query, doc) hits enter the same
+    coverage count as zero-weight pseudo-rows — so the single
+    groupBy(query_id, doc_id) still decides candidacy AND score for
+    every shared shape. Any other parse (expansions, ranges, nesting,
+    NOT, OR over masks) is answered by :func:`search` per query and
+    unioned in — correct by delegation, still one Spark job. AND
+    semantics match search()'s fused plan: a conjunct absent from the
+    dictionary voids that query (coverage can never complete). Removals
+    are anti-joined once for the whole batch. The top-k per query is a
+    window partitioned by query_id — bounded per-group state, no global
+    sort.
     """
     out_schema = "query_id string, rank long, doc_id long, score double"
     if not queries:
         return reader.spark.createDataFrame([], out_schema)
 
-    shared: dict[str, tuple[str, dict[str, float]]] = {}
+    # shared[qid] = (mode, {score term: boost}, [mask terms], [phrases])
+    shared: dict[str, tuple[str, dict[str, float], list, list]] = {}
     fallback: dict[str, object] = {}
     for qid, q in queries.items():
         ast = _parse_for_index(
             reader, q, locale=locale, use_stopwords=use_stopwords)
         if ast is None:
             continue  # all-stopword query: empty, like search()
-        shape = _flat_terms_shape(ast)
+        shape = _batch_shape(ast)
         if shape is None:
             fallback[qid] = ast
             continue
-        mode, leaves = shape
-        shared[qid] = (mode, _max_boost_fold(leaves))
+        shared[qid] = shape
 
     parts: list[DataFrame] = []
     if shared:
-        union_terms = sorted({t for _, tb in shared.values() for t in tb})
+        union_terms = sorted(
+            {t for _, tb, mk, _p in shared.values() for t in (*tb, *mk)})
         stats = reader.term_stats(union_terms)
-        # (query_id, term, idf*boost) for indexed terms; n_req counts ALL
-        # conjuncts (indexed or not), so an unindexed AND term leaves the
-        # query's coverage forever short — provably empty, like search()
+        # (query_id, term, idf*boost) for indexed terms — mask terms ride
+        # with weight 0 (present for coverage, scoreless, the fused
+        # plan's negated-term trick); n_req counts ALL conjuncts (terms,
+        # masks, phrases; indexed or not), so an unindexed AND conjunct
+        # leaves the query's coverage forever short — provably empty,
+        # like search()
         qt_rows = [
             (qid, t, reader.idf(stats[t]["df"]) * w)
-            for qid, (_, tb) in shared.items()
+            for qid, (_, tb, _mk, _p) in shared.items()
             for t, w in tb.items() if t in stats
+        ] + [
+            (qid, t, 0.0)
+            for qid, (_, _tb, mk, _p) in shared.items()
+            for t in mk if t in stats
         ]
+        # n_req counts term + mask conjuncts (phrase ADJACENCY is
+        # enforced separately below, over the coverage-passed candidate
+        # set — but the phrase's constituent TERMS are conjuncts here)
         req_rows = [
-            (qid, len(tb) if mode == "and" else 1)
-            for qid, (mode, tb) in shared.items()
+            (qid, (len(tb) + len(mk)) if mode == "and" else 1)
+            for qid, (mode, tb, mk, _ph) in shared.items()
         ]
         if qt_rows:
             qt = F.broadcast(reader.spark.createDataFrame(
@@ -932,8 +1018,14 @@ def search_batch(
             # when the index actually has many blocks — "auto" turns it
             # on past 64 blocks (a 5k-doc test index has 1-80; a
             # 10^12-doc index has ~10^8).
+            # AND conjunct terms for block pruning: scoring terms AND
+            # mask terms are all required, so a covered block must hold
+            # every one of them (phrase constituents are in the scoring
+            # set; the phrase-match set is a subset of its terms' AND, so
+            # pruning by constituents never drops a phrase hit)
             and_terms = {
-                qid: set(tb) for qid, (mode, tb) in shared.items()
+                qid: set(tb) | set(mk)
+                for qid, (mode, tb, mk, _p) in shared.items()
                 if mode == "and"
             }
             # populated doc-block count from the manifests (driver-side);
@@ -967,7 +1059,7 @@ def search_batch(
                     .select("query_id", "block_key")
                 )
                 or_terms = sorted({
-                    t for qid, (mode, tb) in shared.items()
+                    t for qid, (mode, tb, _mk, _p) in shared.items()
                     if mode == "or" for t in tb if t in stats
                 })
                 # blocks ANY query still needs: every block of an OR
@@ -998,7 +1090,8 @@ def search_batch(
                 # blocks (OR queries pass; the nt coverage filter below
                 # keeps correctness either way — this only drops rows
                 # that could never complete their conjunction)
-                or_qids = [qid for qid, (m, _t) in shared.items() if m == "or"]
+                or_qids = [qid for qid, (m, _t, _mk, _p) in shared.items()
+                           if m == "or"]
                 scored = (
                     scored.withColumn(
                         "block_key",
@@ -1011,13 +1104,78 @@ def search_batch(
                         | F.col("query_id").isin(or_qids))
                 )
             scored = (
-                scored.groupBy("query_id", "doc_id")
+                scored.select("query_id", "doc_id", "contrib")
+                .groupBy("query_id", "doc_id")
                 .agg(F.sum("contrib").alias("score"),
                      F.count(F.lit(1)).alias("nt"))
                 .join(req, "query_id")
                 .filter(F.col("nt") >= F.col("n_req"))
                 .select("query_id", "doc_id", "score")
             )
+            # shared phrase adjacency: ONE match relation per DISTINCT
+            # (terms, slop) across the whole batch, verified over the
+            # coverage-PASSED candidates (docs already known to hold
+            # every constituent term) — so the text-verify plan touches
+            # no postings at all (the batch keeps its single decode) and
+            # costs O(candidates), and the positions plan stays
+            # index-native. A (query, doc) survives when ALL its
+            # phrases verified (n_ph_ok == n_ph); phrase-free queries
+            # pass untouched.
+            ph_keys = sorted(
+                {ph for _, _tb, _mk, phs in shared.values() for ph in phs})
+            if ph_keys:
+                pctx = _phrase_ctx_for(
+                    reader,
+                    qp.Phrase(terms=tuple(ph_keys[0][0]), slop=ph_keys[0][1]),
+                    locale=locale, use_stopwords=use_stopwords,
+                    text_df=text_df, text_col=text_col,
+                    phrase_via=phrase_via)
+                _tdf, _tcol, p_stop, p_loc, use_pos = pctx
+                ph_ok = None
+                for terms, slop in ph_keys:
+                    qids = [
+                        qid for qid, (_m, _tb, _mk, phs) in shared.items()
+                        if (terms, slop) in phs
+                    ]
+                    qids_df = F.broadcast(reader.spark.createDataFrame(
+                        [(q,) for q in qids], "query_id string"))
+                    if use_pos:
+                        from miru_spark.index.positions import phrase_match_ids
+
+                        verified = phrase_match_ids(
+                            reader, list(terms), slop).select("doc_id")
+                    else:
+                        cand = (
+                            scored.join(qids_df, "query_id", "left_semi")
+                            .select("doc_id").distinct()
+                        )
+                        verified = (
+                            _tdf.select(
+                                F.col("doc_id").cast("long").alias("doc_id"),
+                                F.col(_tcol))
+                            .join(cand, "doc_id", "left_semi")
+                            .filter(_phrase_hit_col(
+                                list(terms), _tcol, p_stop,
+                                slop=slop, locale=p_loc))
+                            .select("doc_id")
+                        )
+                    hit = verified.crossJoin(qids_df).select(
+                        "query_id", "doc_id")
+                    ph_ok = hit if ph_ok is None else ph_ok.unionByName(hit)
+                phr_req = F.broadcast(reader.spark.createDataFrame(
+                    [(qid, len(phs))
+                     for qid, (_m, _tb, _mk, phs) in shared.items()],
+                    "query_id string, n_ph int"))
+                scored = (
+                    scored.join(phr_req, "query_id")
+                    .join(
+                        ph_ok.groupBy("query_id", "doc_id")
+                        .agg(F.count(F.lit(1)).alias("n_ph_ok")),
+                        ["query_id", "doc_id"], "left")
+                    .filter((F.col("n_ph") == 0)
+                            | (F.col("n_ph_ok") == F.col("n_ph")))
+                    .select("query_id", "doc_id", "score")
+                )
             parts.append(scored)
     for qid, ast in fallback.items():
         # round_to passes through: the delegate's top-k cut must happen

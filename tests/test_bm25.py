@@ -1548,3 +1548,79 @@ def test_search_batch_empty_and_stopword_queries(reader):
         reader, {"s": "the", "t": "w00002"}, k=5, use_stopwords=True,
     ).collect()
     assert rows and all(r["query_id"] == "t" for r in rows)
+
+
+def _batch_vs_search(rd, qs, k=12, **kw):
+    rows = bm25.search_batch(rd, qs, k=k, **kw).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, q in qs.items():
+        exp = bm25.search(rd, q, k=k, **{x: v for x, v in kw.items()
+                                         if x not in ("block_prune",)}).collect()
+        got = by_q.get(qid, [])
+        assert [r["rank"] for r in got] == list(range(1, len(exp) + 1)), qid
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp], qid
+        for g, e in zip(got, exp):
+            assert abs(g["score"] - e["score"]) < 1e-9, qid
+    return by_q
+
+
+def test_search_batch_phrase_and_fielded_shared(
+        spark, fielded_reader, corpus, oracle, monkeypatch):
+    """Round 5: phrase and fielded AND shapes ride the SHARED scan —
+    per-query rank/score-identical to search(), with exactly ONE
+    postings decode in the batch plan and NO per-query search()
+    delegation for these shapes."""
+    t1, t2 = _top_bigram(oracle)
+    qs = {
+        "ph": f'w00001 AND "{t1} {t2}"',       # phrase + term
+        "bare_ph": f'"{t1} {t2}"',             # bare phrase
+        "slop": f'"{t1} {t2}"~1',              # sloppy phrase
+        "fld": "lang:en AND w00001",           # fielded mask + term
+        "both": f'lang:en AND w00001 AND "{t1} {t2}"',
+        "void": "lang:zz AND w00001",          # unindexed mask -> empty
+        "flat": "w00000 AND w00001",
+    }
+    decode_calls = []
+    real_decode = type(fielded_reader).decode
+
+    def counting_decode(self, *a, **k):
+        decode_calls.append(1)
+        return real_decode(self, *a, **k)
+
+    monkeypatch.setattr(type(fielded_reader), "decode", counting_decode)
+
+    def no_fallback(*a, **k):
+        raise AssertionError("shared shape must not delegate to search()")
+
+    monkeypatch.setattr(bm25, "search", no_fallback)
+    plan = bm25.search_batch(fielded_reader, qs, k=12, text_df=corpus)
+    rows = plan.collect()
+    assert len(decode_calls) == 1  # one shared postings decode
+    monkeypatch.undo()
+    by_q = _batch_vs_search(fielded_reader, qs, k=12, text_df=corpus)
+    assert "void" not in by_q
+    assert by_q["ph"] and by_q["fld"] and by_q["both"] and by_q["bare_ph"]
+    assert len(rows) == sum(len(v) for v in by_q.values())
+
+
+def test_search_batch_phrase_fielded_prune_identical(
+        spark, fielded_reader, corpus, oracle):
+    """Block-coverage pruning with phrases + masks in the batch never
+    changes an answer (phrase matches are a subset of their constituent
+    AND, and mask terms are conjuncts like any other)."""
+    t1, t2 = _top_bigram(oracle)
+    qs = {
+        "ph": f'w00001 AND "{t1} {t2}"',
+        "fld": "lang:en AND w00001 AND w00002",
+        "or2": "w00050 OR w00003",
+    }
+    base = bm25.search_batch(
+        fielded_reader, qs, k=12, text_df=corpus, block_prune=False).collect()
+    pruned = bm25.search_batch(
+        fielded_reader, qs, k=12, text_df=corpus, block_prune=True).collect()
+    assert [(r["query_id"], r["rank"], r["doc_id"]) for r in pruned] == \
+        [(r["query_id"], r["rank"], r["doc_id"]) for r in base]
+    for p, b in zip(pruned, base):
+        assert abs(p["score"] - b["score"]) < 1e-9
