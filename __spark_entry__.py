@@ -304,6 +304,8 @@ def q_bm25_batch(spark, sf_dir):
         # zero-weight composite posting mask
         "ph": 'data AND "table hash"',
         "fld": "lang:en AND spark AND query",
+        # negated term as a pos=0 row in the same coverage aggregation
+        "notq": "spark AND query NOT merge",
     }
     return search_batch(_reader(spark, sf_dir), qs, k=10, round_to=4,
                         text_df=_read(spark, sf_dir, "documents"))
@@ -2001,6 +2003,8 @@ ORDER BY score DESC, s.doc_id DESC LIMIT 10
                 # oracles verbatim (per-query rank identity)
                 ("ph", _PHRASE_SQL),
                 ("fld", lang_en_sql),
+                ("notq", _bm25_sql(["spark", "query"], 10, "and",
+                                   exclude=["merge"])),
             ]
         )
         + "\n) ORDER BY query_id, rank\n",

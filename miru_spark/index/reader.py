@@ -289,18 +289,22 @@ class IndexReader:
                     yield pd.DataFrame(
                         {"term": terms, "doc_id": ids, "tf": tf, "doclen": dl}
                     )
-                for _, row in rle.iterrows():
-                    base = int(row["block_key"]) << block_bits
-                    ids = codec.decode_block_runs(row["doc_ids"], base)
+                # itertuples, not iterrows: RLE blocks are FEW (dense
+                # head-term ranges) and each row's decode is already
+                # numpy-vectorized over a big block, so the win here is
+                # just dropping iterrows' per-row Series materialization
+                for row in rle.itertuples(index=False):
+                    base = int(row.block_key) << block_bits
+                    ids = codec.decode_block_runs(row.doc_ids, base)
                     side_ids = np.cumsum(
-                        codec.varbyte_decode(row["side_doc_ids"]).astype(np.int64)
+                        codec.varbyte_decode(row.side_doc_ids).astype(np.int64)
                     ) + base
-                    side_dls = codec.varbyte_decode(row["side_doclens"]).astype(np.int32)
+                    side_dls = codec.varbyte_decode(row.side_doclens).astype(np.int32)
                     yield pd.DataFrame(
                         {
-                            "term": np.repeat(row["term"], ids.size),
+                            "term": np.repeat(row.term, ids.size),
                             "doc_id": ids,
-                            "tf": codec.varbyte_decode(row["tfs"]).astype(np.int32),
+                            "tf": codec.varbyte_decode(row.tfs).astype(np.int32),
                             "doclen": side_dls[np.searchsorted(side_ids, ids)],
                         }
                     )

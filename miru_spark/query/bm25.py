@@ -831,23 +831,33 @@ def _flat_terms_shape(ast):
 def _batch_shape(ast):
     """Shared-scan eligibility classifier for :func:`search_batch`
     (round 5 widens it past flat term lists): returns
-    ``(mode, score_terms, mask_terms, phrases)`` or None (fallback).
+    ``(mode, score_terms, mask_terms, phrases, neg_terms, neg_phrases)``
+    or None (fallback).
 
     - ``score_terms``: {unfielded term: max boost} — plain terms plus
-      every phrase's constituent terms (phrase terms contribute BM25
-      weight like ordinary terms, exactly as in :func:`search`);
+      every positive phrase's constituent terms (phrase terms
+      contribute BM25 weight like ordinary terms, exactly as in
+      :func:`search`);
     - ``mask_terms``: composite ``field:value`` terms of exact fielded
       conjuncts — candidate MASKS that never score (search()'s fielded
       semantics), folded into the coverage count with idf weight 0;
     - ``phrases``: [(terms tuple, slop)] — adjacency requirements,
-      verified against ONE shared phrase-match relation and folded into
-      the coverage count as zero-weight pseudo-rows.
+      verified against ONE shared phrase-match relation over the
+      coverage-passed candidates;
+    - ``neg_terms``: terms (plain or composite) under NOT — a posting
+      row under any of them EXCLUDES the (query, doc), implemented as
+      pos=0 rows in the same coverage aggregation (never scored,
+      never counted toward n_req);
+    - ``neg_phrases``: [(terms tuple, slop)] under NOT — adjacency
+      matches exclude, via the same shared phrase relation.
 
     Eligible: a single plain term / phrase, a flat OR of plain terms,
     or a flat AND whose conjuncts are plain terms, unfielded phrases,
-    and exact fielded terms — with at least one scoring term (a pure-
-    mask query takes search()'s TIME path, not a BM25 scan). Everything
-    else (expansions, ranges, nesting, NOT, OR with masks) delegates.
+    exact fielded terms, and NOTs of any of those — with at least one
+    scoring term (a pure-mask query takes search()'s TIME path, not a
+    BM25 scan; a pure-negation query is a loud error, as in search()).
+    Everything else (expansions, ranges, nesting, OR with masks)
+    delegates to search().
     """
     def _plain(c):
         return isinstance(c, qp.Term) and c.field is None
@@ -858,6 +868,10 @@ def _batch_shape(ast):
     def _phrase(c):
         return isinstance(c, qp.Phrase)
 
+    def _neg(c):
+        return isinstance(c, qp.Not) and (
+            _plain(c.child) or _mask(c.child) or _phrase(c.child))
+
     if isinstance(ast, (qp.Term, qp.Phrase)):
         children = [ast]
         mode = "and"
@@ -865,9 +879,10 @@ def _batch_shape(ast):
         return ("or",
                 _max_boost_fold((c.term, float(getattr(c, "boost", 1.0)))
                                 for c in ast.children),
-                [], [])
+                [], [], [], [])
     elif isinstance(ast, qp.And) and all(
-            _plain(c) or _mask(c) or _phrase(c) for c in ast.children):
+            _plain(c) or _mask(c) or _phrase(c) or _neg(c)
+            for c in ast.children):
         children = ast.children
         mode = "and"
     else:
@@ -875,6 +890,8 @@ def _batch_shape(ast):
     score: list[tuple[str, float]] = []
     masks: list[str] = []
     phrases: list[tuple[tuple, int]] = []
+    neg_terms: list[str] = []
+    neg_phrases: list[tuple[tuple, int]] = []
     for c in children:
         if _plain(c):
             score.append((c.term, float(getattr(c, "boost", 1.0))))
@@ -884,14 +901,22 @@ def _batch_shape(ast):
             w = float(getattr(c, "boost", 1.0))
             score.extend((t, w) for t in dict.fromkeys(c.terms))
             phrases.append((tuple(c.terms), int(getattr(c, "slop", 0))))
+        elif _neg(c):
+            n = c.child
+            if _phrase(n):
+                neg_phrases.append(
+                    (tuple(n.terms), int(getattr(n, "slop", 0))))
+            else:
+                neg_terms.append(n.term)
         else:
             return None
     if not score:
         return None  # pure-mask: TIME-ordered zero-score path, not BM25
     # dedup repeated phrases: each distinct requirement produces ONE
     # coverage pseudo-row, so n_req must count it once
-    return mode, _max_boost_fold(score), sorted(set(masks)), \
-        list(dict.fromkeys(phrases))
+    return (mode, _max_boost_fold(score), sorted(set(masks)),
+            list(dict.fromkeys(phrases)), sorted(set(neg_terms)),
+            list(dict.fromkeys(neg_phrases)))
 
 
 
@@ -945,8 +970,11 @@ def search_batch(
     shared phrase-match relation whose (query, doc) hits enter the same
     coverage count as zero-weight pseudo-rows — so the single
     groupBy(query_id, doc_id) still decides candidacy AND score for
-    every shared shape. Any other parse (expansions, ranges, nesting,
-    NOT, OR over masks) is answered by :func:`search` per query and
+    every shared shape. NOT conjuncts ride too: negated terms (plain or
+    fielded) join the same aggregation as pos=0 rows whose presence
+    excludes the pair, and negated phrases anti-mask through the same
+    shared phrase relation. Any other parse (expansions, ranges,
+    nesting, OR over masks) is answered by :func:`search` per query and
     unioned in — correct by delegation, still one Spark job. AND
     semantics match search()'s fused plan: a conjunct absent from the
     dictionary voids that query (coverage can never complete). Removals
@@ -958,8 +986,9 @@ def search_batch(
     if not queries:
         return reader.spark.createDataFrame([], out_schema)
 
-    # shared[qid] = (mode, {score term: boost}, [mask terms], [phrases])
-    shared: dict[str, tuple[str, dict[str, float], list, list]] = {}
+    # shared[qid] = (mode, {score term: boost}, [mask terms], [phrases],
+    #                [negated terms], [negated phrases])
+    shared: dict[str, tuple] = {}
     fallback: dict[str, object] = {}
     for qid, q in queries.items():
         ast = _parse_for_index(
@@ -975,36 +1004,44 @@ def search_batch(
     parts: list[DataFrame] = []
     if shared:
         union_terms = sorted(
-            {t for _, tb, mk, _p in shared.values() for t in (*tb, *mk)})
+            {t for _, tb, mk, _p, ng, _np in shared.values()
+             for t in (*tb, *mk, *ng)})
         stats = reader.term_stats(union_terms)
-        # (query_id, term, idf*boost) for indexed terms — mask terms ride
-        # with weight 0 (present for coverage, scoreless, the fused
-        # plan's negated-term trick); n_req counts ALL conjuncts (terms,
-        # masks, phrases; indexed or not), so an unindexed AND conjunct
-        # leaves the query's coverage forever short — provably empty,
-        # like search()
+        # (query_id, term, idf*boost, pos) for indexed terms — mask
+        # terms ride with weight 0 (present for coverage, scoreless,
+        # the fused plan's trick), NEGATED terms with weight 0 and
+        # pos=0 (a posting row under one EXCLUDES the pair; they never
+        # count toward n_req — an unindexed negated term excludes
+        # nothing, like search()'s empty anti-join). n_req counts all
+        # POSITIVE conjuncts (terms, masks; indexed or not), so an
+        # unindexed AND conjunct leaves the query's coverage forever
+        # short — provably empty, like search()
         qt_rows = [
-            (qid, t, reader.idf(stats[t]["df"]) * w)
-            for qid, (_, tb, _mk, _p) in shared.items()
+            (qid, t, reader.idf(stats[t]["df"]) * w, 1)
+            for qid, (_, tb, _mk, _p, _ng, _np) in shared.items()
             for t, w in tb.items() if t in stats
         ] + [
-            (qid, t, 0.0)
-            for qid, (_, _tb, mk, _p) in shared.items()
+            (qid, t, 0.0, 1)
+            for qid, (_, _tb, mk, _p, _ng, _np) in shared.items()
             for t in mk if t in stats
+        ] + [
+            (qid, t, 0.0, 0)
+            for qid, (_, _tb, _mk, _p, ng, _np) in shared.items()
+            for t in ng if t in stats
         ]
         # n_req counts term + mask conjuncts (phrase ADJACENCY is
         # enforced separately below, over the coverage-passed candidate
         # set — but the phrase's constituent TERMS are conjuncts here)
         req_rows = [
             (qid, (len(tb) + len(mk)) if mode == "and" else 1)
-            for qid, (mode, tb, mk, _ph) in shared.items()
+            for qid, (mode, tb, mk, _ph, _ng, _np) in shared.items()
         ]
         if qt_rows:
             qt = F.broadcast(reader.spark.createDataFrame(
-                qt_rows, "query_id string, term string, widf double"))
+                qt_rows, "query_id string, term string, widf double, pos int"))
             req = F.broadcast(reader.spark.createDataFrame(
                 req_rows, "query_id string, n_req int"))
-            union_idx_terms = sorted({t for _, t, _w in qt_rows})
+            union_idx_terms = sorted({t for _, t, _w, _pos in qt_rows})
             # Block-coverage pruning (the shared-scan twin of
             # search_wand's block-granular intersection): an AND query's
             # matches can only live in blocks containing ALL its terms —
@@ -1025,7 +1062,7 @@ def search_batch(
             # pruning by constituents never drops a phrase hit)
             and_terms = {
                 qid: set(tb) | set(mk)
-                for qid, (mode, tb, mk, _p) in shared.items()
+                for qid, (mode, tb, mk, _p, _ng, _np) in shared.items()
                 if mode == "and"
             }
             # populated doc-block count from the manifests (driver-side);
@@ -1059,7 +1096,7 @@ def search_batch(
                     .select("query_id", "block_key")
                 )
                 or_terms = sorted({
-                    t for qid, (mode, tb, _mk, _p) in shared.items()
+                    t for qid, (mode, tb, _mk, _p, _ng, _np) in shared.items()
                     if mode == "or" for t in tb if t in stats
                 })
                 # blocks ANY query still needs: every block of an OR
@@ -1090,7 +1127,7 @@ def search_batch(
                 # blocks (OR queries pass; the nt coverage filter below
                 # keeps correctness either way — this only drops rows
                 # that could never complete their conjunction)
-                or_qids = [qid for qid, (m, _t, _mk, _p) in shared.items()
+                or_qids = [qid for qid, (m, _t, _mk, _p, _ng, _np) in shared.items()
                            if m == "or"]
                 scored = (
                     scored.withColumn(
@@ -1103,13 +1140,19 @@ def search_batch(
                         F.col("cv").isNotNull()
                         | F.col("query_id").isin(or_qids))
                 )
+            # one aggregation decides candidacy AND score: nt counts
+            # POSITIVE conjunct rows (terms + masks), nbad counts
+            # negated-term rows — a doc survives with full positive
+            # coverage and zero negative hits
             scored = (
-                scored.select("query_id", "doc_id", "contrib")
+                scored.select("query_id", "doc_id", "contrib", "pos")
                 .groupBy("query_id", "doc_id")
                 .agg(F.sum("contrib").alias("score"),
-                     F.count(F.lit(1)).alias("nt"))
+                     F.sum("pos").alias("nt"),
+                     (F.count(F.lit(1)) - F.sum("pos")).alias("nbad"))
                 .join(req, "query_id")
-                .filter(F.col("nt") >= F.col("n_req"))
+                .filter((F.col("nt") >= F.col("n_req"))
+                        & (F.col("nbad") == 0))
                 .select("query_id", "doc_id", "score")
             )
             # shared phrase adjacency: ONE match relation per DISTINCT
@@ -1122,7 +1165,8 @@ def search_batch(
             # phrases verified (n_ph_ok == n_ph); phrase-free queries
             # pass untouched.
             ph_keys = sorted(
-                {ph for _, _tb, _mk, phs in shared.values() for ph in phs})
+                {ph for _, _tb, _mk, phs, _ng, nphs in shared.values()
+                 for ph in (*phs, *nphs)})
             if ph_keys:
                 pctx = _phrase_ctx_for(
                     reader,
@@ -1131,14 +1175,23 @@ def search_batch(
                     text_df=text_df, text_col=text_col,
                     phrase_via=phrase_via)
                 _tdf, _tcol, p_stop, p_loc, use_pos = pctx
-                ph_ok = None
+                ph_rows = None
                 for terms, slop in ph_keys:
+                    # (query_id, good) pairs requiring this phrase:
+                    # good=1 when the phrase is a positive conjunct,
+                    # good=0 when negated — both verify over the SAME
+                    # shared match relation
                     qids = [
-                        qid for qid, (_m, _tb, _mk, phs) in shared.items()
-                        if (terms, slop) in phs
+                        (qid, 1)
+                        for qid, (_m, _tb, _mk, phs, _ng, _np)
+                        in shared.items() if (terms, slop) in phs
+                    ] + [
+                        (qid, 0)
+                        for qid, (_m, _tb, _mk, _p, _ng, nphs)
+                        in shared.items() if (terms, slop) in nphs
                     ]
                     qids_df = F.broadcast(reader.spark.createDataFrame(
-                        [(q,) for q in qids], "query_id string"))
+                        qids, "query_id string, good int"))
                     if use_pos:
                         from miru_spark.index.positions import phrase_match_ids
 
@@ -1146,7 +1199,8 @@ def search_batch(
                             reader, list(terms), slop).select("doc_id")
                     else:
                         cand = (
-                            scored.join(qids_df, "query_id", "left_semi")
+                            scored.join(qids_df.select("query_id"),
+                                        "query_id", "left_semi")
                             .select("doc_id").distinct()
                         )
                         verified = (
@@ -1160,20 +1214,27 @@ def search_batch(
                             .select("doc_id")
                         )
                     hit = verified.crossJoin(qids_df).select(
-                        "query_id", "doc_id")
-                    ph_ok = hit if ph_ok is None else ph_ok.unionByName(hit)
+                        "query_id", "doc_id", "good")
+                    ph_rows = hit if ph_rows is None else ph_rows.unionByName(hit)
                 phr_req = F.broadcast(reader.spark.createDataFrame(
                     [(qid, len(phs))
-                     for qid, (_m, _tb, _mk, phs) in shared.items()],
+                     for qid, (_m, _tb, _mk, phs, _ng, _np)
+                     in shared.items()],
                     "query_id string, n_ph int"))
+                # a (query, doc) survives when ALL its positive phrases
+                # verified (n_ph_ok == n_ph) and NO negated phrase did
                 scored = (
                     scored.join(phr_req, "query_id")
                     .join(
-                        ph_ok.groupBy("query_id", "doc_id")
-                        .agg(F.count(F.lit(1)).alias("n_ph_ok")),
+                        ph_rows.groupBy("query_id", "doc_id")
+                        .agg(F.sum("good").alias("n_ph_ok"),
+                             (F.count(F.lit(1)) - F.sum("good"))
+                             .alias("n_ph_bad")),
                         ["query_id", "doc_id"], "left")
-                    .filter((F.col("n_ph") == 0)
-                            | (F.col("n_ph_ok") == F.col("n_ph")))
+                    .filter(((F.col("n_ph") == 0)
+                             | (F.coalesce("n_ph_ok", F.lit(0))
+                                == F.col("n_ph")))
+                            & (F.coalesce("n_ph_bad", F.lit(0)) == 0))
                     .select("query_id", "doc_id", "score")
                 )
             parts.append(scored)

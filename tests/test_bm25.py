@@ -1581,6 +1581,10 @@ def test_search_batch_phrase_and_fielded_shared(
         "both": f'lang:en AND w00001 AND "{t1} {t2}"',
         "void": "lang:zz AND w00001",          # unindexed mask -> empty
         "flat": "w00000 AND w00001",
+        "not_t": "w00001 NOT w00000",          # negated plain term
+        "not_f": "w00001 AND NOT lang:de",     # negated fielded mask
+        "not_p": f'w00001 NOT "{t1} {t2}"',    # negated phrase
+        "not_u": "w00001 NOT zzzabsent",       # unindexed negation: no-op
     }
     decode_calls = []
     real_decode = type(fielded_reader).decode
@@ -1602,6 +1606,11 @@ def test_search_batch_phrase_and_fielded_shared(
     by_q = _batch_vs_search(fielded_reader, qs, k=12, text_df=corpus)
     assert "void" not in by_q
     assert by_q["ph"] and by_q["fld"] and by_q["both"] and by_q["bare_ph"]
+    assert by_q["not_t"] and by_q["not_f"] and by_q["not_p"] and by_q["not_u"]
+    # negations actually bite: docs holding the negated term are gone
+    not_t_ids = {r["doc_id"] for r in by_q["not_t"]}
+    flat_ids = {r["doc_id"] for r in by_q["flat"]}
+    assert not (not_t_ids & flat_ids)  # w00000-holders excluded
     assert len(rows) == sum(len(v) for v in by_q.values())
 
 
@@ -1615,6 +1624,8 @@ def test_search_batch_phrase_fielded_prune_identical(
         "ph": f'w00001 AND "{t1} {t2}"',
         "fld": "lang:en AND w00001 AND w00002",
         "or2": "w00050 OR w00003",
+        "not_t": "w00001 AND w00002 NOT w00000",
+        "not_p": f'w00001 NOT "{t1} {t2}"',
     }
     base = bm25.search_batch(
         fielded_reader, qs, k=12, text_df=corpus, block_prune=False).collect()
