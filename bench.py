@@ -666,7 +666,8 @@ def main() -> None:
         "bm25_phrase", "bm25_phrase_positional",
         "bm25_lang_constraint", "fulltext_highlight",
         "bm25_wand_nested", "fulltext_time_newest",
-        "bm25_stemmed", "bm25_wand_or_fielded", "bm25_wand_not_phrase",
+        "bm25_stemmed", "bm25_stemmed_pt", "bm25_wand_or_fielded",
+        "bm25_wand_not_phrase",
         "q1_pricing", "filter_tree", "aggregate_counts", "latest_by_user",
         "waveform", "metrics_daily", "trending", "reco_cf",
         "token_stats", "quality", "lang_id", "fingerprint",
