@@ -78,6 +78,50 @@ def main() -> int:
         must_not=["CartesianProduct"],
     )
 
+    # batch serving with NON-FLAT shapes (round 5): phrase + fielded +
+    # NOT queries must share the flat queries' postings decode — the
+    # whole batch plan reads the postings relation ONCE (the text-plan
+    # phrase verify runs over coverage-passed candidates, not postings)
+    from miru_spark.query.bm25 import search_batch
+
+    tdf = E._read(spark, sf_dir, "documents")
+
+    def _decodes(p):
+        # the postings DECODE kernel is the expensive pass; raw FileScan
+        # line counts mislead here because Spark's dynamic-partition-
+        # pruning subquery on the doclens sidecar REPRINTS the postings
+        # subtree (SubqueryAdaptiveBroadcast with broadcast reuse — no
+        # second read at runtime), so count the decode kernels instead
+        return p.count("MapInPandas _decode")
+
+    # (1) flat + fielded + NOT batch: all three shapes fold into the
+    # single coverage aggregation over ONE shared postings decode
+    plan_mix = plan_of(search_batch(
+        r, {"a": "spark AND query", "f": "lang:en AND spark",
+            "n": "spark NOT merge"}, k=10, block_prune=False))
+    n_mix = _decodes(plan_mix)
+    # (2) adding a PHRASE must not add a decode either: the text verify
+    # runs over the coverage-passed candidates (the coverage subtree is
+    # referenced twice; its exchange is AQE-reused at runtime), and the
+    # positions plan reads the positions sidecar, never postings
+    plan_ph = plan_of(search_batch(
+        r, {"a": "spark AND query", "p": 'data AND "table hash"'},
+        k=10, text_df=tdf, block_prune=False))
+    n_ph = _decodes(plan_ph)
+    print(f"-- bm25_batch_shared: decodes mix={n_mix} phrase={n_ph} "
+          f"(want 1 each), CartesianProduct="
+          f"{'Y' if 'CartesianProduct' in plan_mix + plan_ph else 'N'}")
+    if n_mix != 1:
+        failures.append(
+            f"bm25_batch_shared: {n_mix} postings decodes in "
+            "flat+fielded+NOT batch (want 1)")
+    if n_ph != 1:
+        failures.append(
+            f"bm25_batch_shared: {n_ph} postings decodes in phrase "
+            "batch (want 1)")
+    if "CartesianProduct" in plan_mix + plan_ph:
+        failures.append("bm25_batch_shared: CartesianProduct")
+
     check(
         "q1_pricing",
         E.q_q1_pricing(spark, sf_dir),
