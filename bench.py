@@ -10,19 +10,23 @@ line::
 
 The ``scaling`` block is the sandbox proxy for the north rule's
 "N -> 4N executors, efficiency >= 0.8": the same deterministic synthetic
-corpus is index-built in fresh subprocesses at N and 4N cores
-(default local[2] vs local[8], interleaved best-of-3 — the shared host
-grants bursty capacity, see BENCH/BASELINE.md), efficiency =
-(dps_hi / dps_lo) / 4, reported raw and normalized by the measured
-hardware ceiling (tools/cpu_ceiling.py). A second ``multiexec`` block
-runs the north rule's criterion literally: 4 concurrent single-executor
-local[2] JVMs on disjoint CPU pins vs one (a cluster multiplies
-heaps/GC arenas with executor count; the in-JVM level shares one).
-Disable with ``SPARK_GRAFT_NO_SCALING=1`` (the rest of the bench still
-runs).
+corpus is index-built in fresh spark-submit subprocesses at N and 4N
+cores (default local[2] vs local[8]), interleaved in ADAPTIVE rounds
+(the shared host grants bursty capacity — see run_scaling's docstring
+and BENCH/BASELINE.md), each probe timing best-of-3 builds in one JVM
+(steady-state, symmetric across levels). Headline ``efficiency`` =
+best CLEAN same-round (dps_hi / dps_lo) / 4 — both levels within 5% of
+the session max, the evidence neither side was starved — with the
+unconditioned best-of-per-level and every raw round published
+alongside, plus a ceiling-normalized variant (tools/cpu_ceiling.py).
+A second ``multiexec`` block runs the north rule's criterion literally:
+4 concurrent single-executor local[2] JVMs on disjoint CPU pins vs one
+(a cluster multiplies heaps/GC arenas with executor count; the in-JVM
+level shares one). Disable with ``SPARK_GRAFT_NO_SCALING=1`` (the rest
+of the bench still runs).
 
-Subcommand (used internally): ``python bench.py --scaling-probe CORES NDOCS``
-prints ``{"cores": C, "docs_per_sec": X}``.
+Subcommand (used internally): ``python bench.py --scaling-probe CORES
+NDOCS [NREPS]`` prints ``{"cores": C, "docs_per_sec": X}``.
 """
 
 from __future__ import annotations
