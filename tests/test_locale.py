@@ -562,6 +562,41 @@ def test_stem_sql_expr_matches_python():
             assert stem(t, lang) == s, (lang, t, stem(t, lang), s)
 
 
+def test_stemmed_index_end_to_end_round5_locales(spark, tmp_path):
+    """Round-5 stem locales end-to-end: an inflected query matches docs
+    holding other inflections of the same lemma, exact and WAND paths
+    rank-identically — the cross-inflection behavior the reference's
+    stemming analyzers give pt/ru/tr users."""
+    from miru_spark.index.builder import build_index
+    from miru_spark.index.reader import IndexReader
+    from miru_spark.query.bm25 import search, search_wand_query
+
+    cases = {
+        "pt_stem": (
+            [(0, "as nações aprovaram"), (1, "uma nação unida"),
+             (2, "os livros da nação"), (3, "nada relevante")],
+            "nações", {0, 1, 2}),
+        "ru_stem": (
+            [(0, "красивый дом"), (1, "очень красивая река"),
+             (2, "дом у реки"), (3, "ничего здесь")],
+            "красивая", {0, 1}),
+        "tr_stem": (
+            [(0, "kitaplar masada"), (1, "bir kitap okudum"),
+             (2, "masada kalem var"), (3, "alakasız metin")],
+            "kitapları", {0, 1}),
+    }
+    for loc, (rows, q, want) in cases.items():
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        idx = str(tmp_path / f"idx_{loc}")
+        build_index(spark, docs, idx, n_shards=1, block_bits=6, locale=loc)
+        r = IndexReader(spark, idx)
+        exact = search(r, q, k=10).collect()
+        assert {h["doc_id"] for h in exact} == want, (loc, q, exact)
+        wand = search_wand_query(r, q, k=10).collect()
+        assert [(h["doc_id"], round(h["score"], 9)) for h in wand] == \
+            [(h["doc_id"], round(h["score"], 9)) for h in exact], loc
+
+
 def test_stemmed_index_end_to_end(spark, tmp_path):
     """An en_stem index matches across inflections ('meetings' query
     hits docs containing meeting/meet/meetings) on BOTH the inline and
