@@ -330,7 +330,11 @@ def run_scaling(n_docs: int, cores_pair=(8, 32), repeats: int = 5) -> dict:
     lo, hi = cores_pair
     out = {}
     runs: dict[int, list] = {lo: [], hi: []}
-    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "1500"))
+    # 1200 s interleave rail: clean windows exit after ~3 rounds
+    # (~12 min); a dirty window gets ~5 rounds of evidence without
+    # pushing the whole bench (scaling + multiexec + ceilings + 41-query
+    # headline) past the ~45 min a per-round driver run can afford
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "1200"))
     max_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_ROUNDS",
                                     str(max(repeats, 9))))
     clean_frac = float(os.environ.get("SPARK_GRAFT_CLEAN_FRAC", "0.95"))
