@@ -1956,7 +1956,12 @@ def _search_wand_coverage(
         if covered is None:
             verified = cand  # no query term indexed: cand is empty anyway
         else:
-            verified = cand.join(F.broadcast(covered), "doc_id")
+            # eager checkpoint: the shortfall test below COUNTS verified,
+            # and the caller's collect would otherwise re-run the whole
+            # coverage aggregation a second time — materialize once,
+            # serve both (same lifecycle as cand's checkpoint above)
+            verified = cand.join(
+                F.broadcast(covered), "doc_id").localCheckpoint(eager=True)
         if n_cand < pool or verified.count() >= k:
             out = verified.orderBy(
                 F.col("score").desc(), F.col("doc_id").desc()).limit(k)
