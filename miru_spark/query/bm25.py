@@ -2269,6 +2269,13 @@ def search_wand_query(
                 .dropDuplicates(["doc_id"])  # a doc may qualify via
                 # several disjuncts; scores are per-doc so any row wins
             )
+        if verified is not cand:
+            # eager checkpoint of the filtered pool: the shortfall test
+            # below counts it, the OR-mask completion may count it
+            # again, and the caller's collect re-executes the whole
+            # mask/phrase verify chain otherwise — materialize once
+            # (<= pool rows), serve all three
+            verified = verified.localCheckpoint(eager=True)
         if n_cand < pool or verified.count() >= k:
             break  # candidate set complete, or enough survivors
         pool *= 4
